@@ -1,0 +1,75 @@
+"""Aggregation operators (SURVEY.md §2.4-2.5).
+
+Everything here compiles to Spark's hash aggregate with map-side partial
+aggregation — the shuffle carries partial states, not rows, which is what
+keeps these correct-and-fast at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def nonnull_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column non-null counts in ONE pass — the generated
+    ``SUM(CASE WHEN c IS NULL THEN 0 ELSE 1 END) AS c_count`` profile
+    (reference: CDA/GDC/create_tables_clinical_gdc.py:158-175).
+
+    A single wide agg = one scan; never one query per column.
+    """
+    cols = list(cols or df.columns)
+    return df.agg(*[F.count(F.col(c)).alias(f"{c}_count") for c in cols])
+
+
+def count_distinct_fields(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """``COUNT(DISTINCT c)`` for several columns in one job (reference:
+    common_etl/support.py:2219-2227 sql_count_distinct_field)."""
+    return df.agg(*[F.countDistinct(c).alias(f"{c}_distinct_count") for c in cols])
+
+
+def count_if(pred) -> F.Column:
+    """``COUNTIF(pred)`` (reference:
+    Clinical_From_File/find_occurrence_frequency.py:87)."""
+    return F.count(F.when(pred, F.lit(1)))
+
+
+def child_counts(parent: DataFrame, child: DataFrame, parent_key: str, count_col: str) -> DataFrame:
+    """Attach number-of-child-rows to each parent row, zero-filled —
+    the ``diag__treat__count`` columns
+    (reference: build_gdc_api_clinical_program_tables.py:896-939).
+
+    Aggregate-then-join: the child shrinks to one row per key *before* the
+    join, so the shuffle moves counts, not child rows.
+    """
+    counts = child.groupBy(parent_key).agg(F.count(F.lit(1)).alias(count_col))
+    return (
+        parent.join(counts, parent_key, "left")
+        .withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0)))
+    )
+
+
+def wide_groupby_dedup(df: DataFrame, agg_cols: dict[str, F.Column]) -> DataFrame:
+    """GROUP BY every column except the aggregated ones — the ~140-column
+    merge-by-aliquot dedup (reference:
+    build_open_somatic_mut_bq_table.py:339-639, which groups all passthrough
+    MAF columns and STRING_AGGs the varying ones)."""
+    group_cols = [c for c in df.columns if c not in agg_cols]
+    return df.groupBy(*group_cols).agg(*[expr.alias(name) for name, expr in agg_cols.items()])
+
+
+def any_value_dedup(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """``ANY_VALUE(STRUCT(...)).*`` whole-row dedup per key (reference:
+    Clinical_From_File/build_gdc_file_clinical_tables_TCGA.py:622-625).
+    dropDuplicates is the native form — hash-agg on the keys, first row wins."""
+    return df.dropDuplicates(list(keys))
+
+
+def analytic_max(df: DataFrame, partition_by: Sequence[str], col: str, out_col: str) -> DataFrame:
+    """``MAX(x) OVER (PARTITION BY ...)`` without collapsing rows — the
+    reference's single window-function use
+    (build_gdc_file_clinical_tables_TCGA.py:627-631)."""
+    w = Window.partitionBy(*partition_by)
+    return df.withColumn(out_col, F.max(col).over(w))

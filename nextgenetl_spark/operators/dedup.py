@@ -1,0 +1,156 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH.
+
+Scale design: exact dedup is a hash aggregate on a fingerprint (one
+shuffle of (hash, id), never text). Near-dup at 100 TB must not be the
+quadratic all-pairs join — MinHash+LSH banding reduces it to a self-join on
+(band_index, band_hash) buckets, then exact Jaccard verifies only the
+candidates. The quadratic ``ngram_jaccard_pairs`` is kept as the correctness
+baseline for tests and small partitions (e.g. within-source blocks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nextgenetl_spark.operators.textstats import tokens
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts by md5; emit fingerprint, group size, canonical
+    (min) id. The shuffle carries 16-byte hashes, not documents."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def token_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(id_col, F.array_distinct(tokens(text_col)).alias("tok_set"))
+
+
+def jaccard(a: F.Column, b: F.Column) -> F.Column:
+    """Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / union
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs token-set Jaccard *within blocks* (quadratic per block —
+    only safe when blocks are bounded; the LSH path below is the scale
+    route). Returns (a_id, b_id, jac)."""
+    ts = df.select(block_col, F.col(id_col), F.array_distinct(tokens(text_col)).alias("tok_set"))
+    a = ts.alias("a")
+    b = ts.alias("b")
+    jac = jaccard(F.col("a.tok_set"), F.col("b.tok_set"))
+    return (
+        a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.round(jac, 4).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def shingles(text_col, n: int = 3) -> F.Column:
+    """Token n-gram shingles as strings."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: num_perm seeded xxhash64 min-values
+    over the shingle set. Pure expressions — computed in the scan stage."""
+    sh = shingles(text_col, shingle_n).alias("sh")
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("sh"), lambda s, seed=seed: F.xxhash64(s, F.lit(seed)))) for seed in range(num_perm)]
+    )
+    return df.select(F.col(id_col), sh).select(id_col, sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash). Each band hash
+    is one value per doc, so the join input is num_bands rows per doc; the
+    shuffle is by bucket, and only same-bucket docs ever meet."""
+    num_perm = None  # derived from the signature length at runtime
+    sig_len = F.size(F.col("sig"))
+    rows_per_band = (sig_len / num_bands).cast("int")
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)), b).alias("bh"),
+        ),
+    )
+    banded = sigs.select(id_col, F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
+    Verification re-joins the shingle sets only for candidate pairs."""
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands)
+    a = sh.withColumnRenamed(id_col, "a_id").withColumnRenamed("sh", "a_sh")
+    b = sh.withColumnRenamed(id_col, "b_id").withColumnRenamed("sh", "b_sh")
+    verified = (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", F.round(jaccard(F.col("a_sh"), F.col("b_sh")), 4).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+    return verified
+
+
+def simhash64(text_col) -> F.Column:
+    """64-bit SimHash over tokens: per-bit majority vote of token hashes,
+    folded into one BIGINT. Expression-only (no UDF): 64 bit-sums per doc.
+    Intended for Hamming-distance bucketing downstream."""
+    toks = F.array_distinct(tokens(text_col))
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_sum(b: int):
+        votes = F.transform(h, lambda x: F.when(x.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1))
+        return F.aggregate(votes, F.lit(0), lambda acc, v: acc + v)
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        mask = F.lit(1 << b).cast("long") if b < 63 else F.lit(-(2**63)).cast("long")
+        out = F.when(bit_sum(b) > 0, out.bitwiseOR(mask)).otherwise(out)
+    return out

@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small) query
+set against the corpus so the corpus never shuffles, compute dot products
+JVM-side with zip_with/aggregate (no Python in the loop), and rank per query
+with a window. The scale path is ``lsh_topk`` — random-hyperplane bucketing
+so each query only scores its bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> F.Column:
+    """Double-precision dot product of two float arrays (cast before multiply
+    so accumulation error stays at double scale)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a) -> F.Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> F.Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine. Queries are broadcast (they are the small
+    side); ranking ties break deterministically on neighbor id. Rounding
+    before ranking pins cross-engine float comparability."""
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(query_id, corpus_id, F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("sim"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_signature(vec_col, planes: list[list[float]]) -> F.Column:
+    """Sign-bit signature against fixed hyperplanes → integer bucket id.
+    ``planes`` is generated driver-side (deterministic seed) and inlined as
+    literals — it is tiny (num_planes × dim)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(F.zip_with(vec_col, p, lambda x, y: x.cast("double") * y), F.lit(0.0), lambda a, v: a + v)
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket both sides by hyperplane signature and only
+    score within matching buckets. Recall < 1.0 by construction; used when
+    the corpus is too large to brute-force per query. The bucket join
+    shuffles on the signature, so each task scores one bucket."""
+    sig = lambda df, idc: df.select(
+        F.col(idc), F.col(vec_col), hyperplane_signature(F.col(vec_col), planes).alias("bucket")
+    )
+    q = sig(queries, query_id).withColumnRenamed(vec_col, "qv")
+    c = sig(corpus, corpus_id).withColumnRenamed(vec_col, "cv")
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(query_id, corpus_id, F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("sim"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

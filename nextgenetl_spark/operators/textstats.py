@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines (extension surface):
+token counting, quality scoring, language-ID heuristics, fingerprinting.
+
+All pure Column expressions (whole-stage codegen); no Python UDFs — at 100 TB
+the per-document work runs entirely JVM-side in the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword profiles for the n-gram/stopword LID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "es": ["el", "la", "y", "los", "de", "un"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization (regex split on ``\\s+`` of trimmed text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def stopword_hits(toks: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    toks = tokens(col)
+    return F.round(stopword_hits(toks, lang) / F.size(toks), 4)
+
+
+def quality_class(col) -> Column:
+    """Coarse quality bucket from length + stopword ratio — the shape of a
+    pretraining quality filter (short docs and stopword-free docs score low)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    ratio = stopword_hits(toks, "en") / n
+    return (
+        F.when(n < 10, "too_short")
+        .when(ratio >= F.lit(0.05), "good")
+        .otherwise("low_signal")
+    )
+
+
+def lang_id(col) -> Column:
+    """Stopword-profile language ID with a deterministic tie rule
+    (en ≥ de ≥ fr ≥ es precedence; CJK codepoints force zh)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    hits = {lang: stopword_hits(toks, lang) for lang in STOPWORDS}
+    return (
+        F.when(c.rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]), "en")
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), "de")
+        .when(hits["fr"] >= hits["es"], "fr")
+        .otherwise("es")
+    )
+
+
+def fingerprint(col) -> Column:
+    """Deterministic 64-bit document fingerprint (content hash of the
+    token-normalized text) — cheap exact-dup key."""
+    return F.xxhash64(F.array_join(tokens(col), " "))
+
+
+def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document text profile."""
+    toks = tokens(text_col)
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.length(text_col).alias("n_chars"),
+        stopword_ratio(text_col).alias("stop_ratio"),
+        lang_id(text_col).alias("pred_lang"),
+        quality_class(text_col).alias("quality"),
+    )

@@ -1,0 +1,109 @@
+"""Event-stream workloads: windowed aggregation, sessionization, and the
+reference's packed-multi-value idioms applied to the events table.
+
+The reference has no streaming (SURVEY.md §2.11); these are the extension
+targets. Batch versions are oracle-checked here; the same logic runs
+incrementally in nextgenetl_spark.streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nextgenetl_spark.catalog import load
+from nextgenetl_spark.functions import caller_flag, concat_to_multi, delim_count, string_agg_distinct
+from nextgenetl_spark.workloads import workload
+
+
+@workload(
+    "tumbling_window",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window aggregate — Spark-native ``F.window``; the
+    identical plan runs under Structured Streaming with a watermark
+    (streaming/windows.py)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@workload(
+    "sessionize",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (SELECT user_id,
+                 epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+          FROM events)
+    GROUP BY user_id
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): a session starts where
+    the gap to the previous event exceeds the timeout. Batch analogue of
+    ``session_window`` in Structured Streaming. One shuffle (by user_id)
+    serves both the lag and the aggregate."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return (
+        e.withColumn("gap", gap)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@workload(
+    "packed_multivalue",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ';' ORDER BY event_type) AS types_packed,
+           CASE WHEN array_contains(list(DISTINCT event_type), 'click') THEN 'Yes' ELSE 'No' END AS has_click,
+           CASE WHEN COUNT(DISTINCT event_type) > 3 THEN 'multi'
+                ELSE string_agg(DISTINCT event_type, ';' ORDER BY event_type) END AS types_or_multi,
+           CAST(COUNT(DISTINCT event_type) - 1 AS INT) AS n_delims
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def packed_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `;`-packed multi-value lifecycle in one query:
+    STRING_AGG DISTINCT packing (A6), caller-flag expansion (Y6, reference:
+    build_open_somatic_mut_bq_table.py:213-233), concat-to-multi collapse
+    (Y5, reference: create_tables_file_metadata_gdc.py:44-75), and the
+    delimiter-count idiom (reference: …v2.py:84-90)."""
+    e = load(spark, sf_dir, "events")
+    packed = e.groupBy("user_id").agg(
+        string_agg_distinct(F.col("event_type")).alias("types_packed"),
+        concat_to_multi(F.col("event_type"), max_count=3).alias("types_or_multi"),
+    )
+    return packed.select(
+        "user_id",
+        "types_packed",
+        caller_flag("types_packed", "click").alias("has_click"),
+        "types_or_multi",
+        delim_count("types_packed").alias("n_delims"),
+    ).select("user_id", "types_packed", "has_click", "types_or_multi", "n_delims")

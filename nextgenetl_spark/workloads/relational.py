@@ -1,0 +1,676 @@
+"""Relational operator workloads (SURVEY.md §2.2-2.7) on the TPC-H-ish tables.
+
+Each query reproduces a generated-SQL shape from the reference (file:line in
+each docstring) as a declarative DataFrame plan. Scale notes inline: dims are
+broadcast, aggregations pre-shrink before joins, and nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nextgenetl_spark.catalog import load
+from nextgenetl_spark.operators import setops
+from nextgenetl_spark.operators.agg import child_counts, count_if, nonnull_profile
+from nextgenetl_spark.operators.filters import compile_filter
+from nextgenetl_spark.operators.joins import anti_join, coalesced_left_legs, semi_join
+from nextgenetl_spark.workloads import workload
+
+
+# ---------------------------------------------------------------------------
+# Scans + filter + aggregate core
+# ---------------------------------------------------------------------------
+
+@workload(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                           AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                                AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                           AS avg_price,
+           ROUND(AVG(l_discount), 4)                                AS avg_disc,
+           COUNT(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan→filter→groupBy→agg (A1/A3/O1). The filter reaches the
+    parquet scan as a pushed predicate; the aggregate is map-side partial, so
+    the shuffle carries 4 group keys, not 600k rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@workload(
+    "manifest_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#13', 'Brand#25')
+      AND p_size >= 10
+      AND p_name LIKE '%re%'
+    ORDER BY p_partkey
+    LIMIT 100
+    """,
+)
+def manifest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict-compiled conjunctive filter + LIKE + ORDER BY + LIMIT — the
+    manifest builder (reference: common_etl/support.py:399-431
+    manifest_builder_sql, P3/P4/O1/O2). LIMIT is made deterministic with an
+    explicit sort, as the reference's max_files cap is."""
+    part = load(spark, sf_dir, "part")
+    pred = compile_filter({"p_brand": ["Brand#1", "Brand#13", "Brand#25"]})
+    return (
+        part.filter(pred & (F.col("p_size") >= 10) & F.col("p_name").like("%re%"))
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+@workload(
+    "pull_list_join",
+    oracle="""
+    SELECT l.l_orderkey, p.p_partkey, p.p_brand, l.l_quantity
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND p.p_size > 25
+    """,
+)
+def pull_list_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest→pull-list 2-table equi-join (reference:
+    common_etl/support.py:353-360 pull_list_builder_sql, J1). The filtered
+    part side is small → AQE turns this into a broadcast join; the lineitem
+    scan never shuffles."""
+    part = load(spark, sf_dir, "part").filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") > 25))
+    li = load(spark, sf_dir, "lineitem")
+    return li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")).select(
+        "l_orderkey", "p_partkey", "p_brand", "l_quantity"
+    )
+
+
+@workload(
+    "multiway_star",
+    oracle="""
+    SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained multi-way INNER join (J2 — the TP53-style 19-join chains,
+    reference: TP53/TP53_Scripts/create_views.py:204-290) with local+global
+    agg. supplier/nation/region are broadcast: only the customer⋈orders⋈
+    lineitem chain shuffles, each on its join key."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer joins / membership / self-joins
+# ---------------------------------------------------------------------------
+
+@workload(
+    "left_join_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           COUNT(o.o_orderkey)                          AS order_count,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2)   AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER + zero-preserving counts (J4 + Y3 child-record counts,
+    reference: CDA/GDC/create_tables_file_metadata_gdc.py:126-140 and
+    build_gdc_api_clinical_program_tables.py:896-939)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@workload(
+    "child_count_attach",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COALESCE(oc.order_count, 0) AS order_count
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS order_count FROM orders GROUP BY o_custkey) oc
+           ON c.c_custkey = oc.o_custkey
+    """,
+)
+def child_count_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y3 child-record-count operator: aggregate-then-join so the shuffle
+    carries one row per parent key, not every child row."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    return child_counts(c, o.select("c_custkey"), "c_custkey", "order_count")
+
+
+@workload(
+    "full_outer_diff",
+    oracle="""
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           COALESCE(a.cnt, 0) AS orders_1996,
+           COALESCE(b.cnt, 0) AS orders_1998
+    FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY o_custkey) a
+    FULL OUTER JOIN
+         (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+          GROUP BY o_custkey) b
+      ON a.o_custkey = b.o_custkey
+    WHERE COALESCE(a.cnt, 0) <> COALESCE(b.cnt, 0)
+    """,
+)
+def full_outer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER release-diff report (J6, reference:
+    compare_clinical_gdc_api_releases.py:91-95 — old release vs new release
+    keyed by id, keeping rows present on either side)."""
+    o = load(spark, sf_dir, "orders")
+
+    def year_counts(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    a = year_counts(1996).alias("a")
+    b = year_counts(1998).alias("b")
+    return (
+        a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+            F.coalesce(F.col("a.cnt"), F.lit(0)).alias("orders_1996"),
+            F.coalesce(F.col("b.cnt"), F.lit(0)).alias("orders_1998"),
+        )
+        .filter(F.col("orders_1996") != F.col("orders_1998"))
+    )
+
+
+@workload(
+    "anti_membership",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN (subquery)`` as a left-anti join (P6/J8, reference:
+    gdc_clinical_resources/test_data_integrity.py:79-85): customers with no
+    urgent orders."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@workload(
+    "semi_membership",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def semi_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXISTS`` as a left-semi join (P8, reference:
+    CDA/PDC/create_tables_quant_data_matrix_pdc.py:147-156)."""
+    c = load(spark, sf_dir, "customer")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi_join(c, urgent, "c_custkey").groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@workload(
+    "self_join_roles",
+    oracle="""
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b, a.s_nationkey AS nationkey
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    """,
+)
+def self_join_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One table joined to itself under two roles (J12, reference:
+    build_open_somatic_mut_bq_table.py:100-133 tumor/normal aliquot)."""
+    s = load(spark, sf_dir, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey")) & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(
+        F.col("a.s_suppkey").alias("supp_a"),
+        F.col("b.s_suppkey").alias("supp_b"),
+        F.col("a.s_nationkey").alias("nationkey"),
+    )
+
+
+@workload(
+    "expr_key_join",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c JOIN orders o
+      ON CAST(SUBSTR(c.c_name, 10) AS BIGINT) = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def expr_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on a *computed* key (J3, reference:
+    GDC/RNA_seq.py:120 ``ON a.file_gdc_id = LEFT(b.file_name, 36)`` — here the
+    numeric id embedded in c_name). Catalyst still plans this as a hash join
+    because the expression is deterministic on each side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    key = F.expr("CAST(substring(c_name, 10) AS BIGINT)")
+    return (
+        c.join(o, key == F.col("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@workload(
+    "coalesced_legs",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(COALESCE(u.cnt, a.cnt, 0) AS BIGINT) AS pref_count
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+               WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+           ON c.c_custkey = u.o_custkey
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) a
+           ON c.c_custkey = a.o_custkey
+    """,
+)
+def coalesced_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two LEFT-JOIN legs COALESCEd (J9, reference:
+    CDA/ICDC/create_tables_visit_icdc.py:33-52)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("o_custkey", "c_custkey")
+    )
+    allc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt")).withColumnRenamed("o_custkey", "c_custkey")
+    out = coalesced_left_legs(c, [(urgent, "c_custkey"), (allc, "c_custkey")], "cnt", "pref_count")
+    return out.withColumn("pref_count", F.coalesce(F.col("pref_count"), F.lit(0)).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@workload(
+    "union_provenance",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_name AS entity_name, c_acctbal AS acctbal, 'customer' AS dataset
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), n_name, NULL, 'nation' FROM nation
+    """,
+)
+def union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way UNION ALL with schema padding + literal provenance column
+    (U1/U5, reference: build_regulome_explorer_sql_import_v2.py:424-449
+    glue_features_sql)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("entity_key"),
+        F.col("n_name").alias("entity_name"),
+    )
+    return setops.union_by_name_padded([c, s, n], provenance=["customer", "supplier", "nation"])
+
+
+@workload(
+    "except_distinct",
+    oracle="""
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def except_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT (U3, reference: common_etl/support.py:2090-2103):
+    custkeys that ordered but never urgently."""
+    o = load(spark, sf_dir, "orders")
+    all_keys = o.select(F.col("o_custkey").alias("custkey"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    return setops.except_distinct(all_keys, urgent)
+
+
+@workload(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def union_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT (U2, reference:
+    GDC-Metadata-Processing/build_release_metadata_bq_tables_v2.py:611-678)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return setops.union_distinct(c, s)
+
+
+@workload(
+    "intersect_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    """,
+)
+def intersect_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT changed-record detection (U4, reference:
+    CDA/compare_and_publish_tables.py:306-328)."""
+    o = load(spark, sf_dir, "orders")
+
+    def keys(y: int) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return setops.intersect_distinct(keys(1996), keys(1998))
+
+
+@workload(
+    "symmetric_diff",
+    oracle="""
+    WITH a AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+               WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey),
+         b AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey)
+    SELECT *, 'old' AS diff_side FROM (SELECT DISTINCT * FROM a EXCEPT SELECT DISTINCT * FROM b)
+    UNION ALL
+    SELECT *, 'new' AS diff_side FROM (SELECT DISTINCT * FROM b EXCEPT SELECT DISTINCT * FROM a)
+    """,
+)
+def symmetric_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publish-gate symmetric EXCEPT DISTINCT diff (reference:
+    common_etl/support.py:2090-2123 compare_two_tables_sql)."""
+    o = load(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    b = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return setops.symmetric_diff(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation layer
+# ---------------------------------------------------------------------------
+
+@workload(
+    "count_distinct_fields",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey)    AS l_partkey_distinct_count,
+           COUNT(DISTINCT l_suppkey)    AS l_suppkey_distinct_count,
+           COUNT(DISTINCT l_returnflag) AS l_returnflag_distinct_count
+    FROM lineitem
+    """,
+)
+def count_distinct_fields_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT(DISTINCT) in one pass (A2, reference:
+    common_etl/support.py:2219-2227)."""
+    li = load(spark, sf_dir, "lineitem")
+    return count_distinct_fields_impl(li)
+
+
+def count_distinct_fields_impl(df: DataFrame) -> DataFrame:
+    from nextgenetl_spark.operators.agg import count_distinct_fields
+
+    return count_distinct_fields(df, ["l_partkey", "l_suppkey", "l_returnflag"])
+
+
+@workload(
+    "countif_profile",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)                                   AS n_orders,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS big_orders,
+           ROUND(AVG(o_totalprice), 4)                AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def countif_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNTIF conditional counting (A4, reference:
+    Clinical_From_File/find_occurrence_frequency.py:87)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        count_if(F.col("o_totalprice") > 150000).alias("big_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@workload(
+    "nonnull_profile",
+    oracle="""
+    SELECT COUNT(o_custkey)      AS o_custkey_count,
+           COUNT(o_orderstatus)  AS o_orderstatus_count,
+           COUNT(o_totalprice)   AS o_totalprice_count,
+           COUNT(o_orderdate)    AS o_orderdate_count
+    FROM orders
+    """,
+)
+def nonnull_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated per-column non-null profile in one scan (A5, reference:
+    CDA/GDC/create_tables_clinical_gdc.py:158-175)."""
+    o = load(spark, sf_dir, "orders")
+    return nonnull_profile(o, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"])
+
+
+@workload(
+    "string_agg_ordered",
+    oracle="""
+    SELECT n.n_name, string_agg(s.s_name, ';' ORDER BY s.s_name) AS supplier_names
+    FROM nation n JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING_AGG(... ORDER BY ...) (A6/O3, reference:
+    CDA/GDC/create_tables_file_metadata_gdc.py:146,154,166)."""
+    from nextgenetl_spark.functions import string_agg
+
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        n.join(s, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(string_agg(F.col("s_name")).alias("supplier_names"))
+    )
+
+
+@workload(
+    "string_agg_distinct",
+    oracle="""
+    SELECT c.c_mktsegment, string_agg(DISTINCT n.n_name, ';' ORDER BY n.n_name) AS nations
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def string_agg_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING_AGG(DISTINCT ...) (A6, reference:
+    build_open_somatic_mut_bq_table.py:486-487)."""
+    from nextgenetl_spark.functions import string_agg_distinct
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_mktsegment")
+        .agg(string_agg_distinct(F.col("n_name")).alias("nations"))
+    )
+
+
+@workload(
+    "having_filter",
+    oracle="""
+    SELECT l_partkey, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) > 40
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING duplicate detection (A10, reference:
+    CDA/compare_and_publish_tables.py:245-255 ``HAVING COUNT(*) > 1``)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") > 40)
+
+
+@workload(
+    "two_level_agg",
+    oracle="""
+    SELECT order_count, COUNT(*) AS n_customers
+    FROM (SELECT o_custkey, COUNT(*) AS order_count FROM orders GROUP BY o_custkey)
+    GROUP BY order_count
+    """,
+)
+def two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a grouped subquery (A11, reference:
+    CDA/GDC/create_tables_clinical_gdc.py:42-56)."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("order_count"))
+    return per_cust.groupBy("order_count").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@workload(
+    "window_max",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 MAX(l_extendedprice) OVER (PARTITION BY l_orderkey) AS max_price
+          FROM lineitem)
+    WHERE l_extendedprice = max_price
+    """,
+)
+def window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic MAX over a partition without collapsing rows (W1 — the
+    reference's only window use,
+    build_gdc_file_clinical_tables_TCGA.py:627-631)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.withColumn("max_price", F.max("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("max_price"))
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+@workload(
+    "case_ladder",
+    oracle="""
+    SELECT CASE WHEN CAST(regexp_extract(o_orderpriority, '(\\d+)', 1) AS INT) <= 2 THEN 'high'
+                WHEN CAST(regexp_extract(o_orderpriority, '(\\d+)', 1) AS INT) = 3  THEN 'mid'
+                ELSE 'low' END AS priority_class,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY priority_class
+    """,
+)
+def case_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN ladder over REGEXP_EXTRACT capture groups (P7 + §2.9, the
+    52-site REGEXP_EXTRACT ladder shape, reference:
+    GDC-Metadata-Processing/build_release_metadata_bq_tables_v2.py:137-165)."""
+    o = load(spark, sf_dir, "orders")
+    rank = F.regexp_extract(F.col("o_orderpriority"), r"(\d+)", 1).cast("int")
+    cls = F.when(rank <= 2, "high").when(rank == 3, "mid").otherwise("low")
+    return o.groupBy(cls.alias("priority_class")).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@workload(
+    "select_except",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_returnflag, l_linestatus
+    FROM lineitem
+    WHERE l_orderkey < 100
+    """,
+)
+def select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCEPT (cols)`` → df.drop (P2, reference:
+    GDC/RNA_seq.py:68-69). Dropping the columns prunes them out of the
+    parquet scan entirely (ReadSchema shrinks)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 100).drop(
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate"
+    )

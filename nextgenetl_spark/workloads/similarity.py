@@ -1,0 +1,50 @@
+"""Embedding similarity-search workloads on the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nextgenetl_spark.catalog import load
+from nextgenetl_spark.operators.similarity import cosine_topk, lsh_topk
+from nextgenetl_spark.workloads import workload
+
+
+@workload(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      ROUND(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 4) AS sim
+               FROM q, c WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id,
+           ROUND(sim, 4) AS sim,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — exact ANN baseline.
+    Queries broadcast; corpus never shuffles; dot products via
+    zip_with/aggregate stay JVM-side."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    out = cosine_topk(q, c, k=5)
+    return out.select("query_id", "neighbor_id", "sim", "rank")
+
+
+@workload("ann_lsh_topk")  # approximate by construction → rows-only check; pytest measures recall vs exact
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed top-k (the 100-TB path: score only within
+    buckets). Deterministic planes from a fixed seed."""
+    import random
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return lsh_topk(q, c, planes, k=5).select("query_id", "neighbor_id", "sim", "rank")

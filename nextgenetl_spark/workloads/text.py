@@ -1,0 +1,140 @@
+"""Text-analysis + deduplication workloads on the documents table
+(extension surface: dedup, token stats, quality, language ID)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nextgenetl_spark.catalog import load
+from nextgenetl_spark.operators import dedup as D
+from nextgenetl_spark.operators import textstats as TS
+from nextgenetl_spark.workloads import workload
+
+
+@workload(
+    "exact_dedup",
+    oracle="""
+    SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY fp
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy — shuffles 16-byte hashes, not
+    documents."""
+    return D.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@workload(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)                AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS INT) AS n_uniq_tokens,
+           CAST(length(text) AS INT)                                               AS n_chars
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — per-doc stats computed in the
+    scan stage, no shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    toks = TS.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+@workload(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+')), 4) AS stop_ratio,
+           CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 10 THEN 'too_short'
+                WHEN CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+                     / len(string_split_regex(trim(text), '\\s+')) >= 0.05 THEN 'good'
+                ELSE 'low_signal' END AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword-ratio + length heuristics (pretraining
+    quality-filter shape)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.stopword_ratio("text").alias("stop_ratio"),
+        TS.quality_class("text").alias("quality"),
+    )
+
+
+@workload(
+    "lang_id",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+    h AS (SELECT doc_id, text,
+            len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS en,
+            len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS de,
+            len(list_filter(toks, t -> list_contains(['le','la','et','les','des','un'], t)))     AS fr,
+            len(list_filter(toks, t -> list_contains(['el','la','y','los','de','un'], t)))       AS es
+          FROM t)
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de >= fr AND de >= es THEN 'de'
+                WHEN fr >= es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM h
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic tie precedence."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.lang_id("text").alias("pred_lang"))
+
+
+@workload(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH ts AS (SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\\s+')) AS tok_set
+                FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.tok_set, b.tok_set))), 4) AS jac
+    FROM ts a JOIN ts b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by token-set Jaccard within source blocks — the
+    exact baseline the MinHash-LSH path (operators/dedup.py) approximates at
+    scale."""
+    d = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "source", threshold=0.5)
+
+
+@workload("minhash_near_dup")  # no SQL oracle: LSH banding is not SQL-expressible; pytest checks recall vs the exact baseline
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (scale path: banded bucket join instead of
+    all-pairs). Driver does a rows-only check; tests/test_dedup.py verifies
+    candidate recall against the exact Jaccard baseline."""
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_near_dup_pairs(d, threshold=0.5)
+
+
+@workload(
+    "doc_fingerprint",
+    oracle=None,  # xxhash64 is Spark-specific; rows-only check + pytest determinism test
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit rolling content fingerprint per document."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.fingerprint("text").alias("fp"))
