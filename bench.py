@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline workload queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Per-query wall time is measured after a session warm-up job so JVM/session
+startup isn't attributed to the first query. Results are forced with
+collect() for small outputs and count() for large ones (no driver-side
+materialization of big results — same as a real pipeline sink would do).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nextgenetl_spark.session import get_spark
+from nextgenetl_spark.workloads import load_all
+
+# name -> force mode ("collect" for small outputs, "count" for large)
+HEADLINE = {
+    "pricing_summary": "collect",
+    "multiway_star": "collect",
+    "left_join_counts": "count",
+    "pull_list_join": "count",
+    "window_max": "count",
+    "symmetric_diff": "count",
+    "string_agg_ordered": "collect",
+    "tumbling_window": "count",
+    "sessionize": "count",
+    "packed_multivalue": "count",
+    "explode_tokens": "collect",
+    "exact_dedup": "count",
+    "ngram_jaccard_pairs": "count",
+    "minhash_near_dup": "count",
+    "ann_cosine_topk": "count",
+    "token_stats": "count",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    registry = load_all()
+    spark = get_spark("bench")
+    # warm-up: touch the session + parquet footers once
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, mode in HEADLINE.items():
+        fn = registry[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        if mode == "collect":
+            df.collect()
+        else:
+            df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
