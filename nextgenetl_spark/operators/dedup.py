@@ -142,15 +142,30 @@ def minhash_near_dup_pairs(
 
 def simhash64(text_col) -> F.Column:
     """64-bit SimHash over tokens: per-bit majority vote of token hashes,
-    folded into one BIGINT. Expression-only (no UDF): 64 bit-sums per doc.
-    Intended for Hamming-distance bucketing downstream."""
-    toks = F.array_distinct(tokens(text_col))
-    h = F.transform(toks, lambda t: F.xxhash64(t))
-    def bit_sum(b: int):
-        votes = F.transform(h, lambda x: F.when(x.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1))
-        return F.aggregate(votes, F.lit(0), lambda acc, v: acc + v)
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        mask = F.lit(1 << b).cast("long") if b < 63 else F.lit(-(2**63)).cast("long")
-        out = F.when(bit_sum(b) > 0, out.bitwiseOR(mask)).otherwise(out)
-    return out
+    folded into one BIGINT. One linear pass with higher-order functions —
+    the vote accumulator is an array<long>[64] carried through a single
+    ``aggregate`` over the token hashes (no per-bit re-scans, no UDF)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.array_distinct(tokens(c))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # literal bit masks (bit 63 is the long sign bit, hence the negative mask);
+    # masks are disjoint powers of two, so summing selected masks == bitwise OR
+    masks = F.array(*[F.lit((1 << b) if b < 63 else -(2**63)).cast("long") for b in range(64)])
+    zero64 = F.transform(F.sequence(F.lit(0), F.lit(63)), lambda i: F.lit(0).cast("long"))
+    votes = F.aggregate(
+        hashes,
+        zero64,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(h.bitwiseAND(F.element_at(masks, b + 1)) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(F.element_at(votes, i + 1) > 0, F.element_at(masks, i + 1)).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)

@@ -1,0 +1,100 @@
+"""Dedup + similarity operator tests: MinHash-LSH recall vs the exact
+Jaccard baseline, SimHash determinism, LSH-ANN overlap vs brute force."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from nextgenetl_spark.catalog import load
+from nextgenetl_spark.operators import dedup as D
+from nextgenetl_spark.operators.similarity import cosine, cosine_topk, lsh_topk
+from tests.conftest import SF_SMOKE
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "unique text here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["canonical_id"]: r["n_docs"] for r in D.exact_dedup_groups(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = load(spark, SF_SMOKE, "documents")
+    # exact global baseline on shingle-level jaccard (all pairs — fine at smoke SF)
+    sh = docs.select("doc_id", D.shingles("text", 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = D.jaccard(F.col("a.sh"), F.col("b.sh"))
+    exact_sh = {
+        (r["a_id"], r["b_id"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"), jac.alias("j"))
+        .filter(F.col("j") >= 0.7)
+        .collect()
+    }
+    approx = {
+        (r["a_id"], r["b_id"])
+        for r in D.minhash_near_dup_pairs(docs, threshold=0.7).collect()
+    }
+    # verification step makes precision exact; recall should be high for 0.7+
+    assert approx <= exact_sh or not exact_sh
+    if exact_sh:
+        recall = len(approx & exact_sh) / len(exact_sh)
+        assert recall >= 0.8, f"LSH recall too low: {recall} ({len(exact_sh)} true pairs)"
+
+
+def test_simhash_deterministic_and_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different words entirely unrelated tokens")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["sh"] for r in df.select("doc_id", D.simhash64("text").alias("sh")).collect()}
+    out2 = {r["doc_id"]: r["sh"] for r in df.select("doc_id", D.simhash64("text").alias("sh")).collect()}
+    assert out == out2  # deterministic
+    ham = lambda x, y: bin((x ^ y) & (2**64 - 1)).count("1")
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_cosine_topk_sanity(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    out = cosine_topk(q, c, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert -1.0001 <= r["sim"] <= 1.0001
+        assert r["neighbor_id"] != r["query_id"]
+    for rows in by_q.values():
+        sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_overlaps_bruteforce(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(3)]
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    brute = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, c, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in lsh_topk(q, c, planes, k=3).collect()}
+    # 3 planes → 8 buckets over 500 docs: expect meaningful overlap, not exactness
+    assert len(approx & brute) / len(brute) >= 0.2
+
+
+def test_cosine_identity(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [1.0, 1.0])], ["id", "v"])
+    a, b = df.alias("a"), df.alias("b")
+    out = {
+        (r["i"], r["j"]): r["c"]
+        for r in a.crossJoin(b)
+        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"),
+                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("c"))
+        .collect()
+    }
+    assert out[(1, 1)] == 1.0 and out[(1, 2)] == 0.0
+    assert abs(out[(1, 3)] - 0.707107) < 1e-6

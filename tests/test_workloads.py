@@ -1,0 +1,69 @@
+"""Smoke + oracle tests for the driver-contract workloads.
+
+Every registry query must run at sf0.001 with a stable schema; a fast
+subset is oracle-compared against DuckDB here (the full compare runs in
+tools/check.py / the driver's own gate)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+
+from nextgenetl_spark.workloads import load_all
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_all()
+
+ORACLE_SUBSET = [
+    "pricing_summary",
+    "multiway_star",
+    "string_agg_ordered",
+    "tumbling_window",
+    "exact_dedup",
+    "ann_cosine_topk",
+]
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_workload_runs(spark, name):
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    assert df.columns, name
+    assert df.count() >= 0
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    return str(v)
+
+
+def _hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    hs = sorted(hashlib.md5("|".join(_canon(r[i]) for i in order).encode()).hexdigest() for r in rows)
+    return hashlib.md5("\n".join(hs).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", ORACLE_SUBSET)
+def test_oracle_match(spark, name):
+    wl = REGISTRY[name]
+    sdf = wl.fn(spark, SF_SMOKE)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    res = con.execute(wl.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert _hash(srows, sdf.columns) == _hash(orows, ocols)
