@@ -262,7 +262,11 @@ def detect_object_structure(records: list, out: dict | None = None) -> dict:
             elif vtype == "ARRAY":
                 node = out.setdefault(key, {"__array__": {}})
                 elems = [normalize_value(e) for e in value]
-                if elems and isinstance(elems[0], dict):
+                if not elems:
+                    # an empty array says nothing about element type — never
+                    # let it downgrade a record-array to scalar
+                    continue
+                if isinstance(elems[0], dict):
                     detect_object_structure(elems, node["__array__"])
                 else:
                     types = node["__array__"].setdefault("__scalar__", set())
@@ -301,6 +305,8 @@ def structure_to_schema(structure: dict) -> T.StructType:
             sub = node["__array__"]
             if "__scalar__" in sub:
                 elem = BQ_TO_SPARK[resolve_type_conflict(name, sub["__scalar__"])]
+            elif not sub:
+                elem = T.StringType()  # only empty arrays observed
             else:
                 elem = structure_to_schema(sub)
             fields.append(T.StructField(name, T.ArrayType(elem, True), True))

@@ -1,0 +1,108 @@
+"""JSONL ingestion (S2): newline-delimited JSON → DataFrame with an
+explicit or reference-inferred schema.
+
+Reference: common_etl/utils.py:631-653 create_and_load_table_from_jsonl;
+schema inference is a FULL-pass union of fields across records
+(data_helpers.py:109-162) because field sets vary per record — sampling
+would drop rare fields. For bounded driver memory on big files, inference
+here reads up to ``max_infer_records`` (full pass by default for parity;
+cap it at scale and pass an explicit schema for the 100 TB path).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from nextgenetl_spark.inference import infer_schema, normalize_value
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    max_infer_records: int | None = None,
+) -> DataFrame:
+    """Load JSONL with reference-rule schema inference (not Spark's)."""
+    if schema is None:
+        records = []
+        with open(path, encoding="utf-8") as fh:
+            for i, line in enumerate(fh):
+                if max_infer_records is not None and i >= max_infer_records:
+                    break
+                line = line.strip()
+                if line:
+                    records.append(json.loads(line))
+        schema = infer_schema(records)
+    return spark.read.schema(schema).json(path)
+
+
+def records_to_df(spark: SparkSession, records: list, schema: T.StructType | None = None) -> DataFrame:
+    """API-extract entry point (§3.2): list-of-dicts → normalized DataFrame
+    with inferred schema — replaces the reference's JSONL-file round-trip
+    (write_list_to_jsonl_and_upload → BQ load) with a direct createDataFrame."""
+    normalized = [{k: normalize_value(v) for k, v in rec.items()} for rec in records]
+    if schema is None:
+        schema = infer_schema(normalized)
+
+    rows = [_conform(r, schema) for r in normalized]
+    return spark.createDataFrame(rows, schema)
+
+
+def _conform(rec: dict | None, st: T.StructType) -> tuple | None:
+    """Coerce one normalized record to the resolved schema's python shapes
+    (the lattice may widen a field past its per-record type: '42' in one
+    record + 'x' in another → STRING, so 42 must become '42')."""
+    import datetime as _dt
+
+    if rec is None:
+        return None
+    out = []
+    for f in st.fields:
+        v = normalize_value(rec.get(f.name))
+        dt = f.dataType
+        if v is None:
+            out.append(None)
+        elif isinstance(dt, T.StructType):
+            out.append(_conform(v, dt) if isinstance(v, dict) else None)
+        elif isinstance(dt, T.ArrayType):
+            if not isinstance(v, list):
+                out.append(None)
+            elif isinstance(dt.elementType, T.StructType):
+                out.append([_conform(e, dt.elementType) for e in v])
+            else:
+                out.append([_scalar(e, dt.elementType, _dt) for e in v])
+        else:
+            out.append(_scalar(v, dt, _dt))
+    return tuple(out)
+
+
+def _scalar(v, dt, _dt):
+    if v is None:
+        return None
+    if isinstance(dt, T.StringType):
+        return str(v)
+    if isinstance(dt, T.BooleanType):
+        if isinstance(v, bool):
+            return v
+        return str(v).strip().lower() in ("true", "yes", "1")
+    if isinstance(dt, T.LongType):
+        return int(float(v))
+    if isinstance(dt, T.DoubleType):
+        return float(v)
+    if isinstance(dt, T.DecimalType):
+        from decimal import Decimal
+
+        return Decimal(str(v))
+    if isinstance(dt, T.DateType):
+        if isinstance(v, _dt.date):
+            return v
+        y, m, d = (int(p) for p in str(v).split("-"))
+        return _dt.date(y, m, d)
+    if isinstance(dt, T.TimestampType):
+        if isinstance(v, _dt.datetime):
+            return v
+        return _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+    return v

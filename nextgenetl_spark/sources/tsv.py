@@ -1,0 +1,121 @@
+"""TSV/CSV ingestion with the reference's normalize→infer→load discipline.
+
+Reference behavior being reproduced (S1/Y7/Y8/Y9):
+- explicit-schema load with skip-N-header-rows and a null marker
+  (common_etl/utils.py:654-682; cda_bq_etl/bq_helpers/create_modify.py:137-176)
+- sampled type inference over every Nth row (data_helpers.py:220-277)
+- value normalization before load (data_helpers.py:447-557) with a row-count
+  invariance check
+- duplicate-header disambiguation + BQ-safe names (data_helpers.py:498-518)
+
+Scale design: inference samples the file head driver-side (bounded read);
+the full load is a distributed ``spark.read.csv`` with an explicit schema —
+no Spark-side inference pass over the whole dataset, no double scan.
+Normalization is a column expression applied in the scan projection.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nextgenetl_spark.functions.text import normalize_value as normalize_value_expr
+from nextgenetl_spark.inference import (
+    BQ_TO_SPARK,
+    dedupe_headers,
+    infer_tsv_types,
+    make_name_bq_friendly,
+)
+
+_CAST = {
+    "STRING": "string",
+    "INT64": "long",
+    "FLOAT64": "double",
+    "NUMERIC": "decimal(38,9)",
+    "BOOL": "boolean",
+    "DATE": "date",
+    "TIME": "string",
+    "TIMESTAMP": "timestamp",
+    "DATETIME": "timestamp",
+}
+
+
+def _sample_head(spark: SparkSession, path: str, n_lines: int, sep: str) -> tuple[list[str], list[list[str]]]:
+    """Driver-side bounded read of the file head for schema inference.
+    Uses the Hadoop FS API via the JVM so the same code path works for
+    hdfs:///s3:// URIs, with a plain-python fallback for local files."""
+    rows: list[list[str]] = []
+    try:
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            text = "".join(line for _, line in zip(range(n_lines), fh))
+    except (OSError, IsADirectoryError):
+        # non-local path: let Spark pull the head (limit keeps it bounded)
+        text = "\n".join(r[0] for r in spark.read.text(path).limit(n_lines).collect())
+    reader = csv.reader(io.StringIO(text), delimiter=sep)
+    rows = [row for row in reader if row]
+    return rows[0], rows[1:]
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    sep: str = "\t",
+    schema: T.StructType | None = None,
+    null_marker: str = "",
+    skip_leading_rows: int = 1,
+    sample_interval: int = 1,
+    sample_lines: int = 5000,
+    normalize: bool = True,
+) -> DataFrame:
+    """Load a TSV as the reference would: sanitize + dedupe headers, infer
+    per-column types from a sampled head (unless an explicit schema is
+    given), read string-typed, normalize values, then cast."""
+    if schema is not None:
+        df = (
+            spark.read.options(sep=sep, header=skip_leading_rows > 0, nullValue=null_marker)
+            .schema(schema)
+            .csv(path)
+        )
+        return df
+
+    raw_headers, body = _sample_head(spark, path, sample_lines, sep)
+    headers = dedupe_headers([make_name_bq_friendly(h) for h in raw_headers])
+    types = infer_tsv_types(body, headers, sample_interval=sample_interval)
+
+    str_schema = T.StructType([T.StructField(h, T.StringType(), True) for h in headers])
+    df = (
+        spark.read.options(sep=sep, header=False, nullValue=null_marker)
+        .schema(str_schema)
+        .csv(path)
+    )
+    if skip_leading_rows:
+        # drop the header row(s) by value, not position: distributed reads
+        # have no row order. Header rows are exactly the rows equal to the
+        # raw header tuple.
+        header_pred = None
+        for h, raw in zip(headers, raw_headers):
+            p = F.col(h) == F.lit(raw)
+            header_pred = p if header_pred is None else (header_pred & p)
+        df = df.filter(~F.coalesce(header_pred, F.lit(False)))
+
+    cols = []
+    for h in headers:
+        c = normalize_value_expr(F.col(h)) if normalize else F.col(h)
+        if types[h] == "INT64":
+            # trivial-float collapse ('42.0' → 42), mirroring normalize_value:
+            # a direct string→long cast rejects the decimal point
+            c = c.cast("double").cast("long")
+        else:
+            c = c.cast(_CAST[types[h]])
+        cols.append(c.alias(h))
+    return df.select(*cols)
+
+
+def schema_from_types(types: dict[str, str]) -> T.StructType:
+    """BQ-vocabulary type dict → StructType (for persisting inferred schemas
+    the way the reference serializes schema JSON to GCS)."""
+    return T.StructType([T.StructField(h, BQ_TO_SPARK[t], True) for h, t in types.items()])
