@@ -1,0 +1,103 @@
+"""YAML-configured step pipeline (SURVEY.md §3.1).
+
+The reference's dominant entry point: a YAML file with ``params`` and a
+``steps`` list; each named step builds a SQL string and writes it to a
+destination table; later steps read earlier steps' outputs by table name;
+re-running with a subset of ``steps`` resumes mid-pipeline (reference:
+common_etl/utils.py:2099-2162 load_config; common_etl/support.py:775-821
+generic_bq_harness; build_open_somatic_mut_bq_table.py:679-696 step loop).
+
+Spark design:
+- a step's ``sql`` runs via spark.sql over temp views, so the YAML surface
+  stays declarative; python-builder steps are registered callables.
+- steps are LAZY by default: a chain of non-materialized steps fuses into
+  one Catalyst plan (the reference pays a BigQuery round-trip per step;
+  we only pay at materialization points).
+- ``materialize: true`` writes parquet and re-reads it — the reference's
+  per-step WRITE_TRUNCATE semantics, kept for resumability/inspection and
+  as an explicit shuffle barrier when a step's output is reused by several
+  consumers (cache-without-memory-pressure at 100 TB).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import yaml
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def load_config(path: str) -> dict:
+    """YAML → {'params': {...}, 'steps': [...]} (reference shape)."""
+    with open(path, encoding="utf-8") as fh:
+        cfg = yaml.safe_load(fh)
+    if not isinstance(cfg, dict) or "steps" not in cfg:
+        raise ValueError(f"pipeline config must define 'steps': {path}")
+    cfg.setdefault("params", {})
+    return cfg
+
+
+@dataclass
+class Pipeline:
+    """Named-table step runner.
+
+    Tables live in a name → DataFrame dict mirrored as temp views; a step is
+    {'name', 'dest', and one of 'sql' | 'builder'}, plus optional
+    'materialize': bool and 'mode': overwrite|append.
+    """
+
+    spark: SparkSession
+    params: dict = field(default_factory=dict)
+    warehouse: str | None = None  # directory for materialized step outputs
+    builders: dict = field(default_factory=dict)  # name -> Callable[[Pipeline, dict], DataFrame]
+    tables: dict = field(default_factory=dict)
+
+    def register(self, name: str, df: DataFrame) -> None:
+        self.tables[name] = df
+        df.createOrReplaceTempView(name)
+
+    def register_builder(self, name: str, fn: Callable) -> None:
+        self.builders[name] = fn
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            raise KeyError(f"unknown table '{name}' (known: {sorted(self.tables)})")
+        return self.tables[name]
+
+    def run_step(self, step: dict) -> DataFrame:
+        name = step.get("name", step.get("dest", "<unnamed>"))
+        dest = step["dest"]
+        if "sql" in step:
+            sql = step["sql"].format(**self.params) if step.get("format", True) else step["sql"]
+            df = self.spark.sql(sql)
+        elif "builder" in step:
+            df = self.builders[step["builder"]](self, step)
+        else:
+            raise ValueError(f"step '{name}' needs 'sql' or 'builder'")
+
+        if step.get("materialize"):
+            if not self.warehouse:
+                raise ValueError(f"step '{name}': materialize=true requires a warehouse dir")
+            path = os.path.join(self.warehouse, dest)
+            mode = step.get("mode", "overwrite")
+            df.write.mode(mode).parquet(path)
+            df = self.spark.read.parquet(path)
+        self.register(dest, df)
+        return df
+
+    def run(self, config: dict, steps: list | None = None) -> dict:
+        """Run the configured steps (optionally a named subset, preserving
+        config order — the reference's resume-by-steps-list). Returns the
+        name → DataFrame map of step outputs."""
+        self.params = {**config.get("params", {}), **self.params}
+        selected = steps if steps is not None else config.get("run_steps")
+        out = {}
+        for step in config["steps"]:
+            name = step.get("name", step.get("dest"))
+            if selected is not None and name not in selected:
+                continue
+            out[step["dest"]] = self.run_step(step)
+        return out

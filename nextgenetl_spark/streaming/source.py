@@ -1,0 +1,48 @@
+"""Streaming source helpers for the driver's events table.
+
+``events.parquet`` stores TIMESTAMP(NANOS); under
+``spark.sql.legacy.parquet.nanosAsLong`` the column reads as long — the
+stream source converts at the edge exactly like catalog.load does for
+batch, so streaming and batch plans see the same schema."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch unit; use availableNow trigger for bounded runs).
+
+    Spark's file stream source requires a DIRECTORY; the driver ships a
+    single file, so we stage a symlink dir (a real deployment points this
+    at the landing directory new files arrive in)."""
+    import hashlib
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stage = f"/tmp/nextgenetl_streams/{hashlib.md5(src.encode()).hexdigest()[:12]}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(stage)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,124 @@
+"""Pipeline harness + diff/publish machinery tests (F8-style versioned
+pair: rows added/removed/changed, re-ordered concat column, NaN in both)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nextgenetl_spark import diff as D
+from nextgenetl_spark.plans import Pipeline, load_config, publish_table
+
+
+def _versioned_pair(spark):
+    old = spark.createDataFrame(
+        [("k1", "a;b", 1.0), ("k2", "x", float("nan")), ("k3", "c", 3.0), ("k4", "d", 4.0)],
+        ["pk", "packed", "val"],
+    )
+    new = spark.createDataFrame(
+        [("k1", "b;a", 1.0),            # concat re-ordered → set-equal
+         ("k2", "x", float("nan")),     # NaN in both → equal (nan-tolerant)
+         ("k3", "c", 99.0),             # value changed
+         ("k5", "e", 5.0)],             # k4 removed, k5 added
+        ["pk", "packed", "val"],
+    )
+    return old, new
+
+
+def test_key_diff_and_counts(spark):
+    old, new = _versioned_pair(spark)
+    kd = D.key_diff(old, new, "pk")
+    assert {r["pk"] for r in kd["removed_keys"].collect()} == {"k4"}
+    assert {r["pk"] for r in kd["added_keys"].collect()} == {"k5"}
+    rc = D.row_count_compare(old, new)
+    assert rc == {"old": 4, "new": 4, "equal": True}
+
+
+def test_column_diff_and_concat_set_compare(spark):
+    old, new = _versioned_pair(spark)
+    cd = D.column_diff(old, new, "pk", "val")
+    changed = {(r["pk"], r["diff_side"]) for r in cd.collect() if r["pk"] in ("k3",)}
+    assert ("k3", "old") in changed and ("k3", "new") in changed
+    # concat column: k1 re-ordered must count as EQUAL; k4/k5 differ (one side null)
+    bad = {r["pk"] for r in D.concat_column_equal(old, new, "pk", "packed").collect()}
+    assert "k1" not in bad
+    assert bad == {"k4", "k5"}
+
+
+def test_tables_equal_nan_tolerant(spark):
+    old, _ = _versioned_pair(spark)
+    clone = old.select("pk", "packed", "val")
+    assert D.tables_equal(old, clone) is True  # NaN==NaN under tolerance
+    # Spark set-ops natively normalize NaN (divergence from BigQuery, where
+    # the reference needed a special tolerant variant) — strict mode is
+    # equally tolerant of NaN==NaN here:
+    assert D.tables_equal(old, clone, nan_tolerant=False) is True
+    _, new = _versioned_pair(spark)
+    assert D.tables_equal(old, new) is False
+
+
+def test_release_report_and_duplicates(spark):
+    old, new = _versioned_pair(spark)
+    new2 = new.withColumn("extra", F.lit(1)).drop("packed")
+    rep = D.release_report(old, new2, "pk")
+    assert rep["added_fields"] == ["extra"] and rep["removed_fields"] == ["packed"]
+    assert rep["added_key_count"] == 1 and rep["removed_key_count"] == 1
+
+    dup = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    assert [(r["k"], r["cnt"]) for r in D.duplicate_keys(dup, ["k"]).collect()] == [("a", 2)]
+
+
+def test_pipeline_yaml_run(spark, tmp_path):
+    cfg_path = tmp_path / "pipe.yaml"
+    cfg_path.write_text(
+        """
+params:
+  min_size: 10
+steps:
+  - name: filtered
+    dest: filtered_parts
+    sql: "SELECT p_partkey, p_brand, p_size FROM part_src WHERE p_size >= {min_size}"
+    materialize: true
+  - name: brand_counts
+    dest: brand_counts
+    sql: "SELECT p_brand, COUNT(*) AS n FROM filtered_parts GROUP BY p_brand"
+"""
+    )
+    cfg = load_config(str(cfg_path))
+    pipe = Pipeline(spark, warehouse=str(tmp_path / "wh"))
+    src = spark.createDataFrame(
+        [(1, "B1", 5), (2, "B1", 15), (3, "B2", 20)], ["p_partkey", "p_brand", "p_size"]
+    )
+    pipe.register("part_src", src)
+    out = pipe.run(cfg)
+    assert (tmp_path / "wh" / "filtered_parts").exists()  # materialized step
+    counts = {r["p_brand"]: r["n"] for r in out["brand_counts"].collect()}
+    assert counts == {"B1": 1, "B2": 1}
+    # resume: run only the second step against the materialized first
+    pipe2 = Pipeline(spark, warehouse=str(tmp_path / "wh"))
+    pipe2.register("filtered_parts", spark.read.parquet(str(tmp_path / "wh" / "filtered_parts")))
+    out2 = pipe2.run(cfg, steps=["brand_counts"])
+    assert {r["p_brand"]: r["n"] for r in out2["brand_counts"].collect()} == counts
+
+
+def test_publish_versioning(spark, tmp_path):
+    root = str(tmp_path / "pub")
+    df1 = spark.createDataFrame([("k1", 1.0)], ["pk", "v"])
+    r1 = publish_table(spark, df1, root, "clinical", "r1")
+    assert r1["published"] is True and r1["previous_release"] is None
+
+    # identical data → skip republish
+    r2 = publish_table(spark, df1.select("pk", "v"), root, "clinical", "r2")
+    assert r2["published"] is False and r2["previous_release"] == "r1"
+
+    df2 = spark.createDataFrame([("k1", 2.0)], ["pk", "v"])
+    r3 = publish_table(spark, df2, root, "clinical", "r10")
+    assert r3["published"] is True and r3["previous_release"] == "r1"
+
+    # numeric release ordering: r10 > r2 > r1
+    from nextgenetl_spark.plans.publish import find_most_recent_release
+
+    assert find_most_recent_release(root, "clinical") == "r10"
+    cur = spark.read.parquet(f"{root}/clinical_current")
+    assert cur.collect()[0]["v"] == 2.0

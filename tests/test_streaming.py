@@ -1,0 +1,82 @@
+"""Streaming tests: the SAME window plans run (a) in batch against the
+DuckDB-checkable workloads and (b) as a real availableNow stream into a
+memory sink — results must match exactly (event-time semantics don't
+depend on arrival order)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nextgenetl_spark.catalog import load
+from nextgenetl_spark.streaming import session_window_agg, sliding_window_agg, tumbling_window_agg
+from nextgenetl_spark.streaming.source import events_stream
+from nextgenetl_spark.streaming.windows import with_watermark
+from tests.conftest import SF_SMOKE
+
+
+def _run_stream(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark):
+    batch = tumbling_window_agg(load(spark, SF_SMOKE, "events")).collect()
+    stream = _run_stream(
+        spark, tumbling_window_agg(with_watermark(events_stream(spark, SF_SMOKE))), "t_tumble"
+    ).collect()
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+    assert len(batch) > 0
+
+
+def test_sliding_stream_matches_batch(spark):
+    batch = sliding_window_agg(load(spark, SF_SMOKE, "events")).collect()
+    stream = _run_stream(
+        spark, sliding_window_agg(with_watermark(events_stream(spark, SF_SMOKE))), "t_slide"
+    ).collect()
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+    # every event lands in window/slide = 2 windows: sliding total = 2× tumbling total
+    assert sum(r["n_events"] for r in batch) == 2 * load(spark, SF_SMOKE, "events").count()
+
+
+def test_session_stream_matches_batch(spark):
+    batch = session_window_agg(load(spark, SF_SMOKE, "events"), gap="30 minutes").collect()
+    stream = _run_stream(
+        spark,
+        session_window_agg(with_watermark(events_stream(spark, SF_SMOKE)), gap="30 minutes"),
+        "t_sess",
+    ).collect()
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+    # cross-check against the lag-based batch sessionizer (same session count)
+    from nextgenetl_spark.workloads import load_all
+
+    lag_based = load_all()["sessionize"].fn(spark, SF_SMOKE).collect()
+    assert sum(r["n_sessions"] for r in lag_based) == len(batch)
+
+
+def test_stateful_running_profile(spark):
+    from nextgenetl_spark.streaming.stateful import running_user_profile
+
+    out = _run_stream_update(spark, running_user_profile(events_stream(spark, SF_SMOKE)), "t_state")
+    rows = {r["user_id"]: r for r in out.collect()}
+    ev = load(spark, SF_SMOKE, "events")
+    expected = {r["user_id"]: r for r in ev.groupBy("user_id").count().collect()}
+    assert {u: r["n_events"] for u, r in rows.items()} == {u: r["count"] for u, r in expected.items()}
+
+
+def _run_stream_update(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
