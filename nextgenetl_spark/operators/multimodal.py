@@ -1,0 +1,124 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata.
+
+A 100-TB training-data pipeline carries images/audio/video as opaque
+``binary`` columns next to typed metadata, and runs decode / feature-extract
+/ frame-sample as Arrow-batched Python stages (``mapInPandas``) because the
+codecs live in Python. The real codecs (PIL, librosa, av) are NOT in this
+container, so the decode step is stubbed: ``decode_media_features`` computes
+deterministic features from the raw bytes (so the whole pipeline is testable
+end-to-end), while ``decode_image`` shows the real-codec integration point
+and raises ``NotImplementedError`` until a codec is installed.
+
+Scale notes: mapInPandas streams Arrow record batches — the blob column
+never materializes on the driver, and batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``. Schemas are declared
+up-front so downstream plans are fully typed.
+
+Reference: the closest analogue is NextGenETL's raw-file pull+transform
+stages (common_etl/support.py:661-753 threaded bucket pulls feeding
+per-file Python transforms); there is no binary-column support in the
+reference — this module is part of the beyond-reference extension surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob_len", T.IntegerType()),
+        T.StructField("header_hex", T.StringType()),
+        T.StructField("fake_width", T.IntegerType()),
+        T.StructField("fake_height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def attach_blob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Materialize an opaque binary payload column (UTF-8 bytes of the text
+    stand in for media bytes — same column type and plan shape as real
+    media)."""
+    return df.select(F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("blob"))
+
+
+def decode_media_features(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched 'decode' producing typed metadata per blob.
+
+    Deterministic fake decode: dimensions derive from the byte length, the
+    header is the first 4 bytes hex — stable across engines so an oracle can
+    verify the plumbing. Swap the body for a real codec without touching the
+    plan: schema, batching, and partitioning stay identical.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            lens = blobs.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "blob_len": lens.astype("int32"),
+                    "header_hex": blobs.map(lambda b: bytes(b[:4]).hex()),
+                    "fake_width": (lens % 64 + 1).astype("int32"),
+                    "fake_height": (lens // 64 % 64 + 1).astype("int32"),
+                    "n_channels": pd.Series([3] * len(pdf), index=pdf.index, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(decode, MEDIA_FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 5, bytes_per_frame: int = 100, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """1→N frame-sampling stage: each blob 'contains' ``blob_len //
+    bytes_per_frame`` frames; emit every ``every_n``-th frame index. Shows the
+    row-expanding mapInPandas shape a video pipeline uses (one input row →
+    many frame rows), still Arrow-batched."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, totals = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                n_frames = len(blob) // bytes_per_frame
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    totals.append(n_frames)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(totals, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+def decode_image(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+    """Real-codec integration point. Requires an image library (PIL) that is
+    not installed in this environment."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - codec not in container
+        raise NotImplementedError(
+            "image decode requires PIL; install pillow and replace the stub body "
+            "(same mapInPandas shape as decode_media_features)"
+        ) from exc
+    raise NotImplementedError("wire PIL.Image.open over the blob bytes here")

@@ -52,6 +52,26 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def blocked_near_dup_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs within blocks: all-pairs cosine is
+    quadratic, so pairs are only formed inside a blocking key (cluster id,
+    shard, or an LSH bucket from ``hyperplane_signature`` at scale). The join
+    shuffles on the block key; each task scores one block."""
+    a = df.select(F.col(block_col).alias("blk"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"))
+    b = df.select(F.col(block_col).alias("blk"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"))
+    return (
+        a.join(b, (a.blk == b.blk) & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id", F.round(cosine(F.col("av"), F.col("bv")), 4).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def hyperplane_signature(vec_col, planes: list[list[float]]) -> F.Column:
     """Sign-bit signature against fixed hyperplanes → integer bucket id.
     ``planes`` is generated driver-side (deterministic seed) and inlined as

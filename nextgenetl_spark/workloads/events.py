@@ -107,3 +107,32 @@ def packed_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "types_or_multi",
         delim_count("types_packed").alias("n_delims"),
     ).select("user_id", "types_packed", "has_click", "types_or_multi", "n_delims")
+
+
+@workload(
+    "sliding_window",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE * k) AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events, unnest([0, 1, 2]) AS t(k)
+    GROUP BY window_start, event_type
+    """,
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window: 15-minute windows every 5 minutes, so each
+    event lands in 3 windows (Spark expands them in the scan stage — the
+    oracle mirrors that with an explicit unnest). Same plan runs streaming
+    with a watermark (streaming/windows.py)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )

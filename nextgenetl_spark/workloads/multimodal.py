@@ -1,0 +1,46 @@
+"""Multimodal-column workloads: opaque binary payloads decoded/sampled by
+Arrow-batched Python stages (the image/audio/video pipeline shape, with the
+codec stubbed deterministically — see operators/multimodal.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nextgenetl_spark.catalog import load
+from nextgenetl_spark.operators.multimodal import attach_blob, decode_media_features, sample_frames
+from nextgenetl_spark.workloads import workload
+
+
+@workload(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT)                 AS blob_len,
+           lower(substr(hex(encode(text)), 1, 8))                  AS header_hex,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INT)        AS fake_width,
+           CAST(octet_length(encode(text)) // 64 % 64 + 1 AS INT)  AS fake_height,
+           CAST(3 AS INT)                                          AS n_channels
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → typed media metadata via mapInPandas (Arrow batches).
+    The decode body is a deterministic fake (codecs aren't installed), so the
+    oracle can verify the full plumbing: schema, batching, byte handling."""
+    blobs = attach_blob(load(spark, sf_dir, "documents"))
+    return decode_media_features(blobs)
+
+
+@workload(
+    "frame_sample",
+    oracle="""
+    WITH f AS (SELECT doc_id, CAST(octet_length(encode(text)) // 100 AS INT) AS n_frames FROM documents)
+    SELECT doc_id, CAST(u.i AS INT) AS frame_idx, n_frames
+    FROM f, unnest(range(0, n_frames, 5)) AS u(i)
+    """,
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding media stage: every 5th 'frame' of each blob (1 row in →
+    n_frames/5 rows out through one Arrow-batched pass)."""
+    blobs = attach_blob(load(spark, sf_dir, "documents"))
+    return sample_frames(blobs, every_n=5, bytes_per_frame=100)

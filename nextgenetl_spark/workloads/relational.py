@@ -674,3 +674,180 @@ def select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.col("l_orderkey") < 100).drop(
         "l_extendedprice", "l_discount", "l_tax", "l_shipdate"
     )
+
+
+@workload(
+    "right_outer_enrich",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, ROUND(o.o_totalprice, 2) AS total
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def right_outer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (J5, reference: TP53/TP53_Scripts/create_views.py:559)
+    — every customer survives, orderless ones null-extended. The customer
+    side broadcasts (it is the small preserved side)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@workload(
+    "matrix_melt",
+    oracle="""
+    WITH c AS (SELECT DISTINCT o_custkey FROM orders),
+         p AS (SELECT unnest(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW']) AS priority),
+         a AS (SELECT o_custkey, o_orderpriority AS priority,
+                      ROUND(SUM(o_totalprice), 2) AS total
+               FROM orders GROUP BY 1, 2)
+    SELECT c.o_custkey, p.priority, a.total
+    FROM c CROSS JOIN p LEFT JOIN a USING (o_custkey, priority)
+    """,
+)
+def matrix_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y4 matrix lifecycle: pivot to a wide custkey×priority matrix, then
+    melt back to long form (reference:
+    CDA/PDC/create_tables_quant_data_matrix_pdc.py:502-580 genes×aliquots →
+    long rows). Pivot values are declared up front so Spark skips the extra
+    distinct-values job; absent cells melt out as NULLs, as the reference's
+    matrix rows do."""
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o = load(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_custkey")
+        .pivot("o_orderpriority", prios)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return wide.melt(
+        ids=["o_custkey"], values=prios, variableColumnName="priority", valueColumnName="total"
+    )
+
+
+@workload(
+    "struct_group_dedup",
+    oracle="""
+    SELECT to_json(struct_pack(o_orderstatus := o_orderstatus,
+                               o_orderpriority := o_orderpriority)) AS row_json,
+           COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS representative
+    FROM orders
+    GROUP BY row_json
+    """,
+)
+def struct_group_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY TO_JSON_STRING(STRUCT(...)) whole-row dedup (A8/A12,
+    reference: Clinical_From_File/build_gdc_file_clinical_tables_TCGA.py:
+    621-626 ANY_VALUE(STRUCT).* idiom). MIN stands in for ANY_VALUE so the
+    representative is deterministic and oracle-comparable."""
+    o = load(spark, sf_dir, "orders")
+    row_json = F.to_json(F.struct("o_orderstatus", "o_orderpriority"))
+    return o.groupBy(row_json.alias("row_json")).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.min("o_orderkey").alias("representative")
+    )
+
+
+@workload(
+    "null_introspect",
+    oracle="""
+    WITH agg AS (SELECT o_custkey, COUNT(*) AS n_orders,
+                        ROUND(SUM(o_totalprice), 2) AS total
+                 FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey),
+         j AS (SELECT c.c_custkey, c.c_name, agg.n_orders, agg.total
+               FROM customer c LEFT JOIN agg ON c.c_custkey = agg.o_custkey)
+    SELECT c_custkey,
+           COALESCE(array_to_string(regexp_extract_all(
+               to_json(struct_pack(c_custkey := c_custkey, c_name := c_name,
+                                   n_orders := n_orders, total := total)),
+               '"(\\w+)":null', 1), ';'), '') AS null_cols
+    FROM j
+    """,
+)
+def null_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-column introspection via TO_JSON_STRING + REGEXP_EXTRACT_ALL
+    (N8, reference: build_gdc_file_clinical_tables_TCGA.py:276-280): serialize
+    each row to JSON keeping nulls, then pull out the null keys. Struct field
+    order pins the output; no shuffle beyond the child-count aggregate."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    agg = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    j = c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey", "c_name", "n_orders", "total"
+    )
+    row_json = F.to_json(
+        F.struct("c_custkey", "c_name", "n_orders", "total"), {"ignoreNullFields": "false"}
+    )
+    return j.select(
+        "c_custkey",
+        F.array_join(F.regexp_extract_all(row_json, F.lit(r'"(\w+)":null'), 1), ";").alias("null_cols"),
+    )
+
+
+@workload(
+    "date_extract",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)    AS y,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT)   AS m,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INT)     AS d,
+           strftime(o_orderdate, '%Y-%m')                 AS ym,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS INT) AS days_since
+    FROM orders
+    """,
+)
+def date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT / date-format / date-diff surface (§2.9 date family, 18 EXTRACT
+    uses in the reference) — pure scan-stage expressions."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).cast("int").alias("days_since"),
+    )
+
+
+@workload(
+    "wide_group_dedup",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, ROUND(l_quantity, 2) AS qty,
+           ROUND(l_extendedprice, 2) AS price, ROUND(l_discount, 2) AS disc,
+           ROUND(l_tax, 2) AS tax, l_returnflag, l_linestatus,
+           string_agg(DISTINCT CAST(l_suppkey AS VARCHAR), ';'
+                      ORDER BY CAST(l_suppkey AS VARCHAR)) AS suppliers,
+           COUNT(*) AS n_pooled
+    FROM lineitem
+    GROUP BY l_orderkey, l_partkey, l_linenumber, qty, price, disc, tax,
+             l_returnflag, l_linestatus
+    """,
+)
+def wide_group_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 wide-groupBy dedup-with-aggregation: group on every non-pooled
+    column, STRING_AGG the pooled one (reference:
+    build_open_somatic_mut_bq_table.py:339-639 groups ~140 columns to merge
+    pooled-sample MAF rows). The grouping key is the row minus the pooled
+    columns — built programmatically, as the reference's SQL generator does."""
+    li = load(spark, sf_dir, "lineitem")
+    li = li.select(
+        "l_orderkey", "l_partkey", "l_linenumber",
+        F.round("l_quantity", 2).alias("qty"),
+        F.round("l_extendedprice", 2).alias("price"),
+        F.round("l_discount", 2).alias("disc"),
+        F.round("l_tax", 2).alias("tax"),
+        "l_returnflag", "l_linestatus", "l_suppkey",
+    )
+    group_cols = [c for c in li.columns if c != "l_suppkey"]
+    return li.groupBy(*group_cols).agg(
+        F.array_join(F.array_sort(F.collect_set(F.col("l_suppkey").cast("string"))), ";").alias("suppliers"),
+        F.count(F.lit(1)).alias("n_pooled"),
+    )

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nextgenetl_spark.catalog import load
-from nextgenetl_spark.operators.similarity import cosine_topk, lsh_topk
+from nextgenetl_spark.operators.similarity import blocked_near_dup_pairs, cosine_topk, lsh_topk
 from nextgenetl_spark.workloads import workload
 
 
@@ -48,3 +48,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     return lsh_topk(q, c, planes, k=5).select("query_id", "neighbor_id", "sim", "rank")
+
+
+@workload(
+    "embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by cluster label so the
+    pair space is per-block, not global all-pairs (the 100-TB shape: block =
+    LSH bucket or shard)."""
+    return blocked_near_dup_pairs(load(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3)

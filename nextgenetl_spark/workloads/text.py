@@ -138,3 +138,18 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit rolling content fingerprint per document."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", TS.fingerprint("text").alias("fp"))
+
+
+@workload("simhash_dedup")  # no SQL oracle: xxhash64 is Spark-specific; pytest pins determinism + hamming locality
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup groups: 64-bit per-bit-majority fingerprint computed
+    in one linear expression pass (operators/dedup.py simhash64), grouped on
+    the fingerprint. At scale, grouping moves 8-byte hashes, never text;
+    hamming-ball candidate search would band the fingerprint exactly like
+    the MinHash LSH path."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(D.simhash64("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )
