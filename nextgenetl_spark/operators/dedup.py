@@ -47,12 +47,29 @@ def ngram_jaccard_pairs(
     """All-pairs token-set Jaccard *within blocks* (quadratic per block —
     only safe when blocks are bounded; the LSH path below is the scale
     route). Returns (a_id, b_id, jac)."""
-    ts = df.select(block_col, F.col(id_col), F.array_distinct(tokens(text_col)).alias("tok_set"))
+    # Token sets are hashed to long[] before the pair stage: the quadratic
+    # intersect then compares 8-byte primitives instead of strings (same
+    # Jaccard modulo 64-bit collisions, i.e. exactly, in practice).
+    hashed = F.array_distinct(F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
+    ts = df.select(block_col, F.col(id_col), hashed.alias("tok_set")).withColumn(
+        "n_tok", F.size("tok_set")
+    )
     a = ts.alias("a")
     b = ts.alias("b")
     jac = jaccard(F.col("a.tok_set"), F.col("b.tok_set"))
+    # J(A,B) >= t implies t*|B| <= |A| and t*|A| <= |B|: a cheap integer bound
+    # evaluated before the O(|A|+|B|) intersect, pruning most pairs for free.
+    # Implied by the jac filter below, so results (and oracles) are unchanged.
+    size_ok = (F.col("a.n_tok") >= threshold * F.col("b.n_tok")) & (
+        F.col("b.n_tok") >= threshold * F.col("a.n_tok")
+    )
     return (
-        a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & size_ok,
+        )
         .select(
             F.col(f"a.{id_col}").alias("a_id"),
             F.col(f"b.{id_col}").alias("b_id"),
@@ -76,13 +93,21 @@ def minhash_signatures(
     num_perm: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: num_perm seeded xxhash64 min-values
-    over the shingle set. Pure expressions — computed in the scan stage."""
-    sh = shingles(text_col, shingle_n).alias("sh")
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("sh"), lambda s, seed=seed: F.xxhash64(s, F.lit(seed)))) for seed in range(num_perm)]
-    )
-    return df.select(F.col(id_col), sh).select(id_col, sig.alias("sig"))
+    """MinHash signature per document: num_perm seeded min-hash values over
+    the shingle set.
+
+    Shape matters here: explode the shingles and take num_perm plain
+    ``min(xxhash64(h0, seed))`` aggregates rather than nesting
+    transform/array_min higher-order functions — flat aggregates stay inside
+    whole-stage codegen with map-side partial aggregation (the shuffle
+    carries num_perm longs per doc), where per-element HOF lambdas do not.
+    Each shingle string is hashed ONCE; the permutations re-hash the 8-byte
+    value with a per-permutation seed."""
+    base = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+    base = base.select(id_col, F.xxhash64("s").alias("h0"))
+    aggs = [F.min(F.xxhash64(F.col("h0"), F.lit(seed))).alias(f"m{seed}") for seed in range(num_perm)]
+    sigs = base.groupBy(id_col).agg(*aggs)
+    return sigs.select(id_col, F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -93,14 +118,14 @@ def lsh_candidate_pairs(
     """Band the signatures and self-join on (band, band_hash). Each band hash
     is one value per doc, so the join input is num_bands rows per doc; the
     shuffle is by bucket, and only same-bucket docs ever meet."""
-    num_perm = None  # derived from the signature length at runtime
     sig_len = F.size(F.col("sig"))
     rows_per_band = (sig_len / num_bands).cast("int")
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
         lambda b: F.struct(
             b.alias("band"),
-            F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)), b).alias("bh"),
+            # hash the long[] slice directly — no string materialization
+            F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), b).alias("bh"),
         ),
     )
     banded = sigs.select(id_col, F.explode(bands).alias("b")).select(
@@ -125,8 +150,13 @@ def minhash_near_dup_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
-    Verification re-joins the shingle sets only for candidate pairs."""
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    Verification re-joins the shingle sets only for candidate pairs; the
+    sets are carried as xxhash64 longs so the verify intersect is primitive
+    compares, not string compares."""
+    sh = df.select(
+        F.col(id_col),
+        F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias("sh"),
+    )
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, num_bands)
     a = sh.withColumnRenamed(id_col, "a_id").withColumnRenamed("sh", "a_sh")
