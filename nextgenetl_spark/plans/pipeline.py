@@ -78,6 +78,12 @@ class Pipeline:
         else:
             raise ValueError(f"step '{name}' needs 'sql' or 'builder'")
 
+        if step.get("cluster_by"):
+            # CLUSTER BY rewrite (reference: common_etl/support.py:1148-1160):
+            # co-locate + order rows on the cluster keys so downstream joins
+            # and range scans on those keys stay partition-local.
+            cols = step["cluster_by"]
+            df = df.repartition(*cols).sortWithinPartitions(*cols)
         if step.get("materialize"):
             if not self.warehouse:
                 raise ValueError(f"step '{name}': materialize=true requires a warehouse dir")
@@ -85,6 +91,16 @@ class Pipeline:
             mode = step.get("mode", "overwrite")
             df.write.mode(mode).parquet(path)
             df = self.spark.read.parquet(path)
+        if step.get("export_csv"):
+            # table → delimited-file extract (reference: common_etl/
+            # support.py:434-469), header/sep per step config.
+            if not self.warehouse:
+                raise ValueError(f"step '{name}': export_csv requires a warehouse dir")
+            (
+                df.write.mode(step.get("mode", "overwrite"))
+                .options(header=str(step.get("header", True)).lower(), sep=step.get("sep", "\t"))
+                .csv(os.path.join(self.warehouse, step["export_csv"]))
+            )
         self.register(dest, df)
         return df
 

@@ -122,3 +122,30 @@ def test_publish_versioning(spark, tmp_path):
     assert find_most_recent_release(root, "clinical") == "r10"
     cur = spark.read.parquet(f"{root}/clinical_current")
     assert cur.collect()[0]["v"] == 2.0
+
+
+def test_pipeline_cluster_by_and_export_csv(spark, tmp_path):
+    import glob
+
+    pipe = Pipeline(spark, warehouse=str(tmp_path / "wh"))
+    pipe.register("src", spark.createDataFrame([(2, "b"), (1, "a"), (3, "c")], ["k", "v"]))
+    cfg = {
+        "params": {},
+        "steps": [
+            {
+                "name": "clustered",
+                "dest": "out",
+                "sql": "SELECT k, v FROM src",
+                "cluster_by": ["k"],
+                "materialize": True,
+                "export_csv": "out_tsv",
+                "sep": "\t",
+            }
+        ],
+    }
+    out = pipe.run(cfg)["out"]
+    assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
+    files = glob.glob(str(tmp_path / "wh" / "out_tsv" / "*.csv"))
+    assert files, "export_csv wrote no files"
+    lines = sorted(line for f in files for line in open(f).read().splitlines() if line)
+    assert lines[0] == "1\ta" and "k\tv" in lines  # data + header present
