@@ -39,6 +39,12 @@ HEADLINE = {
     "minhash_near_dup": "count",
     "ann_cosine_topk": "count",
     "token_stats": "count",
+    "embedding_near_dup": "count",
+    "matrix_melt": "count",
+    "sliding_window": "count",
+    "wide_group_dedup": "count",
+    "multimodal_decode": "count",
+    "simhash_dedup": "count",
 }
 
 

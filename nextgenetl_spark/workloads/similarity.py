@@ -6,7 +6,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nextgenetl_spark.catalog import load
-from nextgenetl_spark.operators.similarity import blocked_near_dup_pairs, cosine_topk, lsh_topk
+from nextgenetl_spark.operators.similarity import (
+    blocked_near_dup_pairs_vectorized,
+    cosine_topk,
+    lsh_topk,
+)
 from nextgenetl_spark.workloads import workload
 
 
@@ -63,5 +67,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by cluster label so the
     pair space is per-block, not global all-pairs (the 100-TB shape: block =
-    LSH bucket or shard)."""
-    return blocked_near_dup_pairs(load(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3)
+    LSH bucket or shard). Per-block scoring is one numpy GEMM via
+    applyInPandas (vectorized Pandas-UDF path)."""
+    return blocked_near_dup_pairs_vectorized(
+        load(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
+    )

@@ -149,7 +149,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash LSH path."""
     d = load(spark, sf_dir, "documents")
     return (
-        d.select(D.simhash64("text").alias("fp"), "doc_id")
+        D.simhash_fingerprints(d)
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
     )

@@ -98,3 +98,10 @@ def test_cosine_identity(spark):
     }
     assert out[(1, 1)] == 1.0 and out[(1, 2)] == 0.0
     assert abs(out[(1, 3)] - 0.707107) < 1e-6
+
+
+def test_simhash_fingerprints_match_column_form(spark):
+    docs = load(spark, SF_SMOKE, "documents").limit(50)
+    fast = {r["doc_id"]: r["fp"] for r in D.simhash_fingerprints(docs).collect()}
+    slow = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", D.simhash64("text").alias("fp")).collect()}
+    assert fast == slow

@@ -62,3 +62,15 @@ def test_blocked_near_dup_stays_in_block(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert all(a != 3 and b != 3 for a, b in pairs)
     assert (1, 4) not in pairs
+
+
+def test_vectorized_near_dup_matches_expression_form(spark):
+    from nextgenetl_spark.operators.similarity import blocked_near_dup_pairs_vectorized
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    expr = {(r["a_id"], r["b_id"]): r["sim"] for r in blocked_near_dup_pairs(emb, threshold=0.25).collect()}
+    vec = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in blocked_near_dup_pairs_vectorized(emb, threshold=0.25).collect()
+    }
+    assert expr == vec and expr
