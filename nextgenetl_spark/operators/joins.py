@@ -66,3 +66,29 @@ def star_join(fact: DataFrame, dims: Sequence[tuple[DataFrame, Sequence[str] | s
         d = F.broadcast(dim) if broadcast_dims else dim
         out = out.join(d, on, how)
     return out
+
+
+def salted_join(
+    big: DataFrame,
+    skewed_small: DataFrame,
+    on: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster equi-join: salt the big side's key with a random shard id
+    and replicate the small side across all shards, so one hot key spreads
+    over ``num_salts`` tasks instead of stalling a single reducer.
+
+    AQE's skew-join split (enabled in session.py) handles moderate skew at
+    runtime; explicit salting is for the pathological case — one key holding
+    a double-digit percentage of the table — where even a split partition is
+    a straggler. Replication cost: small side × num_salts rows, so keep the
+    replicated side dimension-sized.
+    """
+    salt = (F.rand(seed=42) * num_salts).cast("int")
+    big_salted = big.withColumn("__salt", salt)
+    small_rep = skewed_small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    out = big_salted.join(small_rep, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,55 @@
+"""Bucketed (co-located) tables: shuffle-free joins and aggregations on the
+bucket key.
+
+The reference's only physical-layout lever is ``CLUSTER BY``
+(common_etl/support.py:1148-1160) — BigQuery clustering prunes blocks but
+does not co-locate joins. Spark bucketing goes further: both sides of an
+equi-join written with the same ``bucketBy(n, key)`` hash layout join with
+ZERO exchange — the single biggest shuffle eliminator for a fact table that
+is repeatedly joined on the same key (e.g. a 100-TB lineitem bucketed by
+orderkey joined to orders across many pipeline steps).
+
+Cost model: one extra shuffle at write time buys every subsequent join/agg
+on that key for free. Bucket count should put one bucket's data in the
+100-500 MB range at target scale (100 TB / 256 MB ≈ 400k buckets — cap by
+key cardinality and file-count limits; compose with partitionBy(date) so
+each partition holds the bucket fan-out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int = 8,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sort-within-bucket) managed
+    table. Sorting within buckets additionally enables sort-merge joins with
+    no sort step (the reference's CLUSTER BY analogue, but join-exploiting)."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on, how: str = "inner") -> DataFrame:
+    """Join two same-bucketed tables on their bucket key. With matching
+    bucket specs Catalyst plans a SortMergeJoin whose children read bucketed
+    scans directly — no Exchange on either side (verify with
+    ``plan_has_no_exchange``)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def plan_has_no_exchange(df: DataFrame) -> bool:
+    """True if the physical plan contains no shuffle Exchange — the
+    co-location check used by tests and plan reviews."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" not in plan

@@ -685,11 +685,12 @@ def select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def right_outer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT OUTER join (J5, reference: TP53/TP53_Scripts/create_views.py:559)
-    — every customer survives, orderless ones null-extended. The customer
-    side broadcasts (it is the small preserved side)."""
+    — every customer survives, orderless ones null-extended. The preserved
+    (right) side cannot be the broadcast build side, so this stays a shuffle
+    join on the key; AQE converts it if the stream side turns out small."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "right").select(
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
         "c_custkey", "c_name", "o_orderkey", F.round("o_totalprice", 2).alias("total")
     )
 

@@ -149,3 +149,27 @@ def test_pipeline_cluster_by_and_export_csv(spark, tmp_path):
     assert files, "export_csv wrote no files"
     lines = sorted(line for f in files for line in open(f).read().splitlines() if line)
     assert lines[0] == "1\ta" and "k\tv" in lines  # data + header present
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    from nextgenetl_spark.catalog import load
+    from nextgenetl_spark.plans.bucketing import bucketed_join, plan_has_no_exchange, write_bucketed
+    from tests.conftest import SF_SMOKE
+
+    li = load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    try:
+        write_bucketed(li, "b_lineitem", "l_orderkey", num_buckets=4, sort_cols="l_orderkey")
+        write_bucketed(
+            o.withColumnRenamed("o_orderkey", "l_orderkey"), "b_orders", "l_orderkey",
+            num_buckets=4, sort_cols="l_orderkey",
+        )
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        assert plan_has_no_exchange(joined), joined._jdf.queryExecution().executedPlan().toString()
+        # and the join is still correct
+        assert joined.count() == li.join(
+            o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

@@ -80,3 +80,28 @@ def _run_stream_update(spark, sdf, name):
     )
     q.awaitTermination(120)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_dedup_stream_first_occurrence_only(spark):
+    from nextgenetl_spark.streaming.dedup import dedup_stream
+
+    # documents have no event-time; reuse events and dedup on props content
+    ev = events_stream(spark, SF_SMOKE)
+    out = _run_stream_append(spark, dedup_stream(ev, text_col="props", ts_col="ts"), "t_dedup")
+    rows = out.collect()
+    batch = load(spark, SF_SMOKE, "events")
+    n_distinct = batch.select("props").distinct().count()
+    assert len(rows) == n_distinct
+    assert len({r["fp"] for r in rows}) == len(rows)
+
+
+def _run_stream_append(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")

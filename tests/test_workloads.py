@@ -67,3 +67,21 @@ def test_oracle_match(spark, name):
     assert sorted(sdf.columns) == sorted(ocols)
     assert len(srows) == len(orows)
     assert _hash(srows, sdf.columns) == _hash(orows, ocols)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from nextgenetl_spark.operators.joins import salted_join
+    from nextgenetl_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    li = load(spark, SF_SMOKE, "lineitem")
+    part = load(spark, SF_SMOKE, "part").select("p_partkey", "p_brand")
+    plain = (
+        li.join(part.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey")
+        .groupBy("p_brand").count().collect()
+    )
+    salted = (
+        salted_join(li, part.withColumnRenamed("p_partkey", "l_partkey"), on="l_partkey", num_salts=8)
+        .groupBy("p_brand").count().collect()
+    )
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
