@@ -149,3 +149,64 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pick_centroids(corpus: DataFrame, k_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic centroid selection: the k vectors with the smallest
+    xxhash64(id) — a seedless uniform sample that is stable across runs and
+    engines. (A production index would k-means-refine these; the cell/probe
+    machinery below is identical either way.)"""
+    w = Window.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        corpus.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k_centroids)
+        .select((F.col("__r") - 1).alias("cell_id"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def assign_cells(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine. Centroids broadcast
+    (tiny); the corpus never shuffles — one narrow pass adds the cell id."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col(vec_col), F.col("cell_id"), cosine(F.col(vec_col), F.col("cvec")).alias("csim")
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by("cell_id", "csim").alias("cell_id"), F.first(vec_col).alias(vec_col)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: partition the corpus into centroid cells, then
+    score each query only against its ``nprobe`` nearest cells. The scale
+    path when the corpus is too large to brute-force: the cell join shuffles
+    on cell_id, so each task scores one cell's slice, and recall is tuned by
+    nprobe (nprobe == k_centroids degenerates to exact brute force).
+
+    At 100 TB the assignment pass is one narrow scan + broadcast, the index
+    is written bucketed by cell_id (plans/bucketing.py), and repeated query
+    batches join it shuffle-free."""
+    cents = pick_centroids(corpus, k_centroids, corpus_id, vec_col)
+    cells = assign_cells(corpus, cents, corpus_id, vec_col)
+    qprobe = (
+        queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select(query_id, "qv", "cell_id", cosine(F.col("qv"), F.col("cvec")).alias("csim"))
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.desc("csim"), F.asc("cell_id"))
+    qcells = qprobe.withColumn("__pr", F.row_number().over(wq)).filter(F.col("__pr") <= nprobe)
+    scored = (
+        qcells.join(cells, "cell_id")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(query_id, corpus_id, F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("sim"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

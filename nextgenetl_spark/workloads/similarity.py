@@ -72,3 +72,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_near_dup_pairs_vectorized(
         load(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
     )
+
+
+@workload("ann_ivf_topk")  # approximate by construction → rows-only; pytest proves nprobe=ALL == brute force
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN top-5 for 10 query vectors (nprobe=4 of 16 cells): the
+    inverted-file scale path next to the hyperplane-LSH one."""
+    from nextgenetl_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return ivf_topk(q, c, k_centroids=16, nprobe=4, k=5).select("query_id", "neighbor_id", "sim", "rank")

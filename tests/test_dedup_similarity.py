@@ -105,3 +105,32 @@ def test_simhash_fingerprints_match_column_form(spark):
     fast = {r["doc_id"]: r["fp"] for r in D.simhash_fingerprints(docs).collect()}
     slow = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", D.simhash64("text").alias("fp")).collect()}
     assert fast == slow
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    from nextgenetl_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in cosine_topk(q, c, k=3).collect()}
+    full_probe = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(q, c, k_centroids=8, nprobe=8, k=3).collect()
+    }
+    assert full_probe == exact
+
+
+def test_ivf_partial_probe_shape(spark):
+    from nextgenetl_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    rows = ivf_topk(q, c, k_centroids=8, nprobe=2, k=3).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert all(len(v) <= 3 for v in per_q.values())
