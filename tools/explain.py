@@ -1,0 +1,58 @@
+"""Physical-plan review: dump formatted plans for headline queries and flag
+scale red flags (missing pushdown, cartesian products, row-at-a-time Python
+evaluation, unexpectedly wide scans). Run after touching any operator:
+
+    python tools/explain.py [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from nextgenetl_spark.session import get_spark
+from nextgenetl_spark.workloads import load_all
+
+RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+# Deliberate plan shapes, not defects: brute-force ANN *is* a broadcast
+# cross product (small query set against the corpus).
+EXPECTED = {"ann_cosine_topk": {"BroadcastNestedLoopJoin"}, "ann_ivf_topk": {"BroadcastNestedLoopJoin"}}
+INTERESTING = (
+    "Scan parquet",
+    "PushedFilters",
+    "ReadSchema",
+    "Exchange",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "WholeStageCodegen",
+) + RED_FLAGS
+
+
+def main() -> None:
+    spark = get_spark("explain")
+    reg = load_all()
+    names = sys.argv[1:] or sorted(reg)
+    sf = "/root/testdata/sf0.01"
+    flagged = []
+    for name in names:
+        plan = (
+            reg[name]
+            .fn(spark, sf)
+            ._jdf.queryExecution()
+            .explainString(spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        )
+        hits = [f for f in RED_FLAGS if f in plan and f not in EXPECTED.get(name, set())]
+        # BatchEvalPython is expected (and Arrow-batched) on mapInPandas paths
+        if hits:
+            flagged.append((name, hits))
+        print(f"===== {name} {'!! ' + ','.join(hits) if hits else 'ok'}")
+        for line in plan.splitlines():
+            if any(k in line for k in INTERESTING):
+                print("  ", line.strip()[:160])
+    if flagged:
+        print("\nFlagged:", flagged)
+
+
+if __name__ == "__main__":
+    main()
