@@ -165,13 +165,31 @@ def pick_centroids(corpus: DataFrame, k_centroids: int, id_col: str = "vec_id", 
 
 
 def assign_cells(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF cell assignment: nearest centroid by cosine. Centroids broadcast
-    (tiny); the corpus never shuffles — one narrow pass adds the cell id."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col), F.col(vec_col), F.col("cell_id"), cosine(F.col(vec_col), F.col("cvec")).alias("csim")
-    )
-    return scored.groupBy(id_col).agg(
-        F.max_by("cell_id", "csim").alias("cell_id"), F.first(vec_col).alias(vec_col)
+    """IVF cell assignment: nearest centroid by cosine, as one numpy GEMM
+    per Arrow batch (``mapInPandas``). The centroid matrix is k×dim — tiny —
+    so it collects to the driver once and ships in the UDF closure; the
+    corpus streams through in batches and never shuffles. The per-element
+    expression form (corpus × k interpreted array lambdas) is the cost curve
+    that blew up at 20× corpus in tools/scale_smoke.py; the GEMM is linear
+    with a vectorized constant."""
+    import numpy as np
+    import pandas as pd
+
+    cent = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    cell_ids = np.array([r["cell_id"] for r in cent], dtype="int32")
+    C = np.stack([np.asarray(r["cvec"], dtype="float64") for r in cent])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            best = cell_ids[np.argmax(Vn @ Cn.T, axis=1)]
+            yield pd.DataFrame({id_col: pdf[id_col], "cell_id": best, vec_col: pdf[vec_col]})
+
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cell_id int, {vec_col} {vec_type}"
     )
 
 

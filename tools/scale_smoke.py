@@ -1,0 +1,73 @@
+"""Scale-extrapolation smoke: replicate the sf0.1 corpus N× in-plan (no
+files written) and run the operators whose cost curves matter at 100 TB —
+near-dup (LSH vs quadratic), ANN, simhash, wide aggregation. Prints wall
+times per replication factor so super-linear blowups are visible:
+
+    python tools/scale_smoke.py [factors ...]     # default: 1 5 20
+
+Replication appends a replica id to doc/vec ids (and salts the text with
+it), so replicas are near-dups of each other *across* replicas — a stress
+shape for the banding path, not a trivially-deduped copy."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from nextgenetl_spark.catalog import load
+from nextgenetl_spark.operators import dedup as D
+from nextgenetl_spark.operators.similarity import blocked_near_dup_pairs_vectorized, ivf_topk
+from nextgenetl_spark.session import get_spark
+
+
+def replicate_docs(d, n):
+    r = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+    return d.select("*", r).select(
+        (F.col("doc_id") * n + F.col("rep")).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.col("rep").cast("string")).alias("text"),
+        "source",
+    )
+
+
+def replicate_emb(e, n):
+    r = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+    return e.select("*", r).select(
+        (F.col("vec_id") * n + F.col("rep")).alias("vec_id"), "embedding", "label"
+    )
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 5, 20]
+    spark = get_spark("scale-smoke")
+    sf = "/root/testdata/sf0.1"
+    d0 = load(spark, sf, "documents")
+    e0 = load(spark, sf, "embeddings")
+    for n in factors:
+        d = replicate_docs(d0, n)
+        e = replicate_emb(e0, n)
+        n_docs = d.count()
+        steps = {
+            "exact_dedup": lambda: D.exact_dedup_groups(d).count(),
+            "minhash_lsh": lambda: D.minhash_near_dup_pairs(d, threshold=0.5).count(),
+            "simhash": lambda: D.simhash_fingerprints(d).count(),
+            "emb_near_dup": lambda: blocked_near_dup_pairs_vectorized(e, threshold=0.3).count(),
+            "ivf_topk": lambda: ivf_topk(
+                e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding"),
+                e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+                k_centroids=32, nprobe=4,
+            ).count(),
+        }
+        out = []
+        for name, fn in steps.items():
+            t0 = time.time()
+            rows = fn()
+            out.append(f"{name}={time.time() - t0:.1f}s({rows})")
+        print(f"x{n} ({n_docs} docs): " + "  ".join(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
