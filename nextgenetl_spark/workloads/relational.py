@@ -852,3 +852,37 @@ def wide_group_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set(F.col("l_suppkey").cast("string"))), ";").alias("suppliers"),
         F.count(F.lit(1)).alias("n_pooled"),
     )
+
+
+@workload(
+    "row_expand",
+    oracle="""
+    SELECT o_orderkey, 'status' AS attr, o_orderstatus AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'priority' AS attr, o_orderpriority AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'bucket' AS attr,
+           CASE WHEN o_totalprice >= 300000 THEN 'high' ELSE 'low' END AS val
+    FROM orders
+    """,
+)
+def row_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row expansion: the reference emits one row per attribute via an
+    N-branch UNION ALL over the same table (reference:
+    GDC-Metadata-Processing/build_release_metadata_bq_tables_v2.py:210-340,
+    5 branches). The Spark-first rewrite is a single scan +
+    ``explode(array(struct...))`` — one pass over the fact instead of N
+    (SURVEY.md §2.7 U1 note), which at 100 TB is the difference between
+    reading the table once and N times."""
+    o = load(spark, sf_dir, "orders")
+    attrs = F.array(
+        F.struct(F.lit("status").alias("attr"), F.col("o_orderstatus").alias("val")),
+        F.struct(F.lit("priority").alias("attr"), F.col("o_orderpriority").alias("val")),
+        F.struct(
+            F.lit("bucket").alias("attr"),
+            F.when(F.col("o_totalprice") >= 300000, "high").otherwise("low").alias("val"),
+        ),
+    )
+    return o.select("o_orderkey", F.explode(attrs).alias("a")).select(
+        "o_orderkey", F.col("a.attr").alias("attr"), F.col("a.val").alias("val")
+    )
