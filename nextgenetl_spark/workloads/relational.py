@@ -886,3 +886,70 @@ def row_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", F.explode(attrs).alias("a")).select(
         "o_orderkey", F.col("a.attr").alias("attr"), F.col("a.val").alias("val")
     )
+
+
+def _nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture builder: a genuinely nested orders table (array<struct> of
+    line items) — the GDC case-tree shape (case → diagnoses → …) built from
+    the flat driver tables. Real inputs arrive nested (read_jsonl); the
+    collect_list here is only the fixture construction."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    nested = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber").alias("line_id"),
+                F.col("l_quantity").alias("qty"),
+                F.col("l_returnflag").alias("flag"),
+            ).alias("line"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("line").alias("lines"))
+    )
+    return (
+        o.select(F.col("o_orderkey").alias("order_id"), "o_orderstatus")
+        .join(nested, F.col("order_id") == F.col("l_orderkey"), "left")
+        .drop("l_orderkey")
+    )
+
+
+@workload(
+    "flatten_base",
+    oracle="""
+    SELECT o.o_orderkey AS order_id, o.o_orderstatus,
+           CAST(COALESCE(c.cnt, 0) AS INT) AS lines__count
+    FROM orders o
+    LEFT JOIN (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1) c
+      ON o.o_orderkey = c.l_orderkey
+    """,
+)
+def flatten_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y1-Y3 flattening engine, base-table output: scalars + zero-filled
+    ``fg__count`` child-count column (reference:
+    build_gdc_api_clinical_program_tables.py:896-939). The count comes from
+    F.size on the array column — no count-then-join shuffle."""
+    from nextgenetl_spark.flatten import FlattenConfig, flatten
+
+    cfg = FlattenConfig(base="orders", id_keys={"orders": "order_id", "orders.lines": "line_id"})
+    return flatten(_nested_orders(spark, sf_dir), cfg)["orders"]
+
+
+@workload(
+    "flatten_child",
+    oracle="""
+    SELECT l.l_orderkey AS order_id,
+           CAST(l.l_linenumber AS INT) AS lines__line_id,
+           l.l_quantity AS lines__qty,
+           l.l_returnflag AS lines__flag
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def flatten_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y1 flattening engine, child-table output: explode-chain carrying the
+    base id, columns mangled ``fg__field`` (reference:
+    build_gdc_api_clinical_program_tables.py:749-843)."""
+    from nextgenetl_spark.flatten import FlattenConfig, flatten
+
+    cfg = FlattenConfig(base="orders", id_keys={"orders": "order_id", "orders.lines": "line_id"})
+    return flatten(_nested_orders(spark, sf_dir), cfg)["orders_lines"]
