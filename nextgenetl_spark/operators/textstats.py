@@ -89,3 +89,15 @@ def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         lang_id(text_col).alias("pred_lang"),
         quality_class(text_col).alias("quality"),
     )
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(col) -> Column:
+    """BPE-ish pre-tokenization: letter runs, digit runs, and single
+    punctuation marks (the coarse split BPE vocabularies start from). The
+    alternation is leftmost-first in both Java regex and RE2, so counts are
+    engine-portable. Scan-stage expression — no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)

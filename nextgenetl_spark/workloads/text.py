@@ -153,3 +153,26 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
     )
+
+
+@workload(
+    "bpe_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT)                       AS n_ws_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS INT) AS n_uniq_bpe
+    FROM documents
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer next to the whitespace
+    tokenizer (pretraining cost-estimation shape)."""
+    d = load(spark, sf_dir, "documents")
+    bpe = TS.bpe_tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(TS.tokens("text")).alias("n_ws_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_uniq_bpe"),
+    )
