@@ -43,6 +43,7 @@ def load_all() -> dict[str, Workload]:
     from nextgenetl_spark.workloads import (  # noqa: F401
         arrays,
         events,
+        files,
         multimodal,
         relational,
         similarity,
