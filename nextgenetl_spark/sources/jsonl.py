@@ -25,7 +25,16 @@ def read_jsonl(
     schema: T.StructType | None = None,
     max_infer_records: int | None = None,
 ) -> DataFrame:
-    """Load JSONL with reference-rule schema inference (not Spark's)."""
+    """Load JSONL with reference-rule schema inference (not Spark's) and
+    reference-rule value normalization (data_helpers.py:560-578
+    normalize_flat_json_values): inference runs over NORMALIZED records (so
+    'yes'/'1.0'/null-vocab drive the lattice as in the reference), and the
+    distributed load applies the normalization expression to string columns
+    (the null vocabulary → NULL) — scan-stage, no Python in the row loop."""
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.functions.text import normalize_value as normalize_value_expr
+
     if schema is None:
         records = []
         with open(path, encoding="utf-8") as fh:
@@ -34,9 +43,14 @@ def read_jsonl(
                     break
                 line = line.strip()
                 if line:
-                    records.append(json.loads(line))
+                    rec = json.loads(line)
+                    records.append({k: normalize_value(v) for k, v in rec.items()})
         schema = infer_schema(records)
-    return spark.read.schema(schema).json(path)
+    df = spark.read.schema(schema).json(path)
+    for f in schema.fields:
+        if isinstance(f.dataType, T.StringType):
+            df = df.withColumn(f.name, normalize_value_expr(F.col(f.name)))
+    return df
 
 
 def records_to_df(spark: SparkSession, records: list, schema: T.StructType | None = None) -> DataFrame:

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from nextgenetl_spark.sources.gtf import read_gtf
 from nextgenetl_spark.sources.maf import read_maf_concat
+from nextgenetl_spark.sources.vcf import read_vcf
 from nextgenetl_spark.workloads import workload
 
 CALLER_SETS = ["muse", "muse;mutect2", "mutect2;varscan2*", "muse;mutect2;pindel;varscan2"]
@@ -113,3 +114,144 @@ def maf_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "hugo_symbol", "start_position", "file_gdc_id", "muse", "mutect2", "pindel", "varscan2"
     )
+
+
+def _tsv_path(sf_dir: str) -> str:
+    """Messy TSV rendered from customer: leading-zero ids (must stay STRING),
+    trivial floats (INT64 via normalize), yes/no (BOOL), 'NA'/'none' null
+    vocabulary, duplicate 'seg' headers (deduped to seg, seg_1)."""
+    path = os.path.join(_fixture_dir(sf_dir), "messy.tsv")
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM '{sf_dir}/customer.parquet' ORDER BY c_custkey"
+    ).fetchall()
+    lines = ["cust id\tname\tbalance\tactive\tseg\tseg"]
+    for key, name, bal, seg in rows:
+        lead0 = f"{key:06d}"
+        bal_s = str(int(bal)) + ".0" if key % 3 == 0 else f"{bal:.2f}"
+        active = ["yes", "no", "NA"][key % 3]
+        seg2 = "none" if key % 5 == 0 else seg.lower()
+        lines.append(f"{lead0}\t{name}\t{bal_s}\t{active}\t{seg}\t{seg2}")
+    _atomic_write(path, "\n".join(lines) + "\n")
+    return path
+
+
+@workload(
+    "tsv_infer_load",
+    oracle="""
+    SELECT lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS cust_id,
+           c_name AS name,
+           CASE WHEN c_custkey % 3 = 0 THEN ROUND(CAST(trunc(c_acctbal) AS DOUBLE), 2)
+                ELSE ROUND(CAST(CAST(ROUND(c_acctbal, 2) AS VARCHAR) AS DOUBLE), 2) END AS balance,
+           CASE c_custkey % 3 WHEN 0 THEN TRUE WHEN 1 THEN FALSE ELSE NULL END AS active,
+           c_mktsegment AS seg,
+           CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE lower(c_mktsegment) END AS seg_1
+    FROM customer
+    """,
+)
+def tsv_infer_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+Y7+Y8+Y9 through the driver gate: a messy TSV (leading-zero ids,
+    trivial floats, yes/no booleans, NA/none null vocabulary, duplicate
+    headers) round-trips the reference's sanitize→dedupe→infer→normalize→
+    cast discipline. The oracle reproduces the EXPECTED post-inference
+    values/types directly from the clean customer table: cust_id stays
+    STRING, balance is FLOAT64, active is BOOL with NA→NULL, the duplicate
+    'seg' header becomes seg_1, 'none' normalizes to NULL."""
+    from nextgenetl_spark.sources.tsv import read_tsv
+
+    df = read_tsv(spark, _tsv_path(sf_dir))
+    return df.select("cust_id", "name", F.round("balance", 2).alias("balance"), "active", "seg", "seg_1")
+
+
+def _vcf_path(sf_dir: str) -> str:
+    path = os.path.join(_fixture_dir(sf_dir), "synth.vcf")
+    lines = [
+        "##fileformat=VCFv4.2",
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="depth">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="genotype">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="depth">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2",
+    ]
+    for key, _name in _parts(sf_dir):
+        vid = "." if key % 7 == 0 else f"rs{key}"
+        qual = "." if key % 11 == 0 else str(key % 50)
+        lines.append(
+            f"chr{key % 5 + 1}\t{key * 100 + 1}\t{vid}\tA\tG\t{qual}\tPASS\tDP={key % 100}\t"
+            f"GT:DP\t0|1:{key % 30}\t1|1:{key * 2 % 30}"
+        )
+    _atomic_write(path, "\n".join(lines) + "\n")
+    return path
+
+
+@workload(
+    "vcf_parse",
+    oracle="""
+    WITH s AS (SELECT unnest(['s1', 's2']) AS sample_name)
+    SELECT 'chr' || CAST(p_partkey % 5 + 1 AS VARCHAR) AS "CHROM",
+           CAST(p_partkey * 100 + 1 AS BIGINT) AS "POS",
+           CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE 'rs' || CAST(p_partkey AS VARCHAR) END AS "ID",
+           CASE WHEN p_partkey % 11 = 0 THEN NULL ELSE CAST(p_partkey % 50 AS DOUBLE) END AS "QUAL",
+           CAST(p_partkey % 100 AS VARCHAR) AS info_DP,
+           s.sample_name,
+           CASE s.sample_name WHEN 's1' THEN '0|1' ELSE '1|1' END AS "GT",
+           CAST(CASE s.sample_name WHEN 's1' THEN p_partkey % 30 ELSE p_partkey * 2 % 30 END AS VARCHAR) AS "DP"
+    FROM part CROSS JOIN s
+    """,
+)
+def vcf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 VCF parser through the driver gate: ##INFO/##FORMAT header
+    metadata (bounded driver read), INFO k=v extraction, and the per-sample
+    FORMAT melt (one row per sample, keys positioned per-row by the FORMAT
+    column) — reference: BQ_Table_Building/build_cabq_vcf.py:336-569."""
+    df = read_vcf(spark, _vcf_path(sf_dir))
+    return df.select("CHROM", "POS", "ID", "QUAL", "info_DP", "sample_name", "GT", "DP")
+
+
+def _jsonl_path(sf_dir: str) -> str:
+    """JSONL with per-record field variance: 'phone' only on some records
+    (union-of-fields inference must keep it), mixed int/string 'code'
+    (type lattice → STRING), null-vocabulary values."""
+    import json
+
+    path = os.path.join(_fixture_dir(sf_dir), "records.jsonl")
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT c_custkey, c_name, c_nationkey FROM '{sf_dir}/customer.parquet' ORDER BY c_custkey"
+    ).fetchall()
+    lines = []
+    for key, name, nk in rows:
+        rec = {"rec_id": key, "name": name, "code": key if key % 2 == 0 else f"C{key}"}
+        if key % 3 == 0:
+            rec["phone"] = f"555-{key:04d}"
+        if key % 5 == 0:
+            rec["note"] = "not reported"
+        else:
+            rec["note"] = f"n{nk}"
+        lines.append(json.dumps(rec, sort_keys=True))
+    _atomic_write(path, "\n".join(lines) + "\n")
+    return path
+
+
+@workload(
+    "jsonl_infer_load",
+    oracle="""
+    SELECT c_custkey AS rec_id,
+           c_name AS name,
+           CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey AS VARCHAR)
+                ELSE 'C' || CAST(c_custkey AS VARCHAR) END AS code,
+           CASE WHEN c_custkey % 3 = 0 THEN '555-' || lpad(CAST(c_custkey AS VARCHAR), 4, '0')
+                ELSE NULL END AS phone,
+           CASE WHEN c_custkey % 5 = 0 THEN NULL
+                ELSE 'n' || CAST(c_nationkey AS VARCHAR) END AS note
+    FROM customer
+    """,
+)
+def jsonl_infer_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+Y8 through the driver gate: JSONL whose records have varying field
+    sets (full-pass union inference keeps the rare 'phone' field), a
+    mixed-type 'code' field (lattice resolves INT64+STRING → STRING), and
+    null-vocabulary notes ('not reported' → NULL)."""
+    from nextgenetl_spark.sources.jsonl import read_jsonl
+
+    df = read_jsonl(spark, _jsonl_path(sf_dir))
+    return df.select("rec_id", "name", "code", "phone", "note")
