@@ -164,6 +164,45 @@ def pick_centroids(corpus: DataFrame, k_centroids: int, id_col: str = "vec_id", 
     )
 
 
+def refine_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd (k-means) refinement of IVF centroids: assign every vector to its
+    nearest centroid (one numpy GEMM per Arrow batch via ``assign_cells``),
+    recompute each cell's mean, repeat. Tighter centroids → tighter cells →
+    higher recall at the same nprobe.
+
+    Scale shape: the per-cell mean is ``posexplode`` + groupBy(cell_id, pos)
+    AVG, which hash-aggregates map-side — the shuffle carries only
+    k × dim partial rows per task, never the corpus. At 100 TB you run this on
+    a sample of the corpus (k-means training does not need every vector); the
+    assignment GEMM is the same linear pass either way. Cells that lose all
+    members keep their previous centroid, so the cell count is stable."""
+    base = centroids.select("cell_id", F.col("cvec").cast("array<double>").alias("cvec"))
+    for _ in range(iters):
+        assigned = assign_cells(corpus, base, id_col, vec_col)
+        means = (
+            assigned.select("cell_id", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        )
+        refined = (
+            means.groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell_id", F.col("pm.m").alias("cvec"))
+        )
+        base = (
+            base.withColumnRenamed("cvec", "prev")
+            .join(refined, "cell_id", "left")
+            .select("cell_id", F.coalesce("cvec", "prev").alias("cvec"))
+        )
+    return base
+
+
 def assign_cells(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF cell assignment: nearest centroid by cosine, as one numpy GEMM
     per Arrow batch (``mapInPandas``). The centroid matrix is k×dim — tiny —
@@ -202,17 +241,23 @@ def ivf_topk(
     query_id: str = "query_id",
     corpus_id: str = "neighbor_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: partition the corpus into centroid cells, then
     score each query only against its ``nprobe`` nearest cells. The scale
     path when the corpus is too large to brute-force: the cell join shuffles
     on cell_id, so each task scores one cell's slice, and recall is tuned by
     nprobe (nprobe == k_centroids degenerates to exact brute force).
+    ``refine_iters`` > 0 runs that many Lloyd iterations on the seed
+    centroids (``refine_centroids``) — better recall at the same nprobe for
+    the cost of ``iters`` extra linear passes at index-build time.
 
     At 100 TB the assignment pass is one narrow scan + broadcast, the index
     is written bucketed by cell_id (plans/bucketing.py), and repeated query
     batches join it shuffle-free."""
     cents = pick_centroids(corpus, k_centroids, corpus_id, vec_col)
+    if refine_iters > 0:
+        cents = refine_centroids(corpus, cents, refine_iters, corpus_id, vec_col)
     cells = assign_cells(corpus, cents, corpus_id, vec_col)
     qprobe = (
         queries.select(F.col(query_id), F.col(vec_col).alias("qv"))

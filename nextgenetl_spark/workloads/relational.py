@@ -953,3 +953,55 @@ def flatten_child(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = FlattenConfig(base="orders", id_keys={"orders": "order_id", "orders.lines": "line_id"})
     return flatten(_nested_orders(spark, sf_dir), cfg)["orders_lines"]
+
+
+@workload(
+    "scalar_surface",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                                  AS up,
+           LOWER(p_brand)                                 AS lo,
+           CAST(LENGTH(p_name) AS INT)                    AS len,
+           LEFT(p_name, 5)                                AS l5,
+           RIGHT(p_name, 4)                               AS r4,
+           REPLACE(p_type, ' ', '_')                      AS type_us,
+           SUBSTR(p_type, 1, 8)                           AS sub8,
+           LPAD(CAST(p_partkey AS VARCHAR), 10, '0')      AS padded,
+           REVERSE(p_brand)                               AS revb,
+           printf('%s|%d', p_brand, p_size)               AS fmt,
+           md5(p_name)                                    AS h,
+           ROUND(p_retailprice)                           AS rp0,
+           CAST(p_name LIKE 'b%' AS INT)                  AS starts_b,
+           TRANSLATE(p_brand, '#', '-')                   AS brand_dash,
+           REPEAT('*', p_size % 4 + 1)                    AS stars,
+           CAST(INSTR(p_name, ' ') AS INT)                AS first_space
+    FROM part
+    """,
+)
+def scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 scalar-function breadth in one pass: the string/regex/math
+    families the reference's generated SQL leans on — CONCAT/LOWER/UPPER/
+    LENGTH (118 LOWER uses), LEFT(…,36) (GDC/RNA_seq.py:30,120), RIGHT,
+    REPLACE/SUBSTR, FORMAT (cda_bq_etl), MD5 row-hash (7 uses), ROUND,
+    LIKE-prefix, TRANSLATE/REPEAT/INSTR. All JVM-side codegen expressions;
+    scan-stage, zero shuffles, column-pruned to the five input columns."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.length("p_name").alias("len"),
+        F.expr("left(p_name, 5)").alias("l5"),
+        F.expr("right(p_name, 4)").alias("r4"),
+        F.expr("replace(p_type, ' ', '_')").alias("type_us"),
+        F.substring("p_type", 1, 8).alias("sub8"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("p_brand").alias("revb"),
+        F.format_string("%s|%d", F.col("p_brand"), F.col("p_size")).alias("fmt"),
+        F.md5("p_name").alias("h"),
+        F.round("p_retailprice").alias("rp0"),
+        F.col("p_name").like("b%").cast("int").alias("starts_b"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 4 + 1)).alias("stars"),
+        F.instr("p_name", " ").alias("first_space"),
+    )

@@ -76,11 +76,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload("ann_ivf_topk")  # approximate by construction → rows-only; pytest proves nprobe=ALL == brute force
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell ANN top-5 for 10 query vectors (nprobe=4 of 16 cells): the
-    inverted-file scale path next to the hyperplane-LSH one."""
+    """IVF-cell ANN top-5 for 10 query vectors (nprobe=4 of 16 cells, 2 Lloyd
+    refinement iterations on the seed centroids): the inverted-file scale
+    path next to the hyperplane-LSH one."""
     from nextgenetl_spark.operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    return ivf_topk(q, c, k_centroids=16, nprobe=4, k=5).select("query_id", "neighbor_id", "sim", "rank")
+    return ivf_topk(q, c, k_centroids=16, nprobe=4, k=5, refine_iters=2).select(
+        "query_id", "neighbor_id", "sim", "rank"
+    )

@@ -134,3 +134,68 @@ def test_ivf_partial_probe_shape(spark):
     assert set(per_q) == {0, 1, 2, 3, 4}
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
     assert all(len(v) <= 3 for v in per_q.values())
+
+
+def test_refined_centroids_are_cell_means(spark):
+    """After one Lloyd iteration each centroid equals the mean of the
+    vectors assigned to it (the defining k-means invariant)."""
+    import numpy as np
+
+    from nextgenetl_spark.operators.similarity import assign_cells, pick_centroids, refine_centroids
+
+    emb = load(spark, SF_SMOKE, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    seed = pick_centroids(emb, 6, "neighbor_id")
+    refined = refine_centroids(emb, seed, iters=1, id_col="neighbor_id")
+    assigned = assign_cells(emb, seed, "neighbor_id")
+    members = {}
+    for r in assigned.collect():
+        members.setdefault(r["cell_id"], []).append(np.asarray(r["embedding"], dtype="float64"))
+    got = {r["cell_id"]: np.asarray(r["cvec"], dtype="float64") for r in refined.collect()}
+    assert set(got) == set(range(6))
+    for cell, vecs in members.items():
+        np.testing.assert_allclose(got[cell], np.mean(vecs, axis=0), rtol=1e-9, atol=1e-12)
+
+
+def test_ivf_refined_full_probe_still_exact(spark):
+    """Lloyd refinement moves the cell boundaries but nprobe == k_centroids
+    must stay identical to brute force regardless of where they are."""
+    from nextgenetl_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in cosine_topk(q, c, k=3).collect()}
+    refined = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(q, c, k_centroids=8, nprobe=8, k=3, refine_iters=2).collect()
+    }
+    assert refined == exact
+
+
+def test_ivf_refined_recall_not_degraded(spark):
+    """At partial probe, recall vs brute force with refined centroids must
+    not fall below the unrefined seed centroids (deterministic data, so this
+    pins the refinement as at-least-neutral; it is strictly better on the
+    driver's clustered embeddings)."""
+    from nextgenetl_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    brute = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, c, k=5).collect()}
+
+    def recall(refine_iters):
+        hits = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                q, c, k_centroids=8, nprobe=2, k=5, refine_iters=refine_iters
+            ).collect()
+        }
+        return len(hits & brute) / len(brute)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0
+    # measured at smoke SF: r0 = 0.38, r2 = 0.42 (nprobe 2 of 8 cells)
+    assert r2 >= 0.4
