@@ -238,3 +238,52 @@ def simhash64(text_col) -> F.Column:
         lambda i: F.when(F.element_at(votes, i + 1) > 0, F.element_at(masks, i + 1)).otherwise(F.lit(0).cast("long")),
     )
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def connected_components(
+    edges: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iters: int = 30
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph by iterative
+    min-label propagation: every node repeatedly takes the smallest label
+    among itself and its neighbors until nothing changes, so each component
+    converges to its minimum node id. This turns pair output (MinHash-LSH,
+    SimHash banding, blocked cosine) into canonical dedup groups — the step
+    between "found similar pairs" and "kept one document per group".
+
+    Returns (node, label) for every node that appears in an edge; label is
+    the component's canonical (minimum) id.
+
+    Scale shape: each round is one shuffle of the edge list on node id plus a
+    broadcast-size change check; rounds needed = graph diameter, which for
+    near-dup graphs is tiny (clusters are cliques or short chains, diameter
+    ≤ ~3). ``localCheckpoint`` cuts lineage each round so the plan does not
+    grow with iterations. For adversarial long-chain graphs swap in the
+    large-star/small-star alternation (Kiveris et al.) — same join shapes,
+    fewer rounds; not needed for dedup-shaped graphs."""
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    for _ in range(max_iters):
+        neigh = sym.join(labels, sym.src == labels.node).groupBy("dst").agg(
+            F.min("label").alias("nlabel")
+        )
+        new = (
+            labels.join(neigh, labels.node == neigh.dst, "left")
+            .select("node", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -176,3 +176,100 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(TS.tokens("text")).alias("n_ws_tokens"),
         F.size(F.array_distinct(bpe)).alias("n_uniq_bpe"),
     )
+
+
+@workload(
+    "near_dup_groups",
+    oracle="""
+    WITH RECURSIVE ts AS (
+        SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\\s+')) AS tok_set
+        FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM ts a JOIN ts b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.5),
+    sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(node, label) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.dst, r.label FROM sym s JOIN reach r ON s.src = r.node),
+    lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+    SELECT label AS group_id, COUNT(*) AS n_docs,
+           string_agg(CAST(node AS VARCHAR), ';' ORDER BY CAST(node AS VARCHAR)) AS members
+    FROM lab GROUP BY label
+    """,
+)
+def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate canonical groups: exact Jaccard pairs within source
+    blocks → connected components (min-label propagation) → one group row
+    per component with its canonical (min) doc id and sorted member list.
+    This is the full dedup chain a training pipeline runs — pair discovery
+    is swappable for MinHash-LSH at scale, the grouping step is identical.
+    Oracle = DuckDB recursive-CTE transitive closure over the same pairs."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "source", threshold=0.5).select("a_id", "b_id")
+    comp = D.connected_components(pairs)
+    return comp.groupBy(F.col("label").alias("group_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(F.array_sort(F.collect_list(F.col("node").cast("string"))), ";").alias(
+            "members"
+        ),
+    )
+
+
+@workload(
+    "hash_split",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split by md5-prefix threshold
+    (operators/sampling.py): membership depends only on doc_id, so the split
+    is stable across runs, engines, repartitions, and corpus growth — the
+    property ``df.sample`` cannot give a training pipeline. Scan-stage
+    expressions, no shuffle, no RNG."""
+    from nextgenetl_spark.operators.sampling import deterministic_split, hash_bucket
+
+    d = load(spark, sf_dir, "documents")
+    out = deterministic_split(d, "doc_id", [("cccc", "train"), ("e666", "val")])
+    return out.select("doc_id", hash_bucket("doc_id").alias("bucket"), "split")
+
+
+@workload(
+    "doc_length_quantiles",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                        AS n_docs,
+           ROUND(AVG(LENGTH(text)), 2)                     AS avg_len,
+           CAST(MAX(LENGTH(text)) AS INT)                  AS max_len,
+           ROUND(quantile_cont(LENGTH(text), 0.5), 2)      AS p50,
+           ROUND(quantile_cont(LENGTH(text), 0.9), 2)      AS p90,
+           ROUND(quantile_cont(LENGTH(text), 0.99), 2)     AS p99
+    FROM documents
+    GROUP BY source
+    """,
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution: exact linear-interpolation
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) for corpus
+    QC / length-filter threshold picking. At 100 TB swap ``percentile`` for
+    ``approx_percentile`` (t-digest, mergeable map-side, bounded error) —
+    same plan shape, no sort of the full corpus."""
+    d = load(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(ln), 2).alias("avg_len"),
+        F.max(ln).cast("int").alias("max_len"),
+        F.round(F.percentile(ln, F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile(ln, F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile(ln, F.lit(0.99)), 2).alias("p99"),
+    )

@@ -199,3 +199,45 @@ def test_ivf_refined_recall_not_degraded(spark):
     assert r2 >= r0
     # measured at smoke SF: r0 = 0.38, r2 = 0.42 (nprobe 2 of 8 cells)
     assert r2 >= 0.4
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain 1-2-3-4 collapses to min id 1; separate pair (10,11) to 10;
+    multi-round propagation needed for the chain (diameter 3)."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["a_id", "b_id"]
+    )
+    got = {r["node"]: r["label"] for r in D.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_idempotent_on_groups(spark):
+    """Re-running components on the canonical-group edges changes nothing."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["a_id", "b_id"])
+    first = D.connected_components(edges)
+    again = {
+        r["node"]: r["label"]
+        for r in D.connected_components(
+            first.select(F.col("node").alias("a_id"), F.col("label").alias("b_id"))
+        ).collect()
+    }
+    assert again == {r["node"]: r["label"] for r in first.collect()}
+
+
+def test_deterministic_split_is_stable_and_disjoint(spark):
+    from nextgenetl_spark.operators.sampling import deterministic_split
+
+    docs = load(spark, SF_SMOKE, "documents")
+    out = deterministic_split(docs, "doc_id", [("cccc", "train"), ("e666", "val")])
+    a = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    assert a == b  # rerun-stable
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    assert 0.7 < frac_train < 0.9  # ~0.8 by hex threshold
+    # growing the corpus never moves existing docs between splits
+    half = deterministic_split(
+        docs.filter(F.col("doc_id") < 100), "doc_id", [("cccc", "train"), ("e666", "val")]
+    )
+    for r in half.select("doc_id", "split").collect():
+        assert a[r["doc_id"]] == r["split"]
