@@ -170,3 +170,90 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     q.stop()
     return spark.table(name)
+
+
+@workload(
+    "stream_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g),
+    sess AS (
+        SELECT user_id, MIN(ts) AS t_first, MAX(ts) AS t_last,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+        FROM s GROUP BY user_id, sid),
+    wm AS (SELECT MAX(ts) - INTERVAL 600 SECOND AS w FROM events)
+    SELECT user_id,
+           CAST(floor(epoch(t_first)) AS BIGINT) AS session_start,
+           CAST(floor(epoch(t_last)) + 1800 AS BIGINT) AS session_end,
+           n_events, value_sum
+    FROM sess, wm
+    WHERE t_last + INTERVAL 1800 SECOND <= w
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL Structured Streaming sessionization, oracle-verified: native
+    ``session_window`` (30-min gap) with watermark runs over the replayed
+    events stream under an availableNow trigger, append-mode memory sink.
+    A session's range is [first event, last event + gap) — the oracle
+    reproduces that with gaps-and-islands SQL (new session at gap ≥ 1800s)
+    and applies the append-mode watermark rule: only sessions whose end is
+    at or below the final watermark (max event time − 10 min delay) are
+    emitted; later sessions stay open awaiting more data — correct streaming
+    semantics, mirrored exactly in the oracle's WHERE clause.
+    State per (user, open session); the watermark bounds it."""
+    from nextgenetl_spark.streaming.source import events_stream
+    from nextgenetl_spark.streaming.windows import session_window_agg, with_watermark
+
+    name = "wl_stream_sessionize"
+    agg = session_window_agg(with_watermark(events_stream(spark, sf_dir)), gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+@workload(
+    "stream_user_profile",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator through the driver gate:
+    ``applyInPandasWithState`` keeps a running (n_events, total_value)
+    accumulator per user (streaming/stateful.py), emitted each micro-batch.
+    Replayed as one availableNow batch the final emission equals the batch
+    aggregate, so the custom-state path is oracle-verified — not just
+    pytest-checked. State pre-rounds to 1e-6 so pandas pairwise summation
+    and SQL sequential summation agree at the 2-decimal output."""
+    from nextgenetl_spark.streaming.source import events_stream
+    from nextgenetl_spark.streaming.stateful import running_user_profile
+
+    name = "wl_stream_profile"
+    out = running_user_profile(events_stream(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
