@@ -45,6 +45,11 @@ HEADLINE = {
     "wide_group_dedup": "count",
     "multimodal_decode": "count",
     "simhash_dedup": "count",
+    "scalar_surface": "count",
+    "hash_split": "count",
+    "doc_length_quantiles": "collect",
+    "near_dup_groups": "count",
+    "stream_sessionize": "count",
 }
 
 
