@@ -267,23 +267,23 @@ def connected_components(
         .localCheckpoint()
     )
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    # Min-label propagation is monotone (labels only decrease), so the label
+    # sum strictly decreases on every round that changes anything — comparing
+    # sums is a one-row aggregate per round instead of a join + count.
+    prev_sum = None
     for _ in range(max_iters):
         neigh = sym.join(labels, sym.src == labels.node).groupBy("dst").agg(
             F.min("label").alias("nlabel")
         )
-        new = (
+        labels = (
             labels.join(neigh, labels.node == neigh.dst, "left")
             .select("node", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        # decimal(38,0) sum: exact at any node count (a long sum could
+        # overflow, a double sum could absorb a small change at ~1e18 scale)
+        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
