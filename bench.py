@@ -50,6 +50,9 @@ HEADLINE = {
     "doc_length_quantiles": "collect",
     "near_dup_groups": "count",
     "stream_sessionize": "count",
+    "window_rank_family": "count",
+    "rollup_profile": "collect",
+    "pivot_flags": "count",
 }
 
 

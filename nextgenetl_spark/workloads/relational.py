@@ -1005,3 +1005,207 @@ def scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("*"), (F.col("p_size") % 4 + 1)).alias("stars"),
         F.instr("p_name", " ").alias("first_space"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic breadth: full window family, multi-level aggregation, pivot
+# (SURVEY.md §2.4-2.5 notes these are "free in Catalyst" — a user switching
+# from the reference gets them as first-class, oracle-checked queries.)
+# ---------------------------------------------------------------------------
+
+@workload(
+    "window_rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+           rn, rnk, prev_price, next_key, ROUND(run_sum, 2) AS run_sum
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER w AS BIGINT)  AS rn,
+                 CAST(RANK() OVER w AS BIGINT)        AS rnk,
+                 ROUND(LAG(o_totalprice, 1) OVER w, 2) AS prev_price,
+                 LEAD(o_orderkey, 1) OVER w            AS next_key,
+                 SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)  AS run_sum
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey))
+    WHERE rn <= 3
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full window-function family (§2.5 beyond the reference's single W1
+    site): row_number/rank top-k per partition, lag/lead neighbors, and a
+    running-sum frame spec. Ordering is made deterministic with the unique
+    o_orderkey tiebreak so lag/lead are oracle-stable. One shuffle on
+    o_custkey serves all five window expressions (same Window spec →
+    single Exchange + sort in the plan); at 100 TB top-k-per-group stays
+    a single pass, vs the self-join a SQL-92 rewrite would need."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .withColumn("prev_price", F.round(F.lag("o_totalprice", 1).over(w), 2))
+        .withColumn("next_key", F.lead("o_orderkey", 1).over(w))
+        .withColumn("run_sum", F.round(F.sum("o_totalprice").over(wrun), 2))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "rn", "rnk", "prev_price", "next_key", "run_sum",
+        )
+    )
+
+
+@workload(
+    "rollup_profile",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           ROUND(SUM(l_quantity), 2)     AS sum_qty,
+           COUNT(*)                      AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total) in one
+    aggregation. Spark expands grouping sets map-side, so the shuffle still
+    carries only (key, partial-agg) pairs — one pass at any scale instead
+    of the reference's per-level UNION ALL re-scan. NULL group labels are
+    COALESCEd to 'ALL' on both engines (these columns are non-null in the
+    data; use grouping_id for null-valued keys)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@workload(
+    "cube_counts",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*)                         AS n_orders,
+           ROUND(SUM(o_totalprice), 2)      AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority: all 2^2 grouping sets in a single
+    aggregation pass (GROUPING SETS is the same Spark plan with an explicit
+    set list via spark.sql). Cross-tab QC reports at 100 TB come from one
+    scan, not four."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@workload(
+    "pivot_flags",
+    oracle="""
+    SELECT l_suppkey,
+           ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS ret_a,
+           ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS ret_n,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS ret_r
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def pivot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide (inverse of matrix_melt / Y4): per-supplier quantity
+    by return flag. Pivot values are given explicitly, so Spark skips the
+    distinct-values discovery job. The plan is two cascaded aggregates
+    (partial agg keyed (suppkey, flag), then PivotFirst keyed suppkey) —
+    both shuffles carry only aggregated rows (≤ |suppliers|×|flags|),
+    negligible next to the scan at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_suppkey",
+            F.col("A").alias("ret_a"),
+            F.col("N").alias("ret_n"),
+            F.col("R").alias("ret_r"),
+        )
+    )
+
+
+@workload("approx_distinct_profile", oracle=None)
+def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts (rows-only check: sketch
+    estimates are engine-specific, so no value-level oracle; the pytest
+    bounds relative error vs exact COUNT DISTINCT at 5%). THE scale path
+    for cardinality QC (§5 tier-3 `sql_count_distinct_field`): the sketch
+    is fixed-size and mergeable, so 100 TB costs one scan + a few-KB
+    shuffle, where exact COUNT(DISTINCT) shuffles every distinct value."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    )
+
+
+@workload(
+    "date_surface",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', CAST(o_orderdate AS DATE))            AS month_start,
+           CAST(o_orderdate AS DATE) + 30                            AS plus30,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+           last_day(CAST(o_orderdate AS DATE))                       AS eom,
+           dayofweek(CAST(o_orderdate AS DATE)) + 1                  AS dow,
+           weekofyear(CAST(o_orderdate AS DATE))                     AS woy,
+           datepart('doy', CAST(o_orderdate AS DATE))                AS doy
+    FROM orders
+    """,
+)
+def date_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-arithmetic breadth beyond date_extract (§2.9 date family: the
+    reference's 24 PARSE_-family uses + EXTRACT sites): truncate-to-month,
+    day/month offsets with end-of-month clamping (add_months), last_day,
+    ISO week, day-of-week/year. DuckDB numbers Sunday=0 where Spark uses
+    Sunday=1, so the oracle shifts by one. All scan-stage codegen
+    expressions — zero shuffles, prunes to two columns."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.trunc(d, "month").alias("month_start"),
+        F.date_add(d, 30).alias("plus30"),
+        F.add_months(d, 2).alias("plus2m"),
+        F.last_day(d).alias("eom"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("woy"),
+        F.dayofyear(d).alias("doy"),
+    )

@@ -85,3 +85,22 @@ def test_salted_join_matches_plain_join(spark):
         .groupBy("p_brand").count().collect()
     )
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """HLL++ at rsd=0.01 must land within 5% of exact COUNT(DISTINCT)."""
+    from pyspark.sql import functions as F
+
+    row = REGISTRY["approx_distinct_profile"].fn(spark, SF_SMOKE).collect()[0]
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("p"),
+        F.countDistinct("l_suppkey").alias("s"),
+        F.countDistinct("l_orderkey").alias("o"),
+    ).collect()[0]
+    for approx, true in [
+        (row["approx_parts"], exact["p"]),
+        (row["approx_supps"], exact["s"]),
+        (row["approx_orders"], exact["o"]),
+    ]:
+        assert abs(approx - true) <= 0.05 * true, (approx, true)
