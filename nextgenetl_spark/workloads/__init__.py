@@ -45,6 +45,7 @@ def load_all() -> dict[str, Workload]:
         events,
         files,
         multimodal,
+        pipelines,
         relational,
         similarity,
         text,
