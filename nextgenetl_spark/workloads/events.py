@@ -257,3 +257,72 @@ def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     q.stop()
     return spark.table(name)
+
+
+@workload(
+    "stream_sliding_window",
+    oracle="""
+    SELECT ws AS window_start, ws + 600 AS window_end, event_type,
+           COUNT(*) AS n_events
+    FROM (
+        SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT)
+                   - o.off AS ws,
+               event_type
+        FROM events, (SELECT UNNEST([0, 300]) AS off) o
+    )
+    GROUP BY ws, event_type
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL Structured Streaming sliding (hopping) window, oracle-verified:
+    10-minute windows every 5 minutes, so each event lands in exactly two
+    windows — the oracle replays that by exploding each event into its two
+    bucket starts. Watermarked, availableNow trigger, complete-mode memory
+    sink. State = one row per (open window, event_type); the watermark
+    closes windows two slides behind the max event time."""
+    from nextgenetl_spark.streaming.source import events_stream
+    from nextgenetl_spark.streaming.windows import sliding_window_agg, with_watermark
+
+    name = "wl_stream_sliding"
+    agg = sliding_window_agg(with_watermark(events_stream(spark, sf_dir)))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+@workload(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-on-ingest through the driver gate: watermarked
+    ``dropDuplicates`` on (user_id, event_type) over the replayed events
+    stream — first occurrence per key within the watermark horizon, state
+    evicted beyond it (streaming/dedup.py's shape, keyed on columns instead
+    of a content hash). Only the key columns are returned: WHICH physical
+    row survives is arrival-order-dependent, the surviving key set is not —
+    same contract as the batch `SELECT DISTINCT` oracle."""
+    from nextgenetl_spark.streaming.source import events_stream
+
+    name = "wl_stream_dedup"
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    out = ev.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)

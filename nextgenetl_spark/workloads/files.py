@@ -255,3 +255,35 @@ def jsonl_infer_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = read_jsonl(spark, _jsonl_path(sf_dir))
     return df.select("rec_id", "name", "code", "phone", "note")
+
+
+@workload(
+    "orc_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, COUNT(*) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth beyond parquet: supplier+nation are written
+    to ORC (Spark's built-in second columnar format — predicate pushdown,
+    column pruning, and splittable scans work the same way) and the join+agg
+    runs over the ORC scan. A reference user staging to a non-parquet lake
+    format gets the identical declarative plan; only the scan node differs.
+    The write is a one-time staging cost; at 100 TB you'd partition the
+    write by a pruning key exactly as with parquet."""
+    out = tempfile.mkdtemp(prefix="ngetl_orc_")
+    for t in ("supplier", "nation"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode("overwrite").orc(f"{out}/{t}")
+    s = spark.read.orc(f"{out}/supplier")
+    n = spark.read.orc(f"{out}/nation")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
