@@ -287,3 +287,78 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@workload(
+    "partition_pruning",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) = 1996
+    GROUP BY o_orderpriority
+    """,
+)
+def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake layout + partition pruning (SURVEY §4: the
+    reference's per-program table splits become partition keys). orders is
+    staged partitioned by order year; the year filter then prunes at the
+    DIRECTORY level — non-matching partitions are never opened, which at
+    100 TB is the difference between scanning one year and scanning all of
+    them. The plan audit shows it as PartitionFilters on the scan node; the
+    equality filter resolves against partition metadata only."""
+    stage = tempfile.mkdtemp(prefix="ngetl_part_")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(stage)
+    )
+    po = spark.read.parquet(stage)
+    return (
+        po.filter(F.col("o_year") == 1996)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@workload(
+    "schema_evolution",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+           CAST(NULL AS VARCHAR) AS o_orderpriority, 'r1' AS release
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price, o_orderpriority,
+           'r2' AS release
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across release files (the reference's
+    release-over-release added-fields reality, SURVEY §5 tier-2 reports):
+    release r1 lacks a column that r2 adds; ``mergeSchema`` unions the file
+    schemas at read time and pads the missing column with NULL — the lake
+    equivalent of unionByName(allowMissingColumns=True), resolved per file
+    at scan time with no rewrite of old data. Footer-schema merge is a
+    one-time planning cost; the scan itself stays columnar and pruned."""
+    stage = tempfile.mkdtemp(prefix="ngetl_evo_")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price"), "o_orderpriority"
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .drop("o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(f"{stage}/release=r1")
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .write.mode("overwrite")
+        .parquet(f"{stage}/release=r2")
+    )
+    return spark.read.option("mergeSchema", "true").parquet(stage)
