@@ -53,6 +53,9 @@ HEADLINE = {
     "window_rank_family": "count",
     "rollup_profile": "collect",
     "pivot_flags": "count",
+    "pipeline_chain": "collect",
+    "partition_pruning": "collect",
+    "stream_sliding_window": "count",
 }
 
 
@@ -87,18 +90,40 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cold_total": round(cold_total, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cold_total": round(cold_total, 3),
+    }
+
+    # Opt-in (SPARK_GRAFT_BENCH_DUCKDB=1): warm-time each query's DuckDB
+    # oracle on the same tables for a side-by-side regime table
+    # (BASELINE.md §3). Off by default so the driver's JSON stays stable.
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB"):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        for t in ["region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"]:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        duck: dict[str, float] = {}
+        for name in HEADLINE:
+            sql = registry[name].oracle
+            if sql is None:
+                continue
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                runs.append(time.time() - t0)
+            duck[name] = round(min(runs), 3)
+        out["duckdb"] = duck
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -37,3 +37,24 @@ def deterministic_split(
         cond = b < F.lit(bound)
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     return df.withColumn("split", expr.otherwise(default))
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, stratum_col: str, rates: dict[str, float], width: int = 4
+) -> DataFrame:
+    """Deterministic stratified downsample: keep a per-stratum fraction of
+    rows, selected by the same md5-prefix bucket as deterministic_split
+    (``sampleBy``'s reproducible cousin — identical membership on every
+    run/engine/partitioning, and class balance is exact in expectation with
+    no RNG state). Strata absent from ``rates`` are dropped.
+
+    Training-data use: class rebalancing (downsample the over-represented
+    language/source/quality tier) before expensive downstream stages.
+    Scan-stage expression — the filter is pushable, no shuffle, no UDF."""
+    space = 16 ** width
+    b = F.conv(hash_bucket(id_col, width), 16, 10).cast("long")
+    expr = None
+    for stratum, rate in rates.items():
+        cond = (F.col(stratum_col) == stratum) & (b < int(rate * space))
+        expr = cond if expr is None else expr | cond
+    return df.filter(expr)

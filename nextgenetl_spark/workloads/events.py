@@ -326,3 +326,37 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     q.stop()
     return spark.table(name)
+
+
+@workload(
+    "stratified_sample",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_kept
+    FROM (
+        SELECT event_type,
+               CAST(CONCAT('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) AS b
+        FROM events
+    )
+    WHERE (event_type = 'view'     AND b < CAST(0.10 * 65536 AS BIGINT))
+       OR (event_type = 'click'    AND b < CAST(0.25 * 65536 AS BIGINT))
+       OR (event_type = 'purchase' AND b < CAST(1.00 * 65536 AS BIGINT))
+    GROUP BY event_type
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (class rebalancing for a
+    training corpus): keep 10% of views, 25% of clicks, all purchases,
+    selected by md5-prefix hash threshold, not RNG — membership is
+    identical on every run, engine, and partitioning (the oracle literally
+    recomputes it). `df.sampleBy` gives none of those guarantees. The
+    predicate is a scan-stage expression; at 100 TB the rebalance costs a
+    filtered scan, zero shuffles."""
+    from nextgenetl_spark.catalog import load
+    from nextgenetl_spark.operators.sampling import stratified_hash_sample
+
+    ev = load(spark, sf_dir, "events")
+    kept = stratified_hash_sample(
+        ev, "event_id", "event_type", {"view": 0.10, "click": 0.25, "purchase": 1.00}
+    )
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
