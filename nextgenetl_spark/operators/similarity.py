@@ -155,12 +155,22 @@ def pick_centroids(corpus: DataFrame, k_centroids: int, id_col: str = "vec_id", 
     """Deterministic centroid selection: the k vectors with the smallest
     xxhash64(id) — a seedless uniform sample that is stable across runs and
     engines. (A production index would k-means-refine these; the cell/probe
-    machinery below is identical either way.)"""
-    w = Window.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+    machinery below is identical either way.)
+
+    The global top-k runs as ``orderBy().limit(k)`` → TakeOrderedAndProject
+    (per-partition partial top-k merged on the driver), so the corpus never
+    collapses into a single-partition sort; only the k survivors pass
+    through the numbering window."""
+    hashed = corpus.select(
+        F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("cvec"),
+    )
+    top = hashed.orderBy("__h", "__id").limit(k_centroids)
+    w = Window.orderBy("__h", "__id")  # k rows only — bounded by k_centroids
     return (
-        corpus.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= k_centroids)
-        .select((F.col("__r") - 1).alias("cell_id"), F.col(vec_col).alias("cvec"))
+        top.withColumn("__r", F.row_number().over(w))
+        .select((F.col("__r") - 1).alias("cell_id"), "cvec")
     )
 
 
