@@ -268,6 +268,10 @@ def ivf_topk(
     cents = pick_centroids(corpus, k_centroids, corpus_id, vec_col)
     if refine_iters > 0:
         cents = refine_centroids(corpus, cents, refine_iters, corpus_id, vec_col)
+    # The centroid table (k rows) feeds the assignment pass AND the query
+    # probe — materialize it once so the corpus-wide selection/refinement
+    # scans don't re-run per consumer (2-3 extra full scans at 100 TB).
+    cents = cents.localCheckpoint()
     cells = assign_cells(corpus, cents, corpus_id, vec_col)
     qprobe = (
         queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
