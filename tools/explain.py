@@ -14,7 +14,15 @@ sys.path.insert(0, "/root/repo")
 from nextgenetl_spark.session import get_spark
 from nextgenetl_spark.workloads import load_all
 
-RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+RED_FLAGS = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "BatchEvalPython",
+    # Global sort/window funneling all rows through one partition — the
+    # bug class fixed in pick_centroids (use orderBy().limit() /
+    # partitioned windows instead).
+    "Exchange SinglePartition",
+)
 # Deliberate plan shapes, not defects: brute-force ANN *is* a broadcast
 # cross product (small query set against the corpus).
 EXPECTED = {"ann_cosine_topk": {"BroadcastNestedLoopJoin"}, "ann_ivf_topk": {"BroadcastNestedLoopJoin"}}
