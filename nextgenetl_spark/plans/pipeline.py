@@ -84,6 +84,14 @@ class Pipeline:
             # and range scans on those keys stay partition-local.
             cols = step["cluster_by"]
             df = df.repartition(*cols).sortWithinPartitions(*cols)
+        if step.get("zorder_by"):
+            # Two-dimensional layout: Morton-interleave both keys so row-group
+            # min/max stats skip on either predicate (functions/zorder.py) —
+            # the multi-key upgrade of cluster_by, à la Delta OPTIMIZE ZORDER.
+            from nextgenetl_spark.functions.zorder import zorder_write
+
+            za, zb = step["zorder_by"]
+            df = zorder_write(df, za, zb, num_files=step.get("num_files"))
         if step.get("materialize"):
             if not self.warehouse:
                 raise ValueError(f"step '{name}': materialize=true requires a warehouse dir")

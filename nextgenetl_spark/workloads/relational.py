@@ -1209,3 +1209,35 @@ def date_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear(d).alias("woy"),
         F.dayofyear(d).alias("doy"),
     )
+
+
+@workload(
+    "skew_salted_join",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-buster salted join through the driver gate: the big side's key
+    is salted with a random shard id and the dimension side is replicated
+    across shards, so a pathologically hot key spreads over 16 tasks
+    instead of stalling one reducer (operators/joins.py salted_join; AQE's
+    runtime skew split covers moderate skew, salting covers the
+    one-key-is-10%-of-the-table case). Salting is semantics-preserving, so
+    the oracle is the PLAIN join — the gate proves the rewrite changes the
+    physical distribution and nothing else."""
+    from nextgenetl_spark.operators.joins import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(li.withColumnRenamed("l_suppkey", "s_suppkey"), s, "s_suppkey")
+    return (
+        joined.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )

@@ -173,3 +173,33 @@ def test_bucketed_join_eliminates_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_pipeline_zorder_step(spark, tmp_path):
+    """zorder_by step: output rows are identical, layout is z-clustered
+    (spans bounded in both keys for typical files)."""
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.plans.pipeline import Pipeline
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    pipe = Pipeline(spark, warehouse=str(tmp_path))
+    pipe.register("grid", df)
+    out = pipe.run(
+        {
+            "steps": [
+                {
+                    "name": "z",
+                    "dest": "zgrid",
+                    "sql": "SELECT x, y FROM grid",
+                    "zorder_by": ["x", "y"],
+                    "num_files": 16,
+                    "materialize": True,
+                }
+            ]
+        }
+    )["zgrid"]
+    assert out.count() == 4096
+    assert sorted(r["x"] for r in out.groupBy("x").count().collect()) == list(range(64))
