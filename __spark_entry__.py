@@ -11,11 +11,19 @@ workload registry (nextgenetl_spark/workloads) to the contract.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nextgenetl_spark.workloads import load_all
+# The driver may import this module by file path from any cwd; make the
+# package resolvable regardless.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from nextgenetl_spark.workloads import load_all  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
