@@ -273,3 +273,124 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(ln, F.lit(0.9)), 2).alias("p90"),
         F.round(F.percentile(ln, F.lit(0.99)), 2).alias("p99"),
     )
+
+
+@workload(
+    "doc_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    tokstats AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(COUNT(DISTINCT tok) / COUNT(*), 4) AS uniq_ratio
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id
+    ),
+    tri AS (
+        SELECT doc_id, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS tg
+        FROM toks, generate_series(1, 100000) AS g(i)
+        WHERE g.i <= len(t) - 2
+    ),
+    tristats AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+               ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c), 4)
+                   AS dup_trigram_frac
+        FROM (SELECT doc_id, tg, COUNT(*) AS c FROM tri GROUP BY doc_id, tg)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, uniq_ratio, n_trigrams, dup_trigram_frac
+    FROM tokstats JOIN tristats USING (doc_id)
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition QC signals (Gopher-style quality filters): per-document
+    token-uniqueness ratio and duplicate-trigram fraction — the standard
+    cut for boilerplate/degenerate text before pretraining. Trigrams are
+    built by zipping three shifted slices of the token array (codegen
+    slice/arrays_zip, NOT a per-element transform() lambda — those are
+    interpreted per row×element) then exploded into a flat per-doc count.
+    Scan-stage explode + two hash aggregates on doc_id; shuffle rows =
+    distinct trigrams, never the text."""
+    d = load(spark, sf_dir, "documents")
+    # Consumed by two aggregates; deliberately NOT checkpointed — re-running
+    # the pruned 2-column scan twice is cheaper at scale than materializing
+    # the tokenized corpus.
+    base = d.select("doc_id", F.split("text", " ").alias("t"))
+
+    tok_stats = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.countDistinct("tok") / F.count(F.lit(1)), 4).alias("uniq_ratio"),
+        )
+    )
+    ntri = F.size("t") - 2
+    tg = F.arrays_zip(
+        F.slice("t", 1, ntri).alias("a"),
+        F.slice("t", 2, ntri).alias("b"),
+        F.slice("t", 3, ntri).alias("c"),
+    )
+    tri = (
+        base.select("doc_id", F.explode(tg).alias("z"))
+        .select("doc_id", F.concat_ws(" ", "z.a", "z.b", "z.c").alias("tg"))
+        .groupBy("doc_id", "tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tri_stats = tri.groupBy("doc_id").agg(
+        F.sum("c").alias("n_trigrams"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 4
+        ).alias("dup_trigram_frac"),
+    )
+    return tok_stats.join(tri_stats, "doc_id")
+
+
+@workload(
+    "passage_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               array_to_string(t[(w.i*16+1):(w.i*16+16)], ' ') AS passage
+        FROM toks, generate_series(0, 100000) AS w(i)
+        WHERE w.i*16 < len(t)
+    )
+    SELECT passage, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM p
+    GROUP BY passage
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (sub-document) duplicate detection: each document is
+    cut into non-overlapping 16-token windows and windows occurring in more
+    than one document are surfaced — the unit that document-level dedup
+    misses (boilerplate headers, quoted blocks, licence stanzas shared
+    across otherwise-distinct docs). Windows are built with
+    sequence+explode+slice — codegen end to end, no per-element lambda.
+    At 100 TB: group passages by a 16-byte hash instead of the raw string
+    (exact_dedup's trick) so the shuffle carries fingerprints, and feed the
+    hits into connected_components for canonical groups."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("t"))
+    n_wins = F.floor((F.size("t") - 1) / 16).cast("int")
+    passages = (
+        base.select("doc_id", "t", F.explode(F.sequence(F.lit(0), n_wins)).alias("w"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("t", F.col("w") * 16 + 1, 16)).alias("passage"),
+        )
+    )
+    return (
+        passages.groupBy("passage")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
