@@ -56,6 +56,8 @@ HEADLINE = {
     "pipeline_chain": "collect",
     "partition_pruning": "collect",
     "stream_sliding_window": "count",
+    "doc_repetition": "count",
+    "passage_dedup": "count",
 }
 
 
