@@ -34,6 +34,14 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Stateful streaming sizes its state store by shuffle partitions AT
+    # QUERY START and AQE cannot coalesce them; under a default session
+    # (200) a small replay pays 200 state-store partitions of overhead
+    # (~3-5x wall on the driver's gate). Cap to the core count. A real
+    # deployment sizes this to its state volume instead.
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, min(64, cores))))
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     stage = f"/tmp/nextgenetl_streams/{hashlib.md5(src.encode()).hexdigest()[:12]}"
     os.makedirs(stage, exist_ok=True)
