@@ -394,3 +394,61 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@workload(
+    "benchmark_contamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               array_to_string(t[(w.i):(w.i+7)], ' ') AS ng
+        FROM toks, generate_series(1, 100000) AS w(i)
+        WHERE w.i <= len(t) - 7
+    ),
+    bench AS (SELECT DISTINCT ng, doc_id AS bench_id FROM g WHERE source = 'src0'),
+    train AS (SELECT doc_id, ng FROM g WHERE source <> 'src0')
+    SELECT t.doc_id, COUNT(*) AS n_hits, COUNT(DISTINCT b.bench_id) AS n_bench_docs
+    FROM train t JOIN bench b USING (ng)
+    GROUP BY t.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: sliding 8-gram overlap between the
+    training corpus and a held-out/benchmark set (here: source 'src0'),
+    reporting per training doc how many 8-grams it shares and with how many
+    benchmark docs — the standard pre-training leakage check. 8-grams come
+    from zipping eight shifted slices of the token array (codegen, no
+    lambda). The benchmark side is orders of magnitude smaller than the
+    corpus, so at 100 TB its distinct-ngram set broadcasts (hash the ngram
+    to 16 bytes first) and the check is one scan of the training side with
+    a broadcast semi-match — no corpus shuffle."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", F.split("text", " ").alias("t"))
+    n = F.size("t") - 7
+    z = F.arrays_zip(*[F.slice("t", i + 1, n).alias(f"s{i}") for i in range(8)])
+    grams = base.select(
+        "doc_id",
+        "source",
+        F.explode(z).alias("z"),
+    ).select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", *[F.col(f"z.s{i}") for i in range(8)]).alias("ng"),
+    )
+    bench = (
+        grams.filter(F.col("source") == "src0")
+        .select("ng", F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    train = grams.filter(F.col("source") != "src0").select("doc_id", "ng")
+    return (
+        train.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
