@@ -87,3 +87,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, c, k_centroids=16, nprobe=4, k=5, refine_iters=2).select(
         "query_id", "neighbor_id", "sim", "rank"
     )
+
+
+@workload(
+    "embedding_norm_qc",
+    oracle="""
+    WITH v AS (
+        SELECT label, len(embedding) AS dim,
+               ROUND(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+        FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(norm), 4) AS mean_norm,
+           ROUND(MIN(norm), 4) AS min_norm,
+           CAST(SUM(CASE WHEN norm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           MIN(dim) AS min_dim, MAX(dim) AS max_dim
+    FROM v GROUP BY label
+    """,
+)
+def embedding_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QC before any similarity work: per-label vector
+    count, L2-norm distribution (catches unnormalized batches), zero-vector
+    count (failed encodes), and dimension min/max (schema drift). Norms are
+    one numpy pass per Arrow batch via mapInPandas — the same
+    stay-vectorized rule as the GEMM scoring paths; per-element SQL
+    higher-order lambdas are interpreted per value and left to the oracle
+    side only. Then a tiny groupBy(label) aggregate; the vectors themselves
+    never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def norms(batches):
+        for pdf in batches:
+            V = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+            yield pd.DataFrame(
+                {
+                    "label": pdf["label"],
+                    "dim": [V.shape[1]] * len(pdf),
+                    "norm": np.round(np.sqrt((V * V).sum(axis=1)), 4),
+                }
+            )
+
+    v = e.select("label", "embedding").mapInPandas(norms, "label long, dim int, norm double")
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("norm"), 4).alias("mean_norm"),
+        F.round(F.min("norm"), 4).alias("min_norm"),
+        F.sum(F.when(F.col("norm") < 1e-6, 1).otherwise(0)).alias("n_zero"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+    )

