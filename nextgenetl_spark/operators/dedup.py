@@ -253,13 +253,12 @@ def connected_components(
     Returns (node, label) for every node that appears in an edge; label is
     the component's canonical (minimum) id.
 
-    Scale shape: each round is one shuffle of the edge list on node id plus a
-    broadcast-size change check; rounds needed = graph diameter, which for
-    near-dup graphs is tiny (clusters are cliques or short chains, diameter
-    ≤ ~3). ``localCheckpoint`` cuts lineage each round so the plan does not
-    grow with iterations. For adversarial long-chain graphs swap in the
-    large-star/small-star alternation (Kiveris et al.) — same join shapes,
-    fewer rounds; not needed for dedup-shaped graphs."""
+    Scale shape: each round is one shuffle of the edge list on node id, a
+    label-table pointer-doubling self-join (small), and a one-row
+    change-sum check; pointer doubling makes rounds O(log diameter) — the
+    Kiveris-style guarantee — while dedup-shaped graphs (cliques/short
+    chains) still converge in ~3 rounds. ``localCheckpoint`` cuts lineage
+    each round so the plan does not grow with iterations."""
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -272,12 +271,27 @@ def connected_components(
     # sums is a one-row aggregate per round instead of a join + count.
     prev_sum = None
     for _ in range(max_iters):
-        neigh = sym.join(labels, sym.src == labels.node).groupBy("dst").agg(
-            F.min("label").alias("nlabel")
-        )
+        # new label = min(own label, neighbors' labels): the self-label is
+        # UNIONed into the neighbor contributions so one hash aggregate
+        # computes the min — one join + one agg per round, instead of
+        # join + agg + second join (re-attach) — a third less shuffle.
+        contrib = sym.join(labels, sym.src == labels.node).select("dst", "label")
         labels = (
-            labels.join(neigh, labels.node == neigh.dst, "left")
-            .select("node", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"))
+            contrib.union(labels.select(F.col("node").alias("dst"), "label"))
+            .groupBy("dst")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("dst").alias("node"), "label")
+        )
+        # Pointer doubling: label := label(label). Labels are node ids, so
+        # one extra label-table self-join (small — never the edge list)
+        # jumps two hops per round: O(log diameter) edge shuffles instead
+        # of O(diameter) — the difference on adversarial chain-shaped
+        # graphs; neutral on clique-shaped dedup graphs. Monotone
+        # (label(label) <= label), so the sum-convergence check still holds.
+        l2 = labels.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
+        labels = (
+            labels.join(l2, labels.label == l2.n2, "left")
+            .select("node", F.coalesce("l2", "label").alias("label"))
             .localCheckpoint()
         )
         # decimal(38,0) sum: exact at any node count (a long sum could
