@@ -241,3 +241,17 @@ def test_deterministic_split_is_stable_and_disjoint(spark):
     )
     for r in half.select("doc_id", "split").collect():
         assert a[r["doc_id"]] == r["split"]
+
+
+def test_connected_components_long_chain_converges_in_log_rounds(spark):
+    """A 400-node path graph has diameter 399: plain min-label propagation
+    needs ~400 rounds and would NOT converge within max_iters=30; pointer
+    doubling must finish it in O(log n) rounds."""
+    from nextgenetl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(399)], "a_id long, b_id long"
+    )
+    out = connected_components(edges, max_iters=30).collect()
+    assert len(out) == 400
+    assert {r["label"] for r in out} == {0}
