@@ -360,3 +360,67 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_id", "event_type", {"view": 0.10, "click": 0.25, "purchase": 1.00}
     )
     return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@workload(
+    "time_grid_fill",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor(epoch(MIN(ts))/3600)*3600 AS BIGINT) AS lo,
+               CAST(floor(epoch(MAX(ts))/3600)*3600 AS BIGINT) AS hi
+        FROM events
+    ),
+    grid AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_start FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS h,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        FROM events GROUP BY event_type, h
+    )
+    SELECT t.event_type, g.hour_start,
+           COALESCE(a.n, 0) AS n_events,
+           ROUND(COALESCE(a.v, 0), 2) AS value_sum
+    FROM grid g
+    CROSS JOIN types t
+    LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = g.hour_start
+    """,
+)
+def time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly time series per event type: hours with no events
+    appear as explicit zero rows — the resample/gap-fill shape every
+    monitoring or training-telemetry rollup needs, which a plain groupBy
+    cannot produce (it only sees hours that exist). The hour grid is built
+    declaratively (1-row min/max aggregate → sequence → explode → cross
+    join with the tiny type dim) and the grid side broadcasts into the
+    left join, so the event table is scanned once and shuffles only
+    (type, hour) aggregates — grid size is hours × types regardless of
+    corpus size."""
+    ev = load(spark, sf_dir, "events")
+    epoch_h = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    agg = ev.groupBy(F.col("event_type").alias("agg_type"), epoch_h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+    bounds = ev.agg(
+        (F.floor(F.unix_timestamp(F.min("ts")) / 3600) * 3600).cast("long").alias("lo"),
+        (F.floor(F.unix_timestamp(F.max("ts")) / 3600) * 3600).cast("long").alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_start")
+    )
+    types = ev.select(F.col("event_type").alias("grid_type")).distinct()
+    return (
+        F.broadcast(grid.crossJoin(types))
+        .join(
+            agg,
+            (F.col("grid_type") == F.col("agg_type"))
+            & (F.col("hour_start") == F.col("h")),
+            "left",
+        )
+        .select(
+            F.col("grid_type").alias("event_type"),
+            "hour_start",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.round(F.coalesce("v", F.lit(0.0)), 2).alias("value_sum"),
+        )
+    )
