@@ -92,3 +92,71 @@ def salted_join(
     )
     out = big_salted.join(small_rep, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    tiebreaker: str | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """As-of join: attach to every left row the LATEST right row with
+    ``right_ts <= left_ts`` for the same key (LEFT semantics: unmatched
+    left rows keep NULLs). Spark has no native ASOF JOIN; the naive rewrite
+    (range-predicate join + row_number) is a per-key cross product. This is
+    the scale-correct composition: tag both inputs, UNION them, and run a
+    single ``last(ignorenulls)`` window per key —
+
+        cost = ONE shuffle of |left|+|right| rows on the key and one sort,
+        independent of how many right rows precede each left row.
+
+    Ties: a right row at exactly ``left_ts`` matches (inclusive); among
+    right rows sharing one timestamp the greatest ``tiebreaker`` wins
+    (pass one for determinism — e.g. a unique id).
+
+    ``right_cols`` (default: all non-key, non-ts columns) are attached as
+    ``{prefix}{col}``, plus ``{prefix}ts`` = the matched right timestamp.
+    """
+    from pyspark.sql import Window
+
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    pay_fields = [F.col(right_ts).alias("__rts")] + [F.col(c) for c in right_cols]
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.struct(*pay_fields).alias("__rpay"),
+        F.lit(0).alias("__side"),
+    )
+    rpay_type = r_tagged.schema["__rpay"].dataType
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(None).cast(rpay_type).alias("__rpay"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lpay"),
+    )
+    r_full = r_tagged.withColumn("__lpay", F.lit(None).cast(l_tagged.schema["__lpay"].dataType))
+    order = [F.col("__t").asc(), F.col("__side").asc()]
+    if tiebreaker is not None:
+        # among right rows at one timestamp the greatest tiebreaker sorts
+        # last, so last() picks it; left rows (null __rpay) are unaffected
+        order.append(F.col(f"__rpay.{tiebreaker}").asc_nulls_first())
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_tagged.unionByName(r_full)
+        .withColumn("__m", F.last("__rpay", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out_cols = [F.col(f"__lpay.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("__m.__rts").alias(f"{prefix}ts"))
+    out_cols += [F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols]
+    return matched.select(*out_cols)

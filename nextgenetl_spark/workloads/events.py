@@ -424,3 +424,90 @@ def time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("v", F.lit(0.0)), 2).alias("value_sum"),
         )
     )
+
+
+@workload(
+    "asof_purchase_view",
+    oracle="""
+    WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           m.view_id,
+           m.view_epoch,
+           CAST(floor(epoch(p.ts)) AS BIGINT) - m.view_epoch AS gap_s
+    FROM p LEFT JOIN LATERAL (
+        SELECT v.event_id AS view_id,
+               CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch
+        FROM v
+        WHERE v.user_id = p.user_id AND v.ts <= p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+    ) m ON TRUE
+    """,
+)
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join through the driver gate: every purchase is matched to the
+    user's latest view at-or-before it (operators/joins.py asof_join —
+    union + one last(ignorenulls) window per key). The oracle is DuckDB's
+    lateral top-1, i.e. the naive per-row scan the composition replaces:
+    one shuffle of |purchases|+|views| rows on user_id, regardless of how
+    many views precede each purchase. Attribution/feature-at-event-time
+    lookups at 100 TB are exactly this shape."""
+    from nextgenetl_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    m = asof_join(purchases, views, "user_id", tiebreaker="event_id")
+    return m.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_epoch"),
+        F.col("r_event_id").alias("view_id"),
+        F.unix_timestamp("r_ts").alias("view_epoch"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("r_ts")).alias("gap_s"),
+    )
+
+
+@workload(
+    "range_join_post_purchase",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(v.ts) AS n_views_45m
+    FROM p LEFT JOIN v
+      ON v.user_id = p.user_id
+     AND v.ts > p.ts
+     AND v.ts <= p.ts + INTERVAL 45 MINUTE
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def range_join_post_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: views falling in the 45 minutes after each
+    purchase by the same user. Spark has no native range join either; the
+    scale-correct decomposition is an EQUI-join on the selective key
+    (user_id — hash-partitionable, no cross product) with the range as a
+    residual join predicate, then aggregate-per-interval. Without a
+    selective equi key, the same pattern buckets time into coarse grains
+    and equi-joins on the bucket (overlap-explode) — same plan shape.
+    LEFT semantics keep zero-view purchases."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "event_id"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    joined = p.join(
+        v,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") > F.col("p_ts"))
+        & (F.col("v_ts") <= F.col("p_ts") + F.expr("INTERVAL 45 MINUTES")),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("event_id").alias("purchase_id"), F.col("p_user").alias("user_id")
+    ).agg(F.count("v_ts").alias("n_views_45m"))

@@ -183,3 +183,26 @@ def test_zorder_value_property(spark):
     )
     for r in df.collect():
         assert r["z"] == _morton_ref(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive bound, latest-prior match, tie by greatest tiebreaker,
+    NULLs for left rows with no prior right row, key isolation."""
+    from nextgenetl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l-a"), (1, 4, "l-b"), (2, 7, "l-c"), (3, 9, "l-d")],
+        "k long, ts long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 10, 101), (1, 10, 102), (1, 12, 103), (2, 7, 200)],
+        "k long, ts long, rid long",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["r_ts"], r["r_rid"])
+        for r in asof_join(left, right, "k", tiebreaker="rid").collect()
+    }
+    assert out[(1, 10)] == (10, 102)   # inclusive; tie -> greatest rid
+    assert out[(1, 4)] == (None, None) # no right row at ts<=4... rid 100 is ts5
+    assert out[(2, 7)] == (7, 200)     # exact match on other key
+    assert out[(3, 9)] == (None, None) # key with no right rows
