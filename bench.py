@@ -58,6 +58,7 @@ HEADLINE = {
     "stream_sliding_window": "count",
     "doc_repetition": "count",
     "passage_dedup": "count",
+    "asof_purchase_view": "count",
 }
 
 
