@@ -60,6 +60,11 @@ def main() -> None:
                 e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
                 k_centroids=32, nprobe=4,
             ).count(),
+            # pairs → canonical groups; rounds should stay flat (graph
+            # diameter, pointer-doubled) while pair volume grows
+            "conn_comp": lambda: D.connected_components(
+                D.minhash_near_dup_pairs(d, threshold=0.5)
+            ).count(),
         }
         out = []
         for name, fn in steps.items():
