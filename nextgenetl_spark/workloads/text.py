@@ -452,3 +452,66 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+@workload(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  t -> t <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS raw
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, ROUND(raw, 4) AS tfidf, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY raw DESC, term) AS rk
+        FROM scored
+    )
+    WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf * ln(N/df), deterministic term tie-break. Tokenization happens in
+    ONE scan: document frequency is a count window over the (doc, term)
+    tf table partitioned by term, not a second aggregate joined back
+    (which would re-read and re-tokenize the whole corpus — the dominant
+    cost at 100 TB). After the tf reduce only (doc_id, term, counts) rows
+    shuffle — never raw text — through term-partitioned (df window) and
+    doc-partitioned (rank window) exchanges. Ranking orders by the
+    unrounded score (identical arithmetic on both engines) and only the
+    emitted value is rounded, so the top-k set is stable."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(
+            F.array_remove(F.split(F.lower("text"), "[^a-z]+"), "")
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "raw", F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("raw", 4).alias("tfidf"), "rk")
+    )

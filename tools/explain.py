@@ -25,7 +25,12 @@ RED_FLAGS = (
 )
 # Deliberate plan shapes, not defects: brute-force ANN *is* a broadcast
 # cross product (small query set against the corpus).
-EXPECTED = {"ann_cosine_topk": {"BroadcastNestedLoopJoin"}, "ann_ivf_topk": {"BroadcastNestedLoopJoin"}}
+EXPECTED = {
+    "ann_cosine_topk": {"BroadcastNestedLoopJoin"},
+    "ann_ivf_topk": {"BroadcastNestedLoopJoin"},
+    # 1-row N-docs aggregate broadcast into every tf row — constant-size NLJ
+    "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
+}
 INTERESTING = (
     "Scan parquet",
     "PushedFilters",
