@@ -301,3 +301,80 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round: every node links its strictly-larger neighbors
+    to the minimum of its closed neighborhood. ``sym`` must hold both edge
+    directions. Emits a deduplicated (src, dst) edge list."""
+    mins = sym.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("m"))
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: edges are oriented large→small, then every node
+    links itself and its not-larger neighbors to the minimum neighbor.
+    Emits a deduplicated (src, dst) edge list with src > dst."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = oriented.join(mins, "src").select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    own = mins.select("src", F.col("m").alias("dst"))
+    return relink.union(own).where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iters: int = 50
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the skew-robust alternative to min-label propagation
+    (``connected_components``). Same contract: (node, label) for every node
+    in an edge, label = component minimum id.
+
+    Why keep both: label propagation shuffles the FULL edge list every
+    round, so its cost is rounds × |E| even when most of the graph settled
+    early. Star contraction rewrites the edge list itself — each round's
+    shuffle is the CURRENT edge set, which collapses geometrically (provably
+    O(log^2 n) rounds, ~5 in practice), so late rounds are near-free. On
+    adversarial shapes (long chains, high-degree hubs from boilerplate
+    near-dup text) this is the variant that holds up; ``near_dup_groups``
+    vs ``near_dup_groups_star`` run both against one oracle.
+
+    Convergence: the edge multiset is a fixed point exactly when the graph
+    is a forest of stars pointing at component minima. Detected by an
+    order-insensitive xxhash64 checksum + count — one 1-row aggregate per
+    round, no anti-join."""
+    e = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    prev = None
+    for _ in range(max_iters):
+        big = _large_star(sym)
+        e = _small_star(big).localCheckpoint()
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        cur = (row["n"], row["h"])
+        if cur == prev:
+            break
+        prev = cur
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Fixed point = stars: src→dst is node→component-min; roots label themselves.
+    return (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+        .union(e.select(F.col("dst").alias("node"), F.col("dst").alias("label")))
+        .distinct()
+    )

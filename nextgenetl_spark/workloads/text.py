@@ -220,6 +220,47 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "near_dup_groups_star",
+    oracle="""
+    WITH RECURSIVE ts AS (
+        SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\\s+')) AS tok_set
+        FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM ts a JOIN ts b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.5),
+    sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(node, label) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.dst, r.label FROM sym s JOIN reach r ON s.src = r.node),
+    lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+    SELECT label AS group_id, COUNT(*) AS n_docs,
+           string_agg(CAST(node AS VARCHAR), ';' ORDER BY CAST(node AS VARCHAR)) AS members
+    FROM lab GROUP BY label
+    """,
+)
+def near_dup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup chain as ``near_dup_groups`` but grouped with the
+    large-star/small-star contraction (Kiveris et al. SoCC'14) instead of
+    min-label propagation — the skew-robust variant for graphs with long
+    chains or boilerplate hub nodes, verified against the identical
+    recursive-CTE oracle. Each round shuffles the CURRENT (geometrically
+    collapsing) edge set rather than the full edge list."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "source", threshold=0.5).select("a_id", "b_id")
+    comp = D.connected_components_star(pairs)
+    return comp.groupBy(F.col("label").alias("group_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(F.array_sort(F.collect_list(F.col("node").cast("string"))), ";").alias(
+            "members"
+        ),
+    )
+
+
+@workload(
     "hash_split",
     oracle="""
     SELECT doc_id,

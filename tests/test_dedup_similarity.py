@@ -255,3 +255,41 @@ def test_connected_components_long_chain_converges_in_log_rounds(spark):
     out = connected_components(edges, max_iters=30).collect()
     assert len(out) == 400
     assert {r["label"] for r in out} == {0}
+
+
+def test_star_cc_matches_propagation_on_mixed_graph(spark):
+    """Large-star/small-star contraction and min-label propagation must
+    produce identical (node, label) sets on a graph mixing a chain, a
+    clique, and a max-id hub star (the shapes that stress each variant
+    differently)."""
+    import itertools
+
+    edges = [(i, i + 1) for i in range(40)]
+    edges += [(100 + a, 100 + b) for a, b in itertools.combinations(range(5), 2)]
+    edges += [(999, 200 + i) for i in range(30)]  # hub is the LARGEST id
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    star = {(r["node"], r["label"]) for r in D.connected_components_star(df).collect()}
+    prop = {(r["node"], r["label"]) for r in D.connected_components(df).collect()}
+    assert star == prop
+    assert {l for _, l in star} == {0, 100, 200}
+
+
+def test_star_cc_long_chain_converges(spark):
+    """A 400-node path graph: star contraction's O(log^2 n) bound must land
+    well within 50 rounds, with every node labelled by the chain minimum."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(399)], "a_id long, b_id long"
+    )
+    out = D.connected_components_star(edges, max_iters=50).collect()
+    assert len(out) == 400
+    assert {r["label"] for r in out} == {0}
+
+
+def test_star_cc_duplicate_and_reversed_edges(spark):
+    """Duplicate edges, both orientations, and self-loops must not change
+    the result."""
+    base = [(1, 2), (2, 3), (7, 8)]
+    noisy = base + [(2, 1), (3, 2), (1, 2), (5, 5)]
+    df = spark.createDataFrame(noisy, "a_id long, b_id long")
+    got = {r["node"]: r["label"] for r in D.connected_components_star(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
