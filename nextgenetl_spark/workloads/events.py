@@ -329,6 +329,98 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS value_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY segment, e.event_type
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming stream-static enrichment, oracle-verified: the
+    replayed events stream joins the static customer dimension
+    (broadcast — the dim ships to executors once per batch, zero state
+    store) and aggregates per market segment in complete mode. The
+    enrich-on-ingest shape: stream keeps flowing, dimension swaps without
+    restarting the query."""
+    from nextgenetl_spark.catalog import load
+    from nextgenetl_spark.streaming.joins import enrich_with_dim
+    from nextgenetl_spark.streaming.source import events_stream
+
+    name = "wl_stream_enrich"
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = enrich_with_dim(events_stream(spark, sf_dir), dim, "user_id", "inner")
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+@workload(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_sec
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL stream-stream interval join, oracle-verified: purchases join
+    clicks by the same user within the preceding 10 minutes
+    (click→purchase attribution). Both sides watermarked; the time-range
+    join condition is what bounds the state store — a click is evicted
+    once the watermark passes its ts + lookback. Inner-join emission is
+    match-driven, so the availableNow replay equals the batch interval
+    join exactly (watermarks only bound state, they drop nothing in a
+    complete replay)."""
+    from nextgenetl_spark.streaming.joins import interval_self_join
+    from nextgenetl_spark.streaming.source import events_stream
+
+    name = "wl_stream_ijoin"
+    joined = interval_self_join(
+        events_stream(spark, sf_dir), "purchase", "click", lookback="10 minutes"
+    )
+    out = joined.select(
+        F.col("l_user").alias("user_id"),
+        F.col("left_id").alias("purchase_id"),
+        F.col("right_id").alias("click_id"),
+        # exact microsecond diff floored to whole seconds — a per-timestamp
+        # seconds cast would floor each side first and disagree with the
+        # oracle on sub-second offsets
+        ((F.unix_micros("l_ts") - F.unix_micros("r_ts")) / F.lit(1000000))
+        .cast("long")
+        .alias("lag_sec"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+@workload(
     "stratified_sample",
     oracle="""
     SELECT event_type, COUNT(*) AS n_kept

@@ -105,3 +105,43 @@ def _run_stream_append(spark, sdf, name):
     )
     q.awaitTermination(120)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    from nextgenetl_spark.streaming.joins import enrich_with_dim
+    from pyspark.sql import functions as F
+
+    dim = load(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    ev = events_stream(spark, SF_SMOKE)
+    out = _run_stream_append(spark, enrich_with_dim(ev, dim, "user_id", "inner"), "t_enrich")
+    batch = load(spark, SF_SMOKE, "events").join(dim, "user_id", "inner")
+    assert out.count() == batch.count()
+    s = {(r["event_id"], r["segment"]) for r in out.select("event_id", "segment").collect()}
+    b = {(r["event_id"], r["segment"]) for r in batch.select("event_id", "segment").collect()}
+    assert s == b
+
+
+def test_stream_interval_join_matches_batch(spark):
+    from nextgenetl_spark.streaming.joins import interval_self_join
+    from pyspark.sql import functions as F
+
+    ev = events_stream(spark, SF_SMOKE)
+    out = _run_stream_append(
+        spark, interval_self_join(ev, "purchase", "click", "10 minutes"), "t_ijoin"
+    )
+    e = load(spark, SF_SMOKE, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    batch = p.join(
+        c,
+        F.expr("pu = cu AND cts BETWEEN pts - INTERVAL 10 minutes AND pts"),
+    )
+    s = {(r["left_id"], r["right_id"]) for r in out.select("left_id", "right_id").collect()}
+    b = {(r["pid"], r["cid"]) for r in batch.select("pid", "cid").collect()}
+    assert s == b
