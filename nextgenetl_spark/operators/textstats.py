@@ -101,3 +101,46 @@ def bpe_tokens(col) -> Column:
     engine-portable. Scan-stage expression — no UDF."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def compression_ratio_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document zlib compression ratio — the classic repetition /
+    low-entropy quality signal (highly repetitive or templated text
+    compresses far below natural prose; near-random noise barely
+    compresses at all). zlib lives in Python, so this is an Arrow-batched
+    ``mapInPandas`` stage: text streams through executor-side record
+    batches, compressed sizes come back as typed columns, nothing touches
+    the driver. Level is pinned (6) so the ratio is deterministic across
+    runs and platforms (zlib output is specified per level).
+
+    Returns (id, n_bytes, n_compressed, ratio rounded to 4dp)."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("n_compressed", T.IntegerType()),
+            T.StructField("ratio", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf[text_col].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            n = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n.astype("int32"),
+                    "n_compressed": comp.astype("int32"),
+                    "ratio": (comp / n.where(n > 0, 1)).round(4),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

@@ -556,3 +556,98 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", F.round("raw", 4).alias("tfidf"), "rk")
     )
+
+
+@workload(
+    "source_capped_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    WHERE rk <= 10
+    """,
+)
+def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (domain balancing): keep at most N documents per
+    source, chosen in deterministic md5-hash order so the kept set is
+    stable across runs, engines, and corpus growth — the anti-boilerplate
+    cap every web-scale pipeline applies per domain. One doc-partitioned
+    window; only (id, source, len) columns shuffle, never text. At 100 TB
+    swap row_number for a per-source count + hash-threshold filter when N
+    is a fraction rather than a fixed cap (zero-shuffle, like
+    stratified_sample)."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@workload(
+    "mixture_token_budget",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM toks)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 2000
+    """,
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: each source contributes documents, in
+    deterministic hash order, until its cumulative token count hits the
+    per-source budget — how a pretraining mix hits target proportions by
+    TOKENS (what the loss sees) instead of by document count. One
+    source-partitioned running-sum window over (id, source, count) rows;
+    tokenization stays in the scan stage and text never shuffles. Budgets
+    per source would come from a broadcast mixture-weights table at scale;
+    a fixed 2000-token budget stands in here."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(TS.tokens("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 2000)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+@workload("compression_ratio")  # no SQL oracle: zlib isn't SQL; pytest pins values against direct zlib
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (repetition / low-entropy
+    filter) via Arrow-batched mapInPandas — the canonical 'Python library
+    in the hot path done right' shape: vectorized batches, typed schema,
+    no driver round-trip. Rows-only driver check; the pytest recomputes
+    ratios with direct zlib on collected text and pins equality."""
+    d = load(spark, sf_dir, "documents")
+    return TS.compression_ratio_stats(d)

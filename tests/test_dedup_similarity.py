@@ -293,3 +293,26 @@ def test_star_cc_duplicate_and_reversed_edges(spark):
     df = spark.createDataFrame(noisy, "a_id long, b_id long")
     got = {r["node"]: r["label"] for r in D.connected_components_star(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    """mapInPandas zlib ratios must equal a driver-side recompute on the
+    same docs, and repetitive text must compress below shuffled-unique
+    text."""
+    import zlib
+
+    from nextgenetl_spark.operators.textstats import compression_ratio_stats
+
+    docs = load(spark, SF_SMOKE, "documents").limit(50)
+    got = {r["doc_id"]: r for r in compression_ratio_stats(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        raw = r["text"].encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        assert got[r["doc_id"]]["n_bytes"] == len(raw)
+        assert got[r["doc_id"]]["n_compressed"] == comp
+        assert abs(got[r["doc_id"]]["ratio"] - round(comp / max(len(raw), 1), 4)) < 1e-9
+
+    rep = spark.createDataFrame([(1, "spam " * 400), (2, " ".join(f"w{i}" for i in range(400)))],
+                                ["doc_id", "text"])
+    rr = {r["doc_id"]: r["ratio"] for r in compression_ratio_stats(rep).collect()}
+    assert rr[1] < rr[2] / 3  # repetition compresses dramatically better

@@ -65,6 +65,11 @@ def main() -> None:
             "conn_comp": lambda: D.connected_components(
                 D.minhash_near_dup_pairs(d, threshold=0.5)
             ).count(),
+            # star-contraction variant: per-round shuffle is the collapsing
+            # edge set, so time should grow with pair volume, not rounds
+            "conn_comp_star": lambda: D.connected_components_star(
+                D.minhash_near_dup_pairs(d, threshold=0.5)
+            ).count(),
         }
         out = []
         for name, fn in steps.items():
