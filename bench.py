@@ -59,6 +59,11 @@ HEADLINE = {
     "doc_repetition": "count",
     "passage_dedup": "count",
     "asof_purchase_view": "count",
+    "near_dup_groups_star": "count",
+    "tfidf_top_terms": "count",
+    "mixture_token_budget": "count",
+    "compression_ratio": "count",
+    "stream_interval_join": "count",
 }
 
 

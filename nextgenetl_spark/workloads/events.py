@@ -397,6 +397,14 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_self_join(
         events_stream(spark, sf_dir), "purchase", "click", lookback="10 minutes"
     )
+    # A stream-stream join keeps FOUR state stores per shuffle partition
+    # (left/right × key-index layouts), so per-partition fixed cost is 4×
+    # an agg's; size partitions to state volume, not core count (4× wall
+    # at 32 vs 8 partitions on this replay). Restore after query start —
+    # the count is baked into the query at start.
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(4, min(8, cores // 4))))
     out = joined.select(
         F.col("l_user").alias("user_id"),
         F.col("left_id").alias("purchase_id"),
@@ -415,8 +423,11 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
