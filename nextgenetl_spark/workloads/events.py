@@ -614,3 +614,51 @@ def range_join_post_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.col("event_id").alias("purchase_id"), F.col("p_user").alias("user_id")
     ).agg(F.count("v_ts").alias("n_views_45m"))
+
+
+@workload(
+    "stream_lake_publish",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_lake_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming publish into a partitioned parquet lake via
+    foreachBatch with idempotent batch-scoped dynamic-partition overwrite
+    (streaming/sink.py) — the exactly-once landing pattern. The workload
+    replays the events stream into the lake, then SIMULATES a crash
+    redelivery by re-running batch 0's writer on the same data, reads the
+    lake back, and aggregates: if the sink were append-only the redelivery
+    would double every count and the oracle compare would fail — the
+    exactly-once property is inside the gate, not just asserted in a
+    test."""
+    import hashlib
+    import shutil
+
+    from nextgenetl_spark.streaming.sink import exactly_once_parquet_sink, run_stream_to_lake
+    from nextgenetl_spark.streaming.source import events_stream
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    lake = f"/tmp/nextgenetl_lake/{tag}/events"
+    ckpt = f"/tmp/nextgenetl_lake/{tag}/_ckpt"
+    shutil.rmtree(f"/tmp/nextgenetl_lake/{tag}", ignore_errors=True)
+
+    ev = events_stream(spark, sf_dir).select("event_id", "ts", "user_id", "event_type", "value")
+    run_stream_to_lake(ev, lake, ckpt, partition_cols=["event_type"])
+    # crash-redelivery simulation: batch 0 delivered again with identical
+    # data. localCheckpoint materializes it first — a real redelivery
+    # replays from the SOURCE; a lazy re-read of the lake would race the
+    # overwrite of its own input files.
+    batch0 = (
+        spark.read.parquet(lake)
+        .where(F.col("_batch_id") == 0)
+        .drop("_batch_id")
+        .localCheckpoint()
+    )
+    exactly_once_parquet_sink(lake, ["event_type"])(batch0, 0)
+    return (
+        spark.read.parquet(lake)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+    )
