@@ -651,3 +651,70 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios with direct zlib on collected text and pins equality."""
     d = load(spark, sf_dir, "documents")
     return TS.compression_ratio_stats(d)
+
+
+@workload(
+    "curation_pipeline",
+    oracle="""
+    WITH dedup AS (
+        SELECT doc_id, text, source,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rk
+        FROM documents),
+    kept AS (
+        SELECT doc_id, text, source FROM dedup WHERE dup_rk = 1),
+    q AS (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM kept
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= 10
+          AND CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+              / len(string_split_regex(trim(text), '\\s+')) >= 0.05),
+    capped AS (
+        SELECT doc_id, source, n_tokens,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM q)
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM capped WHERE rk <= 15
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation DAG in one plan: exact dedup (keep
+    min doc per content hash) → quality filter (length + stopword ratio)
+    → per-domain cap (deterministic hash order, ≤15/source) → train/val/
+    test split assignment. Every stage is the library operator the
+    individual workloads gate one-by-one; this entry proves they COMPOSE
+    into the pipeline a user actually runs, still as one Catalyst plan:
+    dedup shuffles 16-byte hashes, the quality filter runs in the scan
+    stage before any shuffle, the cap shuffles (id, source, count) rows,
+    and the split is a scan-stage expression — text is never shuffled at
+    all."""
+    from pyspark.sql.window import Window
+
+    from nextgenetl_spark.operators.sampling import deterministic_split
+
+    d = load(spark, sf_dir, "documents")
+    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        d.withColumn("dup_rk", F.row_number().over(wd))
+        .filter(F.col("dup_rk") == 1)
+        .drop("dup_rk")
+    )
+    toks = TS.tokens("text")
+    # unrounded ratio in the filter — stopword_ratio's 4dp display rounding
+    # would disagree with the oracle on threshold-boundary docs
+    raw_ratio = TS.stopword_hits(toks, "en") / F.size(toks)
+    q = (
+        kept.withColumn("n_tokens", F.size(toks))
+        .filter((F.col("n_tokens") >= 10) & (raw_ratio >= 0.05))
+        .select("doc_id", "source", "n_tokens")
+    )
+    wc = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    capped = q.withColumn("rk", F.row_number().over(wc)).filter(F.col("rk") <= 15)
+    return deterministic_split(capped, "doc_id", [("cccc", "train"), ("e666", "val")]).select(
+        "doc_id", "source", "n_tokens", "split"
+    )
