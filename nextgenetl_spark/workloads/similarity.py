@@ -140,3 +140,49 @@ def embedding_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dim").alias("min_dim"),
         F.max("dim").alias("max_dim"),
     )
+
+
+@workload(
+    "semantic_dedup_keep",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.7),
+    sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(node, label) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.dst, r.label FROM sym s JOIN reach r ON s.src = r.node),
+    lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+    SELECT e.vec_id, COALESCE(lab.label, e.vec_id) AS group_id,
+           (lab.node IS NULL OR lab.label = e.vec_id) AS keep
+    FROM embeddings e LEFT JOIN lab ON e.vec_id = lab.node
+    """,
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup shape): cosine near-dup pairs
+    blocked by cluster label (numpy GEMM per block via applyInPandas) →
+    connected components → a keep/drop decision for EVERY vector — keep
+    the component minimum, keep all singletons. This is the decision list
+    a curation pipeline joins back onto the corpus. At 100 TB the blocks
+    come from k-means/IVF cells (operators/similarity.py pick_centroids +
+    Lloyd refinement) instead of given labels; everything downstream is
+    identical. Oracle: recursive-CTE closure over the same pairs,
+    left-joined to all vectors."""
+    from nextgenetl_spark.operators.dedup import connected_components
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = blocked_near_dup_pairs_vectorized(e, block_col="label", threshold=0.7)
+    comp = connected_components(pairs.select("a_id", "b_id"))
+    return (
+        e.select("vec_id")
+        .join(comp, e.vec_id == comp.node, "left")
+        .select(
+            "vec_id",
+            F.coalesce("label", "vec_id").alias("group_id"),
+            (F.col("node").isNull() | (F.col("label") == F.col("vec_id"))).alias("keep"),
+        )
+    )
