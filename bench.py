@@ -64,6 +64,8 @@ HEADLINE = {
     "mixture_token_budget": "count",
     "compression_ratio": "count",
     "stream_interval_join": "count",
+    "curation_pipeline": "count",
+    "semantic_dedup_keep": "count",
 }
 
 
