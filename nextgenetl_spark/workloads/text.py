@@ -718,3 +718,42 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_split(capped, "doc_id", [("cccc", "train"), ("e666", "val")]).select(
         "doc_id", "source", "n_tokens", "split"
     )
+
+
+@workload(
+    "unigram_logprob_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents),
+    freq AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+    tot AS (SELECT SUM(tf) AS n FROM freq),
+    scored AS (
+        SELECT t.doc_id, ln(f.tf / CAST(tot.n AS DOUBLE)) AS lp
+        FROM toks t JOIN freq f USING (term) CROSS JOIN tot)
+    SELECT doc_id, ROUND(AVG(lp), 4) AS avg_logprob, COUNT(*) AS n_tokens
+    FROM scored GROUP BY doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: train term frequencies on the
+    corpus itself, score each document by mean token log-probability — the
+    cheap end of the KenLM-perplexity quality-filter family (docs full of
+    rare/garbage tokens score low, fluent-frequency docs score high).
+    One tokenize scan feeds both training and scoring: corpus frequencies
+    come from a count window over term (no second scan, no re-tokenize),
+    the corpus total is a 1-row broadcast, and the per-doc mean reduces
+    (doc, term) rows — text itself never shuffles. The mean is computed
+    over unrounded logs on both engines; only the emitted value rounds."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TS.tokens("text")).alias("term"))
+    freq = toks.withColumn("tf", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .withColumn("lp", F.log(F.col("tf") / F.col("n").cast("double")))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("lp"), 4).alias("avg_logprob"), F.count(F.lit(1)).alias("n_tokens"))
+    )

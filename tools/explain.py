@@ -30,6 +30,8 @@ EXPECTED = {
     "ann_ivf_topk": {"BroadcastNestedLoopJoin"},
     # 1-row N-docs aggregate broadcast into every tf row — constant-size NLJ
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
+    # 1-row corpus-total broadcast into every (doc, term) row — same shape
+    "unigram_logprob_score": {"BroadcastNestedLoopJoin"},
 }
 INTERESTING = (
     "Scan parquet",
