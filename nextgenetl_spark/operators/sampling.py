@@ -58,3 +58,31 @@ def stratified_hash_sample(
         cond = (F.col(stratum_col) == stratum) & (b < int(rate * space))
         expr = cond if expr is None else expr | cond
     return df.filter(expr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group token-budget sampling: within each group, take rows in
+    deterministic md5-hash order until the running sum of ``weight_col``
+    reaches ``budget`` — how a pretraining mix hits target proportions by
+    TOKENS rather than document count. Adds ``cum_tokens``. Monotone in the
+    budget (a smaller budget's kept set is a subset of a larger one's) and
+    stable across runs/engines/repartitions (hash order, no RNG). One
+    group-partitioned running-sum window; only (id, group, weight) columns
+    need to flow through it."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(weight_col).over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )

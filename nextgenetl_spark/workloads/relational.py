@@ -1241,3 +1241,34 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("qty"))
     )
+
+
+@workload(
+    "grouping_sets_profile",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           COUNT(*)                       AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form ROLLUP/CUBE specialize):
+    per-flag, per-status, and per-pair totals in ONE aggregation pass —
+    the reference computes such multi-slice profiles as per-level UNION ALL
+    re-scans (SURVEY §2.7 U1); grouping sets expand map-side so the single
+    scan's shuffle carries only (key, partial-agg) pairs at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               ROUND(SUM(l_extendedprice), 2) AS revenue,
+               COUNT(*)                       AS n
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """,
+        li=li,
+    )

@@ -621,24 +621,14 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization stays in the scan stage and text never shuffles. Budgets
     per source would come from a broadcast mixture-weights table at scale;
     a fixed 2000-token budget stands in here."""
-    from pyspark.sql.window import Window
+    from nextgenetl_spark.operators.sampling import token_budget_sample
 
     d = load(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id",
-        "source",
-        F.size(TS.tokens("text")).cast("long").alias("n_tokens"),
-        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        "doc_id", "source", F.size(TS.tokens("text")).cast("long").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= 2000)
-        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    return token_budget_sample(toks, budget=2000).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
     )
 
 

@@ -316,3 +316,44 @@ def test_compression_ratio_matches_direct_zlib(spark):
                                 ["doc_id", "text"])
     rr = {r["doc_id"]: r["ratio"] for r in compression_ratio_stats(rep).collect()}
     assert rr[1] < rr[2] / 3  # repetition compresses dramatically better
+
+
+def test_token_budget_sample_monotone_and_stable(spark):
+    """Budget monotonicity (kept@2000 ⊆ kept@4000), rerun stability, and
+    growth stability (a doc kept on the FULL corpus is kept on any subset
+    containing it — hash-order rank only drops when docs are removed)."""
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.sampling import token_budget_sample
+    from nextgenetl_spark.operators.textstats import tokens
+
+    d = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    small = {r["doc_id"] for r in token_budget_sample(d, 200).collect()}
+    big = {r["doc_id"] for r in token_budget_sample(d, 400).collect()}
+    assert small <= big and len(small) < len(big)
+    assert small == {r["doc_id"] for r in token_budget_sample(d, 200).collect()}
+    half = d.filter(F.col("doc_id") % 2 == 0)
+    kept_half = {r["doc_id"] for r in token_budget_sample(half, 200).collect()}
+    assert (small & {r["doc_id"] for r in half.collect()}) <= kept_half
+
+
+def test_source_cap_shrinks_only_under_growth(spark):
+    """A doc capped IN on the full corpus must be capped in on any subset
+    containing it (per-source rank is monotone under deletion)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+
+    def capped(df):
+        return {
+            r["doc_id"]
+            for r in df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10).collect()
+        }
+
+    full = capped(d)
+    half_df = d.filter(F.col("doc_id") % 2 == 0)
+    assert (full & {r["doc_id"] for r in half_df.collect()}) <= capped(half_df)
