@@ -67,3 +67,13 @@ def interval_self_join(
         ),
         "inner",
     )
+
+
+def anti_join_history(stream: DataFrame, history: DataFrame, on) -> DataFrame:
+    """Stream-static LEFT ANTI join: pass through only stream rows whose
+    key is absent from the historical snapshot — dedup-on-ingest against
+    an existing corpus. Stateless (each micro-batch probes the static
+    side), so unlike watermarked dropDuplicates there is no state to
+    grow; the history side broadcasts when small or shuffles once per
+    batch when not."""
+    return stream.join(F.broadcast(history), on, "left_anti")

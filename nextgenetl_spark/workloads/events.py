@@ -662,3 +662,48 @@ def stream_lake_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
     )
+
+
+@workload(
+    "stream_history_antijoin",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    LEFT JOIN (SELECT DISTINCT user_id, event_type FROM events WHERE user_id < 75) h
+      ON e.user_id = h.user_id AND e.event_type = h.event_type
+    WHERE h.user_id IS NULL
+    """,
+)
+def stream_history_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming dedup-on-ingest against a historical corpus,
+    oracle-verified: the replayed events stream anti-joins a static
+    already-ingested key snapshot ((user, type) pairs of users < 75 stand
+    in for 'content already in the lake') and only unseen-key rows pass.
+    Stateless stream-static anti join — the history probe re-reads the
+    snapshot per micro-batch, so refreshing the corpus needs no query
+    restart and no state store grows (contrast: dropDuplicates keeps
+    every key in state). At 100 TB the history side is a bucketed hash
+    index (content-hash → ()) instead of a broadcast."""
+    from nextgenetl_spark.streaming.joins import anti_join_history
+    from nextgenetl_spark.streaming.source import events_stream
+
+    name = "wl_stream_antijoin"
+    hist = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") < 75)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    out = anti_join_history(
+        events_stream(spark, sf_dir), hist, ["user_id", "event_type"]
+    ).select("event_id", "user_id", "event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
