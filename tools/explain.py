@@ -32,6 +32,9 @@ EXPECTED = {
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-total broadcast into every (doc, term) row — same shape
     "unigram_logprob_score": {"BroadcastNestedLoopJoin"},
+    # 1-row (min,max) bounds row cross-joined to build the hour grid —
+    # constant-size NLJ feeding sequence+explode
+    "time_grid_fill": {"BroadcastNestedLoopJoin"},
 }
 INTERESTING = (
     "Scan parquet",
