@@ -66,6 +66,12 @@ HEADLINE = {
     "stream_interval_join": "count",
     "curation_pipeline": "count",
     "semantic_dedup_keep": "count",
+    "unigram_logprob_score": "count",
+    "grouping_sets_profile": "collect",
+    "source_capped_sample": "count",
+    "stream_static_enrich": "collect",
+    "stream_history_antijoin": "count",
+    "stream_lake_publish": "collect",
 }
 
 
