@@ -28,17 +28,23 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects unless nanos are surfaced as long. Runtime-settable,
-        # so the engine works under ANY caller-provided session (the driver
-        # builds its own), not just sessions from our factory.
+        # events.parquet has shipped as TIMESTAMP(NANOS) (rejected by the
+        # parquet reader unless nanos surface as long) or TIMESTAMP(MICROS)
+        # without zone (reads as TIMESTAMP_NTZ). Runtime-settable, so the
+        # engine works under ANY caller-provided session (the driver builds
+        # its own), not just sessions from our factory.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # TIMESTAMP(NANOS) columns arrive as long (spark.sql.legacy.parquet.
-    # nanosAsLong) — convert to microsecond timestamps at the scan edge so
-    # every operator downstream sees a plain TimestampType.
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Normalize the scan edge so every operator downstream sees a plain
+    # TimestampType regardless of the file's physical resolution: nanos-as-
+    # long → truncate to micros; NTZ → retag (session tz is pinned to UTC,
+    # so the cast shifts no values).
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -1,9 +1,11 @@
 """Streaming source helpers for the driver's events table.
 
-``events.parquet`` stores TIMESTAMP(NANOS); under
-``spark.sql.legacy.parquet.nanosAsLong`` the column reads as long — the
-stream source converts at the edge exactly like catalog.load does for
-batch, so streaming and batch plans see the same schema."""
+``events.parquet`` has shipped with either TIMESTAMP(MICROS) (reads
+natively) or TIMESTAMP(NANOS) (reads as long under
+``spark.sql.legacy.parquet.nanosAsLong``). A cheap batch probe of the
+footer schema decides which; the stream source then converts at the edge
+exactly like catalog.load does for batch, so streaming and batch plans
+see the same schema."""
 
 from __future__ import annotations
 
@@ -11,16 +13,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),  # long = nanos-as-long; else native timestamp
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
@@ -49,8 +52,17 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     if not os.path.exists(link):
         os.symlink(src, link)
 
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    # Probe the footer once (planning-time only, no data read) so the stream
+    # schema matches whatever resolution this file actually stores.
+    ts_type = spark.read.parquet(stage).schema["ts"].dataType
+    reader = spark.readStream.schema(_events_raw_schema(ts_type))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(stage)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Watermarks require TIMESTAMP (with zone); the session tz is pinned
+        # to UTC so this cast is a pure type tag change, no value shift.
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
