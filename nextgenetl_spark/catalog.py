@@ -26,24 +26,46 @@ TABLES = (
 )
 
 
+def _parquet_ts_unit(path: str, field: str = "ts") -> str | None:
+    """Footer-only probe (pyarrow, no Spark job) for a timestamp column's
+    physical resolution ('ns'/'us'/'ms'), or None if absent/not a timestamp."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return None
+        path = parts[0]
+    try:
+        return getattr(pq.read_schema(path).field(field).type, "unit", None)
+    except (OSError, KeyError):
+        return None
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet has shipped as TIMESTAMP(NANOS) (rejected by the
-        # parquet reader unless nanos surface as long) or TIMESTAMP(MICROS)
-        # without zone (reads as TIMESTAMP_NTZ). Runtime-settable, so the
-        # engine works under ANY caller-provided session (the driver builds
-        # its own), not just sessions from our factory.
+    if name == "events" and _parquet_ts_unit(f"{sf_dir}/events.parquet") == "ns":
+        # TIMESTAMP(NANOS) is rejected by the parquet reader unless nanos
+        # surface as long. Runtime-settable, so the engine works under ANY
+        # caller-provided session (the driver builds its own), not just
+        # sessions from our factory — but only touch session config when
+        # the file actually stores nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # Normalize the scan edge so every operator downstream sees a plain
     # TimestampType regardless of the file's physical resolution: nanos-as-
-    # long → truncate to micros; NTZ → retag (session tz is pinned to UTC,
-    # so the cast shifts no values).
+    # long → truncate to micros; NTZ → retag. The NTZ cast reinterprets the
+    # wall-clock value in the session zone, so pin UTC at the conversion
+    # site — load() must be value-preserving under ANY caller session, not
+    # just our factory's UTC-pinned one.
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, T.TimestampNTZType):
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 

@@ -36,7 +36,10 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     import hashlib
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from nextgenetl_spark.catalog import _parquet_ts_unit
+
+    if _parquet_ts_unit(f"{sf_dir}/events.parquet") == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Stateful streaming sizes its state store by shuffle partitions AT
     # QUERY START and AQE cannot coalesce them; under a default session
     # (200) a small replay pays 200 state-store partitions of overhead
@@ -62,7 +65,11 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(ts_type, T.TimestampNTZType):
-        # Watermarks require TIMESTAMP (with zone); the session tz is pinned
-        # to UTC so this cast is a pure type tag change, no value shift.
+        # Cast NTZ -> TIMESTAMP for schema parity with catalog.load (same
+        # column type in batch and streaming plans, and stable state-store
+        # schemas across runs). The cast reinterprets the wall-clock value
+        # in the session zone, so pin UTC first — under a caller session in
+        # any other zone every timestamp would silently shift by the offset.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df

@@ -104,3 +104,31 @@ def test_approx_distinct_within_error_bound(spark):
         (row["approx_orders"], exact["o"]),
     ]:
         assert abs(approx - true) <= 0.05 * true, (approx, true)
+
+
+def test_events_load_value_preserving_under_non_utc_session(spark):
+    """catalog.load must yield identical epoch instants no matter what
+    timezone the caller's session runs in (the NTZ->TIMESTAMP cast
+    reinterprets wall-clock values, so load pins UTC at the cast site)."""
+    from pyspark.sql import functions as F
+
+    import pyarrow.parquet as pq
+
+    from nextgenetl_spark.catalog import load
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = load(spark, SF_SMOKE, "events").agg(
+            F.min(F.unix_timestamp("ts")).alias("lo"),
+            F.max(F.unix_timestamp("ts")).alias("hi"),
+        ).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    ts = pq.read_table(f"{SF_SMOKE}/events.parquet", columns=["ts"])["ts"]
+    import pyarrow.compute as pc
+
+    # tz-naive parquet micros are UTC instants by the engine's contract
+    lo = pc.min(ts).value // 1_000_000
+    hi = pc.max(ts).value // 1_000_000
+    assert (got["lo"], got["hi"]) == (lo, hi)
