@@ -37,16 +37,60 @@ def jaccard(a: F.Column, b: F.Column) -> F.Column:
     return inter / union
 
 
+#: Default bounded-block contract for the quadratic pair generators. A
+#: 10k-row block is ~5e7 candidate pairs in ONE task — near the ceiling of
+#: what a single executor core should absorb; anything bigger must go
+#: through the LSH route.
+MAX_BLOCK_ROWS = 10_000
+
+
+def bounded_block_guard(
+    df: DataFrame, block_col: str, max_block_rows: int, op_name: str, alt_hint: str
+) -> DataFrame:
+    """One-row guard DataFrame enforcing the bounded-block contract of a
+    quadratic pair generator, evaluated lazily INSIDE the pair job (no
+    driver-side count): aggregate the max block size, `assert_true` it
+    against the bound. The caller broadcast-cross-joins this single row and
+    filters on it, so the guard cannot be pruned out of the plan and the
+    stage fails with a named block before an unbounded O(block²) join can
+    silently run."""
+    top = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__n")).agg(
+        F.max_by(F.col(block_col).cast("string"), F.col("__n")).alias("__blk"),
+        F.max("__n").alias("__n"),
+    )
+    msg = F.concat_ws(
+        "",
+        F.lit(f"{op_name}: quadratic pair generation requires bounded blocks, but block '"),
+        F.col("__blk"),
+        F.lit("' has "),
+        F.col("__n").cast("string"),
+        F.lit(f" rows > max_block_rows={max_block_rows}. {alt_hint}"),
+    )
+    return top.select(F.assert_true(F.col("__n") <= max_block_rows, msg).alias("__guard"))
+
+
+def _with_guard(result: DataFrame, guard: DataFrame) -> DataFrame:
+    # assert_true yields NULL on success; referencing it in the filter keeps
+    # column pruning from eliminating the assertion expression.
+    return result.crossJoin(F.broadcast(guard)).where(F.col("__guard").isNull()).drop("__guard")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     block_col: str,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_block_rows: int | None = MAX_BLOCK_ROWS,
 ) -> DataFrame:
     """All-pairs token-set Jaccard *within blocks* (quadratic per block —
     only safe when blocks are bounded; the LSH path below is the scale
-    route). Returns (a_id, b_id, jac)."""
+    route). Returns (a_id, b_id, jac).
+
+    ``max_block_rows`` enforces the bounded-block contract at execution
+    time (set None ONLY when the caller already proved the bound, e.g. the
+    auto-router): the job fails naming the offending block instead of
+    silently running an unbounded O(block²) join."""
     # Token sets are hashed to long[] before the pair stage: the quadratic
     # intersect then compares 8-byte primitives instead of strings (same
     # Jaccard modulo 64-bit collisions, i.e. exactly, in practice).
@@ -63,7 +107,7 @@ def ngram_jaccard_pairs(
     size_ok = (F.col("a.n_tok") >= threshold * F.col("b.n_tok")) & (
         F.col("b.n_tok") >= threshold * F.col("a.n_tok")
     )
-    return (
+    out = (
         a.join(
             b,
             (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
@@ -77,6 +121,53 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jac") >= threshold)
     )
+    if max_block_rows is not None:
+        guard = bounded_block_guard(
+            df, block_col, max_block_rows, "ngram_jaccard_pairs",
+            "Use minhash_near_dup_pairs (LSH) or near_dup_pairs_auto for unbounded blocks.",
+        )
+        out = _with_guard(out, guard)
+    return out
+
+
+def near_dup_pairs_auto(
+    df: DataFrame,
+    block_col: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_block_rows: int = MAX_BLOCK_ROWS,
+    num_perm: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Size-routed near-duplicate pairs: blocks within the bound get the
+    exact quadratic token-set Jaccard; oversized blocks get MinHash-LSH with
+    candidates restricted to same-block pairs. The routing itself is part of
+    the plan — a block-count aggregate broadcast against both branches — so
+    no driver-side job decides the split and the operator stays lazy.
+
+    Routed (oversized-block) pairs are verified by SHINGLE-set Jaccard, the
+    LSH route's native measure; exact-branch pairs use token-set Jaccard.
+    Both land in the same (a_id, b_id, jac) contract."""
+    counts = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__n"))
+    oversized = counts.filter(F.col("__n") > max_block_rows).select(block_col)
+    small = df.join(F.broadcast(oversized), block_col, "left_anti")
+    big = df.join(F.broadcast(oversized), block_col, "left_semi")
+    exact = ngram_jaccard_pairs(
+        small, block_col, threshold, text_col, id_col, max_block_rows=None
+    )
+    routed = minhash_near_dup_pairs(
+        big, threshold, text_col, id_col, num_perm, num_bands, shingle_n
+    )
+    blocks = df.select(F.col(id_col), F.col(block_col))
+    routed = (
+        routed.join(blocks.withColumnsRenamed({id_col: "a_id", block_col: "__ablk"}), "a_id")
+        .join(blocks.withColumnsRenamed({id_col: "b_id", block_col: "__bblk"}), "b_id")
+        .where(F.col("__ablk") == F.col("__bblk"))
+        .select("a_id", "b_id", "jac")
+    )
+    return exact.unionByName(routed)
 
 
 def shingles(text_col, n: int = 3) -> F.Column:

@@ -52,24 +52,51 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+#: Bounded-block contract for the quadratic embedding pair generators. The
+#: vectorized variant materializes an n×n block similarity matrix
+#: (8 bytes · n²: 8k rows ≈ 512 MB), so this bound is also a memory bound.
+MAX_BLOCK_ROWS = 8192
+
+
 def blocked_near_dup_pairs(
     df: DataFrame,
     block_col: str = "label",
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_rows: int | None = MAX_BLOCK_ROWS,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within blocks: all-pairs cosine is
     quadratic, so pairs are only formed inside a blocking key (cluster id,
     shard, or an LSH bucket from ``hyperplane_signature`` at scale). The join
-    shuffles on the block key; each task scores one block."""
+    shuffles on the block key; each task scores one block.
+
+    ``max_block_rows`` enforces the bounded-block contract lazily inside the
+    job (operators/dedup.py bounded_block_guard): an unbounded block fails
+    the stage by name instead of silently running O(block²); sub-bucket with
+    ``hyperplane_signature`` or use ``lsh_topk``/``ivf_topk`` instead."""
     a = df.select(F.col(block_col).alias("blk"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"))
     b = df.select(F.col(block_col).alias("blk"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"))
-    return (
+    out = (
         a.join(b, (a.blk == b.blk) & (F.col("a_id") < F.col("b_id")))
         .select("a_id", "b_id", F.round(cosine(F.col("av"), F.col("bv")), 4).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+    return _guarded(out, df, block_col, max_block_rows, "blocked_near_dup_pairs")
+
+
+def _guarded(
+    out: DataFrame, df: DataFrame, block_col: str, max_block_rows: int | None, op: str
+) -> DataFrame:
+    if max_block_rows is None:
+        return out
+    from nextgenetl_spark.operators.dedup import _with_guard, bounded_block_guard
+
+    guard = bounded_block_guard(
+        df, block_col, max_block_rows, op,
+        "Sub-bucket with hyperplane_signature or use lsh_topk/ivf_topk for unbounded blocks.",
+    )
+    return _with_guard(out, guard)
 
 
 def blocked_near_dup_pairs_vectorized(
@@ -78,6 +105,7 @@ def blocked_near_dup_pairs_vectorized(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_rows: int | None = MAX_BLOCK_ROWS,
 ) -> DataFrame:
     """Same semantics as ``blocked_near_dup_pairs`` but the per-block pair
     scoring is one numpy matrix product per block (``applyInPandas``): a
@@ -106,7 +134,8 @@ def blocked_near_dup_pairs_vectorized(
         return pd.DataFrame({"a_id": np.minimum(a, b), "b_id": np.maximum(a, b), "sim": sims[mask]})
 
     out = df.groupBy(block_col).applyInPandas(per_block, "a_id long, b_id long, sim double")
-    return out.select("a_id", "b_id", F.round("sim", 4).alias("sim")).filter(F.col("sim") >= threshold)
+    out = out.select("a_id", "b_id", F.round("sim", 4).alias("sim")).filter(F.col("sim") >= threshold)
+    return _guarded(out, df, block_col, max_block_rows, "blocked_near_dup_pairs_vectorized")
 
 
 def hyperplane_signature(vec_col, planes: list[list[float]]) -> F.Column:

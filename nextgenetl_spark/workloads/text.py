@@ -121,6 +121,30 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(d, "source", threshold=0.5)
 
 
+@workload(
+    "near_dup_pairs_auto",
+    oracle="""
+    WITH ts AS (SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\\s+')) AS tok_set
+                FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.tok_set, b.tok_set))), 4) AS jac
+    FROM ts a JOIN ts b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.5
+    """,
+)
+def near_dup_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-routed near-dup pairs (operators/dedup.py near_dup_pairs_auto):
+    bounded blocks take the exact quadratic Jaccard, oversized blocks the
+    MinHash-LSH route, decided inside the plan by a block-count aggregate.
+    Every block is bounded at this sf, so the result equals the exact
+    baseline and shares its oracle; the routing machinery itself is what is
+    under test (pytest forces a tiny bound to exercise the LSH branch)."""
+    d = load(spark, sf_dir, "documents")
+    return D.near_dup_pairs_auto(d, "source", threshold=0.5)
+
+
 @workload("minhash_near_dup")  # no SQL oracle: LSH banding is not SQL-expressible; pytest checks recall vs the exact baseline
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (scale path: banded bucket join instead of

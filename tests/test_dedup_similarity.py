@@ -357,3 +357,51 @@ def test_source_cap_shrinks_only_under_growth(spark):
     full = capped(d)
     half_df = d.filter(F.col("doc_id") % 2 == 0)
     assert (full & {r["doc_id"] for r in half_df.collect()}) <= capped(half_df)
+
+
+def test_bounded_block_guard_rejects_oversized_block(spark):
+    """The quadratic pair generators must FAIL (naming the block), not
+    silently run, when a block exceeds max_block_rows."""
+    import pytest
+
+    docs = load(spark, SF_SMOKE, "documents")
+    out = D.ngram_jaccard_pairs(docs, "source", threshold=0.5, max_block_rows=3)
+    with pytest.raises(Exception, match="bounded blocks"):
+        out.collect()
+
+
+def test_bounded_block_guard_passes_and_preserves_result(spark):
+    docs = load(spark, SF_SMOKE, "documents")
+    guarded = D.ngram_jaccard_pairs(docs, "source", threshold=0.5)  # default bound
+    unguarded = D.ngram_jaccard_pairs(docs, "source", threshold=0.5, max_block_rows=None)
+    assert sorted(map(tuple, guarded.collect())) == sorted(map(tuple, unguarded.collect()))
+
+
+def test_embedding_block_guard_rejects_oversized_block(spark):
+    import pytest
+
+    from nextgenetl_spark.operators.similarity import (
+        blocked_near_dup_pairs,
+        blocked_near_dup_pairs_vectorized,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    for fn in (blocked_near_dup_pairs, blocked_near_dup_pairs_vectorized):
+        with pytest.raises(Exception, match="bounded blocks"):
+            fn(emb, block_col="label", threshold=0.3, max_block_rows=2).collect()
+
+
+def test_near_dup_auto_routes_oversized_blocks_to_lsh(spark):
+    """With a tiny bound every block routes through MinHash-LSH: the auto
+    path must still run (no guard failure), emit only same-block pairs, and
+    with a generous bound reproduce the exact baseline bit-for-bit."""
+    docs = load(spark, SF_SMOKE, "documents")
+    exact = D.ngram_jaccard_pairs(docs, "source", threshold=0.5, max_block_rows=None)
+    auto_big = D.near_dup_pairs_auto(docs, "source", threshold=0.5, max_block_rows=10_000)
+    assert sorted(map(tuple, auto_big.collect())) == sorted(map(tuple, exact.collect()))
+
+    auto_small = D.near_dup_pairs_auto(docs, "source", threshold=0.5, max_block_rows=3)
+    rows = auto_small.collect()  # must not raise — oversized blocks rerouted
+    blocks = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    for r in rows:
+        assert blocks[r["a_id"]] == blocks[r["b_id"]]

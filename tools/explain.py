@@ -35,6 +35,14 @@ EXPECTED = {
     # 1-row (min,max) bounds row cross-joined to build the hour grid —
     # constant-size NLJ feeding sequence+explode
     "time_grid_fill": {"BroadcastNestedLoopJoin"},
+    # 1-row bounded-block guard (operators/dedup.py bounded_block_guard)
+    # cross-joined into every quadratic pair generator — constant-size NLJ
+    "ngram_jaccard_pairs": {"BroadcastNestedLoopJoin"},
+    "near_dup_pairs_auto": {"BroadcastNestedLoopJoin"},
+    "near_dup_groups": {"BroadcastNestedLoopJoin"},
+    "near_dup_groups_star": {"BroadcastNestedLoopJoin"},
+    "embedding_near_dup": {"BroadcastNestedLoopJoin"},
+    "semantic_dedup_keep": {"BroadcastNestedLoopJoin"},
 }
 INTERESTING = (
     "Scan parquet",

@@ -60,6 +60,11 @@ def main() -> None:
                 e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
                 k_centroids=32, nprobe=4,
             ).count(),
+            # size-routed pairs: bounded source blocks run exact quadratic,
+            # oversized ones reroute to MinHash-LSH — time must follow the
+            # LSH curve (near-linear) once replication pushes blocks past
+            # MAX_BLOCK_ROWS, instead of the quadratic exact curve
+            "auto_route": lambda: D.near_dup_pairs_auto(d, "source", threshold=0.5).count(),
             # pairs → canonical groups; rounds should stay flat (graph
             # diameter, pointer-doubled) while pair volume grows
             "conn_comp": lambda: D.connected_components(
