@@ -22,12 +22,28 @@ Spark design:
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 import yaml
 
 from pyspark.sql import DataFrame, SparkSession
+
+_PARAM_RE = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def render_sql(sql: str, params: dict) -> str:
+    """Substitute ``{param}`` placeholders for KNOWN params only.
+
+    ``str.format`` (the reference's habit) throws or silently mangles on any
+    literal brace in the SQL — regex quantifiers (``x{2,3}``), JSON
+    literals, struct syntax. Here only ``{identifier}`` tokens whose name is
+    an actual param are replaced; every other brace construct passes through
+    verbatim, so steps are safe-by-default and never need escaping."""
+    return _PARAM_RE.sub(
+        lambda m: str(params[m.group(1)]) if m.group(1) in params else m.group(0), sql
+    )
 
 
 def load_config(path: str) -> dict:
@@ -71,7 +87,7 @@ class Pipeline:
         name = step.get("name", step.get("dest", "<unnamed>"))
         dest = step["dest"]
         if "sql" in step:
-            sql = step["sql"].format(**self.params) if step.get("format", True) else step["sql"]
+            sql = render_sql(step["sql"], self.params) if step.get("format", True) else step["sql"]
             df = self.spark.sql(sql)
         elif "builder" in step:
             df = self.builders[step["builder"]](self, step)

@@ -44,17 +44,62 @@ _CAST = {
 }
 
 
-def _sample_head(spark: SparkSession, path: str, n_lines: int, sep: str) -> tuple[list[str], list[list[str]]]:
-    """Driver-side bounded read of the file head for schema inference.
-    Uses the Hadoop FS API via the JVM so the same code path works for
-    hdfs:///s3:// URIs, with a plain-python fallback for local files."""
-    rows: list[list[str]] = []
+def _first_file_local(path: str) -> str:
+    """Resolve a local path/glob/directory to its lexicographically-first
+    data file — the deterministic inference target for multi-file inputs."""
+    import glob as _glob
+    import os
+
+    matches = sorted(_glob.glob(path)) or [path]
+    target = matches[0]
+    if os.path.isdir(target):
+        inner = sorted(p for p in _glob.glob(os.path.join(target, "*")) if os.path.isfile(p))
+        if inner:
+            target = inner[0]
+    return target
+
+
+def _head_lines_hadoop(spark: SparkSession, path: str, n_lines: int) -> str:
+    """Bounded head read of the first matching file via the Hadoop FS API
+    (works for hdfs:// / s3a:// URIs). Reads n lines off one stream — never
+    a Spark job, so no risk of `limit` sampling an arbitrary file's rows."""
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    files = []
+    for st in fs.globStatus(p) or []:
+        if st.isDirectory():
+            files.extend(s.getPath() for s in fs.listStatus(st.getPath()) if s.isFile())
+        else:
+            files.append(st.getPath())
+    if not files:
+        raise FileNotFoundError(path)
+    first = min(files, key=lambda q: q.toString())
+    reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(fs.open(first), "UTF-8"))
+    lines: list[str] = []
     try:
-        with open(path, encoding="utf-8", errors="replace") as fh:
+        for _ in range(n_lines):
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        reader.close()
+    return "\n".join(lines)
+
+
+def _sample_head(spark: SparkSession, path: str, n_lines: int, sep: str) -> tuple[list[str], list[list[str]]]:
+    """Driver-side bounded read of the head of the FIRST file for schema
+    inference. Multi-file globs/directories always sample the
+    lexicographically-first file (a Spark `limit` would pull rows from an
+    arbitrary file and could flip an inferred type); non-local URIs go
+    through the Hadoop FS API on one bounded stream."""
+    if "://" in path:
+        text = _head_lines_hadoop(spark, path, n_lines)
+    else:
+        with open(_first_file_local(path), encoding="utf-8", errors="replace") as fh:
             text = "".join(line for _, line in zip(range(n_lines), fh))
-    except (OSError, IsADirectoryError):
-        # non-local path: let Spark pull the head (limit keeps it bounded)
-        text = "\n".join(r[0] for r in spark.read.text(path).limit(n_lines).collect())
     reader = csv.reader(io.StringIO(text), delimiter=sep)
     rows = [row for row in reader if row]
     return rows[0], rows[1:]

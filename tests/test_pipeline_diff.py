@@ -203,3 +203,26 @@ def test_pipeline_zorder_step(spark, tmp_path):
     )["zgrid"]
     assert out.count() == 4096
     assert sorted(r["x"] for r in out.groupBy("x").count().collect()) == list(range(64))
+
+
+def test_pipeline_sql_templating_tolerates_literal_braces(spark):
+    """Step SQL containing regex quantifiers / JSON braces must pass through
+    render_sql untouched while known {param} placeholders still substitute
+    (str.format would KeyError on the quantifier)."""
+    from nextgenetl_spark.plans.pipeline import Pipeline, render_sql
+
+    assert render_sql("a{2,3} {p} {unknown} {\"k\": 1}", {"p": "X"}) == 'a{2,3} X {unknown} {"k": 1}'
+
+    pipe = Pipeline(spark, params={"min_reps": 2})
+    src = spark.createDataFrame(
+        [(1, "xx banana"), (2, "x apple"), (3, "xxx cherry")], ["id", "s"]
+    )
+    pipe.register("regex_src", src)
+    out = pipe.run_step(
+        {
+            "name": "braced",
+            "dest": "braced",
+            "sql": "SELECT id FROM regex_src WHERE s RLIKE 'x{2,3}' AND id >= {min_reps}",
+        }
+    )
+    assert sorted(r["id"] for r in out.collect()) == [3]

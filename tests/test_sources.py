@@ -123,3 +123,29 @@ def test_read_vcf_gz_header(tmp_path):
         fh.write('##INFO=<ID=AF,Number=A,Type=Float,Description="f">\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n')
     meta = read_vcf_header(str(p))
     assert meta["INFO"] == ["AF"] and meta["samples"] == []
+
+
+def test_tsv_glob_samples_first_file_head(spark, tmp_path):
+    """Inference over a 2-file glob must sample the lexicographically-first
+    file: here a.tsv's values are strings while b.tsv's look numeric, so a
+    wrong-file sample would infer INT64 and null out every a.tsv value."""
+    from nextgenetl_spark.sources.tsv import read_tsv
+
+    (tmp_path / "a.tsv").write_text("code\tqty\nabc\t1\nxyz\t2\n")
+    (tmp_path / "b.tsv").write_text("code\tqty\n10\t3\n20\t4\n")
+    df = read_tsv(spark, str(tmp_path / "*.tsv"))
+    assert dict(df.dtypes)["code"] == "string"
+    rows = df.collect()
+    assert len(rows) == 4
+    assert all(r["code"] is not None for r in rows)
+    assert sorted(r["code"] for r in rows) == ["10", "20", "abc", "xyz"]
+
+
+def test_tsv_hadoop_head_reads_first_file(spark, tmp_path):
+    """The Hadoop FS head path (file:// URI) must hit the same first file."""
+    from nextgenetl_spark.sources.tsv import _head_lines_hadoop
+
+    (tmp_path / "a.tsv").write_text("h\nfirst\n")
+    (tmp_path / "b.tsv").write_text("h\nsecond\n")
+    text = _head_lines_hadoop(spark, f"file://{tmp_path}/*.tsv", 10)
+    assert text.splitlines() == ["h", "first"]
