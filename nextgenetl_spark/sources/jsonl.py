@@ -24,17 +24,29 @@ def read_jsonl(
     path: str,
     schema: T.StructType | None = None,
     max_infer_records: int | None = None,
+    schema_path: str | None = None,
 ) -> DataFrame:
     """Load JSONL with reference-rule schema inference (not Spark's) and
     reference-rule value normalization (data_helpers.py:560-578
     normalize_flat_json_values): inference runs over NORMALIZED records (so
     'yes'/'1.0'/null-vocab drive the lattice as in the reference), and the
     distributed load applies the normalization expression to string columns
-    (the null vocabulary → NULL) — scan-stage, no Python in the row loop."""
+    (the null vocabulary → NULL) — scan-stage, no Python in the row loop.
+
+    ``schema_path``: persisted-schema round-trip (reference
+    cda_bq_etl/bq_helpers/schema.py:85-187) — reload the JSON schema if the
+    file exists (skipping the inference pass entirely), else infer and
+    persist it there."""
+    import os
+
     from pyspark.sql import functions as F
 
     from nextgenetl_spark.functions.text import normalize_value as normalize_value_expr
 
+    if schema is None and schema_path and os.path.exists(schema_path):
+        from nextgenetl_spark.schemas import load_schema
+
+        schema = load_schema(schema_path)
     if schema is None:
         records = []
         with open(path, encoding="utf-8") as fh:
@@ -46,6 +58,10 @@ def read_jsonl(
                     rec = json.loads(line)
                     records.append({k: normalize_value(v) for k, v in rec.items()})
         schema = infer_schema(records)
+        if schema_path:
+            from nextgenetl_spark.schemas import save_schema
+
+            save_schema(schema_path, schema)
     df = spark.read.schema(schema).json(path)
     for f in schema.fields:
         if isinstance(f.dataType, T.StringType):

@@ -115,10 +115,19 @@ def read_tsv(
     sample_interval: int = 1,
     sample_lines: int = 5000,
     normalize: bool = True,
+    schema_path: str | None = None,
 ) -> DataFrame:
     """Load a TSV as the reference would: sanitize + dedupe headers, infer
     per-column types from a sampled head (unless an explicit schema is
-    given), read string-typed, normalize values, then cast."""
+    given), read string-typed, normalize values, then cast.
+
+    ``schema_path`` is the reference's persisted-schema discipline
+    (cda_bq_etl/bq_helpers/schema.py:85-187): if the JSON file exists its
+    types REPLACE inference (the normalize→cast pipeline still runs, so a
+    reload is bit-identical to the inferring run); if absent, the inferred
+    types are persisted there for every later run to reload."""
+    import os
+
     if schema is not None:
         df = (
             spark.read.options(sep=sep, header=skip_leading_rows > 0, nullValue=null_marker)
@@ -127,9 +136,24 @@ def read_tsv(
         )
         return df
 
-    raw_headers, body = _sample_head(spark, path, sample_lines, sep)
-    headers = dedupe_headers([make_name_bq_friendly(h) for h in raw_headers])
-    types = infer_tsv_types(body, headers, sample_interval=sample_interval)
+    if schema_path and os.path.exists(schema_path):
+        from nextgenetl_spark.schemas import load_schema_types
+
+        types = load_schema_types(schema_path)
+        # header row only — names come from the file, types from the store
+        raw_headers, _ = _sample_head(spark, path, 1, sep)
+        headers = dedupe_headers([make_name_bq_friendly(h) for h in raw_headers])
+        missing = [h for h in headers if h not in types]
+        if missing:
+            raise ValueError(f"{schema_path} lacks fields {missing} present in {path}")
+    else:
+        raw_headers, body = _sample_head(spark, path, sample_lines, sep)
+        headers = dedupe_headers([make_name_bq_friendly(h) for h in raw_headers])
+        types = infer_tsv_types(body, headers, sample_interval=sample_interval)
+        if schema_path:
+            from nextgenetl_spark.schemas import save_schema
+
+            save_schema(schema_path, types)
 
     str_schema = T.StructType([T.StructField(h, T.StringType(), True) for h in headers])
     df = (

@@ -163,6 +163,36 @@ def tsv_infer_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("cust_id", "name", F.round("balance", 2).alias("balance"), "active", "seg", "seg_1")
 
 
+@workload(
+    "tsv_schema_roundtrip",
+    oracle="""
+    SELECT lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS cust_id,
+           c_name AS name,
+           CASE WHEN c_custkey % 3 = 0 THEN ROUND(CAST(trunc(c_acctbal) AS DOUBLE), 2)
+                ELSE ROUND(CAST(CAST(ROUND(c_acctbal, 2) AS VARCHAR) AS DOUBLE), 2) END AS balance,
+           CASE c_custkey % 3 WHEN 0 THEN TRUE WHEN 1 THEN FALSE ELSE NULL END AS active,
+           c_mktsegment AS seg,
+           CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE lower(c_mktsegment) END AS seg_1
+    FROM customer
+    """,
+)
+def tsv_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-schema load (reference cda_bq_etl/bq_helpers/schema.py:
+    85-187): the first read infers types and serializes them as the
+    reference's {"fields": [...]} JSON; the returned DataFrame comes from a
+    SECOND read that reloads that file instead of inferring — so the oracle
+    (identical to tsv_infer_load's) proves schema persist→reload is
+    value-identical to inference."""
+    from nextgenetl_spark.sources.tsv import read_tsv
+
+    tsv = _tsv_path(sf_dir)
+    schema_json = os.path.join(_fixture_dir(sf_dir), "schema_customer.json")
+    read_tsv(spark, tsv, schema_path=schema_json)  # infer + persist
+    assert os.path.exists(schema_json)
+    df = read_tsv(spark, tsv, schema_path=schema_json)  # reload, no inference
+    return df.select("cust_id", "name", F.round("balance", 2).alias("balance"), "active", "seg", "seg_1")
+
+
 def _vcf_path(sf_dir: str) -> str:
     path = os.path.join(_fixture_dir(sf_dir), "synth.vcf")
     lines = [

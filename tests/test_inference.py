@@ -170,3 +170,89 @@ def test_infer_schema_nested():
 def test_header_utils():
     assert make_name_bq_friendly("a b/c-d") == "a_b_c_d"
     assert dedupe_headers(["a", "b", "a", "a"]) == ["a", "b", "a_1", "a_2"]
+
+
+def test_schema_json_roundtrip_nested(tmp_path):
+    """StructType -> reference {"fields":[...]} JSON -> StructType must be
+    identity, including RECORD nesting and REPEATED arrays."""
+    from pyspark.sql import types as T
+
+    from nextgenetl_spark.schemas import load_schema, save_schema
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("flag", T.BooleanType(), True),
+        T.StructField("when", T.TimestampType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+        T.StructField("child", T.StructType([
+            T.StructField("k", T.StringType(), True),
+            T.StructField("vals", T.ArrayType(T.LongType(), True), True),
+        ]), True),
+        T.StructField("children", T.ArrayType(T.StructType([
+            T.StructField("cid", T.LongType(), True),
+        ]), True), True),
+    ])
+    p = str(tmp_path / "schema.json")
+    save_schema(p, schema)
+    assert load_schema(p) == schema
+
+
+def test_schema_flat_types_roundtrip(tmp_path):
+    from nextgenetl_spark.schemas import load_schema_types, save_schema
+
+    types = {"a": "STRING", "b": "INT64", "c": "FLOAT64", "d": "BOOL", "e": "DATE"}
+    p = str(tmp_path / "flat.json")
+    save_schema(p, types, descriptions={"a": "primary key"})
+    assert load_schema_types(p) == types
+    import json
+
+    fields = json.load(open(p))["fields"]
+    by = {f["name"]: f for f in fields}
+    assert by["a"]["description"] == "primary key"
+    assert by["b"]["description"] == "No description"
+
+
+def test_merge_curated_policies():
+    from nextgenetl_spark.schemas import merge_curated
+
+    inferred = {"id": "INT64", "bal": "FLOAT64", "code": "STRING"}
+    curated = [
+        {"name": "id", "type": "STRING", "description": "case id"},
+        {"name": "bal", "type": "NUMERIC", "description": "balance", "exception": "drift"},
+    ]
+    # build_combined_schema policy: inferred type wins, description kept
+    merged = {f["name"]: f for f in merge_curated(inferred, curated)}
+    assert merged["id"]["type"] == "INT64" and merged["id"]["description"] == "case id"
+    assert merged["code"]["description"] == "No description"
+    # create_schema_hold_list static policy: curated wins unless exception
+    static = {f["name"]: f for f in merge_curated(inferred, curated, prefer_curated_types=True)}
+    assert static["id"]["type"] == "STRING"
+    assert static["bal"]["type"] == "FLOAT64"  # exception -> dynamic type stands
+    assert "exception" not in static["bal"]
+
+
+def test_read_tsv_persisted_schema_matches_inferred(spark, tmp_path):
+    from nextgenetl_spark.sources.tsv import read_tsv
+
+    f = tmp_path / "t.tsv"
+    f.write_text("id\tname\tbal\n001\talpha\t1.5\n002\tbeta\t2.0\n")
+    sp = str(tmp_path / "schema.json")
+    first = read_tsv(spark, str(f), schema_path=sp)
+    assert (tmp_path / "schema.json").exists()
+    second = read_tsv(spark, str(f), schema_path=sp)
+    assert first.schema == second.schema
+    assert sorted(map(tuple, first.collect())) == sorted(map(tuple, second.collect()))
+
+
+def test_read_jsonl_persisted_schema_matches_inferred(spark, tmp_path):
+    from nextgenetl_spark.sources.jsonl import read_jsonl
+
+    f = tmp_path / "d.jsonl"
+    f.write_text('{"id": 1, "tags": ["a"], "meta": {"k": "v"}}\n{"id": 2, "tags": [], "meta": {"k": "w"}}\n')
+    sp = str(tmp_path / "schema.json")
+    first = read_jsonl(spark, str(f), schema_path=sp)
+    second = read_jsonl(spark, str(f), schema_path=sp)
+    assert first.schema == second.schema
+    assert sorted(map(str, first.collect())) == sorted(map(str, second.collect()))
