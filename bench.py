@@ -36,6 +36,7 @@ HEADLINE = {
     "explode_tokens": "collect",
     "exact_dedup": "count",
     "ngram_jaccard_pairs": "count",
+    "near_dup_pairs_auto": "count",
     "minhash_near_dup": "count",
     "ann_cosine_topk": "count",
     "token_stats": "count",
@@ -65,6 +66,9 @@ HEADLINE = {
     "compression_ratio": "count",
     "stream_interval_join": "count",
     "curation_pipeline": "count",
+    "pii_scrub": "count",
+    "pack_context_windows": "count",
+    "greedy_bin_pack": "count",
     "semantic_dedup_keep": "count",
     "unigram_logprob_score": "count",
     "grouping_sets_profile": "collect",
@@ -115,10 +119,11 @@ def main() -> None:
         "cold_total": round(cold_total, 3),
     }
 
-    # Opt-in (SPARK_GRAFT_BENCH_DUCKDB=1): warm-time each query's DuckDB
-    # oracle on the same tables for a side-by-side regime table
-    # (BASELINE.md §3). Off by default so the driver's JSON stays stable.
-    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB"):
+    # Warm-time each query's DuckDB oracle on the same tables for a
+    # side-by-side regime table (BASELINE.md §3). On by default so every
+    # BENCH_r{N}.json carries per-query ratios; SPARK_GRAFT_BENCH_DUCKDB=0
+    # opts out.
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
         import duckdb
 
         con = duckdb.connect()
@@ -131,12 +136,11 @@ def main() -> None:
             sql = registry[name].oracle
             if sql is None:
                 continue
-            runs = []
-            for _ in range(2):
-                t0 = time.time()
-                con.execute(sql).fetchall()
-                runs.append(time.time() - t0)
-            duck[name] = round(min(runs), 3)
+            # single run: DuckDB has no JIT warm-up, and the recursive-CTE
+            # oracles cost minutes at sf0.1 — don't pay them twice
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            duck[name] = round(time.time() - t0, 3)
         out["duckdb"] = duck
 
     print(json.dumps(out))

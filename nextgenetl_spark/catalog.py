@@ -8,6 +8,10 @@ gets column pruning + filter pushdown into the scan for free.
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -74,3 +78,61 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for spark.sql-style pipelines)."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def _views_dir(root: str) -> str:
+    return os.path.join(root, "_views")
+
+
+def create_view_from_query(
+    spark: SparkSession, root: str, name: str, sql: str, description: str | None = None
+) -> str:
+    """Persisted view (reference common_etl/utils.py:716-741
+    create_view_from_query): the definition outlives the session as a JSON
+    file under ``{root}/_views/`` and is instantiated into the session
+    catalog immediately; ``load_views`` re-creates every persisted view in
+    any later session. Replacing an existing VIEW is fine; a name that
+    collides with a TABLE directory under the warehouse is fatal, mirroring
+    the reference's type check."""
+    if os.path.isdir(os.path.join(root, name)) or os.path.isdir(os.path.join(root, f"{name}_current")):
+        raise ValueError(f"'{name}' already exists as a table under {root}; cannot create view")
+    vdir = _views_dir(root)
+    os.makedirs(vdir, exist_ok=True)
+    path = os.path.join(vdir, f"{name}.json")
+    fd, tmp = tempfile.mkstemp(dir=vdir)
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"name": name, "sql": sql, "description": description}, fh, indent=2)
+    os.replace(tmp, path)
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+    return path
+
+
+def load_views(spark: SparkSession, root: str) -> list[str]:
+    """Instantiate every persisted view definition into this session's
+    catalog (new-session counterpart of create_view_from_query). Returns the
+    view names created, sorted so dependent views created later by name
+    still see earlier ones only if independently ordered — definitions that
+    reference other views are re-resolved lazily at query time, so creation
+    order does not matter."""
+    vdir = _views_dir(root)
+    if not os.path.isdir(vdir):
+        return []
+    created = []
+    for fn in sorted(os.listdir(vdir)):
+        if not fn.endswith(".json"):
+            continue
+        with open(os.path.join(vdir, fn), encoding="utf-8") as fh:
+            d = json.load(fh)
+        spark.sql(f"CREATE OR REPLACE TEMP VIEW {d['name']} AS {d['sql']}")
+        created.append(d["name"])
+    return created
+
+
+def drop_view(spark: SparkSession, root: str, name: str) -> bool:
+    """Remove a persisted view's definition and its session instantiation."""
+    path = os.path.join(_views_dir(root), f"{name}.json")
+    existed = os.path.exists(path)
+    if existed:
+        os.remove(path)
+    spark.catalog.dropTempView(name)
+    return existed

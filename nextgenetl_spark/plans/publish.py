@@ -13,12 +13,65 @@ Spark mapping: tables are parquet directories under a warehouse root:
 
 from __future__ import annotations
 
+import json
 import os
 import re
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 from nextgenetl_spark.diff import tables_equal
+
+#: Sidecar filename for table metadata. The leading underscore makes Spark's
+#: file index skip it, so a metadata-bearing table dir still reads as plain
+#: parquet. NOT "_metadata*": Spark's path filter exempts `_metadata` /
+#: `_common_metadata` prefixes (parquet summary files) and would try to read
+#: the sidecar as a parquet footer.
+METADATA_FILE = "_table_meta.json"
+
+
+def write_table_metadata(table_dir: str, metadata: dict) -> str:
+    """Persist table-lifecycle metadata (friendly name, description, labels,
+    per-column descriptions) as a sidecar next to the parquet files — the
+    BQ-table-properties counterpart (reference common_etl/utils.py:134-151
+    update_table_metadata). Atomic replace so readers never see a torn file."""
+    os.makedirs(table_dir, exist_ok=True)
+    path = os.path.join(table_dir, METADATA_FILE)
+    fd, tmp = tempfile.mkstemp(dir=table_dir)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(metadata, fh, indent=2, sort_keys=True)
+    os.replace(tmp, path)
+    return path
+
+
+def read_table_metadata(table_dir: str) -> dict:
+    path = os.path.join(table_dir, METADATA_FILE)
+    if not os.path.exists(path):
+        return {}
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def update_table_labels(
+    table_dir: str, remove: list[str] | None = None, add: dict | None = None
+) -> dict:
+    """Label add/remove on an existing table's sidecar (reference
+    common_etl/utils.py:153-180 update_table_labels)."""
+    meta = read_table_metadata(table_dir)
+    labels = meta.setdefault("labels", {})
+    for key in remove or []:
+        labels.pop(key, None)
+    labels.update(add or {})
+    write_table_metadata(table_dir, meta)
+    return labels
+
+
+def change_status_to_archived(table_dir: str) -> None:
+    """Flip a superseded release's status label to 'archived' (reference
+    common_etl/utils.py:368-382). Missing dir = first release — a no-op,
+    exactly like the reference's NotFound branch."""
+    if os.path.isdir(table_dir):
+        update_table_labels(table_dir, add={"status": "archived"})
 
 
 def _versioned_dir(root: str, table: str) -> str:
@@ -49,15 +102,30 @@ def publish_table(
     table: str,
     release: str,
     nan_tolerant: bool = True,
+    metadata: dict | None = None,
 ) -> dict:
     """Compare-then-publish. Returns {'published': bool, 'reason': str,
-    'previous_release': str | None}."""
+    'previous_release': str | None}.
+
+    On publish, ``metadata`` (friendlyName / description / labels / column
+    descriptions) lands as a sidecar in both the versioned and _current
+    dirs with labels.status='current', and the superseded release's sidecar
+    flips to status='archived' — the reference's supersede tail
+    (common_etl/utils.py:134-298,368-382)."""
     prev = find_most_recent_release(root, table)
     if prev is not None:
         prev_df = spark.read.parquet(os.path.join(_versioned_dir(root, table), prev))
         if sorted(prev_df.columns) == sorted(df.columns) and tables_equal(prev_df, df, nan_tolerant):
             return {"published": False, "reason": "identical to previous release", "previous_release": prev}
 
-    df.write.mode("overwrite").parquet(os.path.join(_versioned_dir(root, table), release))
-    df.write.mode("overwrite").parquet(os.path.join(root, f"{table}_current"))
+    vdir = os.path.join(_versioned_dir(root, table), release)
+    cdir = os.path.join(root, f"{table}_current")
+    df.write.mode("overwrite").parquet(vdir)
+    df.write.mode("overwrite").parquet(cdir)
+    meta = dict(metadata or {})
+    meta["labels"] = {**meta.get("labels", {}), "status": "current", "release": release}
+    write_table_metadata(vdir, meta)
+    write_table_metadata(cdir, meta)
+    if prev is not None:
+        change_status_to_archived(os.path.join(_versioned_dir(root, table), prev))
     return {"published": True, "reason": "new or changed data", "previous_release": prev}

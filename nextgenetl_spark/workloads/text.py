@@ -771,3 +771,124 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.avg("lp"), 4).alias("avg_logprob"), F.count(F.lit(1)).alias("n_tokens"))
     )
+
+
+@workload(
+    "pii_scrub",
+    oracle="""
+    WITH planted AS (
+        SELECT doc_id,
+               substr(text, 1, 40)
+               || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text
+        FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS text,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS email_hits,
+           CAST(len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS phone_hits,
+           CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS ipv4_hits,
+           CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS ssn_hits,
+           (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))
+            + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+            + len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))) > 0 AS has_pii
+    FROM planted
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-class hit counts (operators/pii.py): the corpus
+    is synthetic word soup, so deterministic PII (email/phone/IP, SSN on
+    every third doc) is planted from doc_id first — both engines plant and
+    scrub identically, so the oracle checks the actual regex semantics.
+    All codegen regexp_replace/regexp_count, scan-stage, no shuffle."""
+    from nextgenetl_spark.operators.pii import scrub
+
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+            F.lit(" call 555-867-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" ssn 123-45-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub(planted)
+
+
+@workload(
+    "pack_context_windows",
+    oracle="""
+    WITH tok AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+    cum AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS start
+        FROM tok)
+    SELECT source, CAST(floor(start / 1024.0) AS BIGINT) AS window_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS window_tokens
+    FROM cum GROUP BY source, window_id
+    """,
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing (operators/packing.py):
+    per-source token stream, each doc assigned the 1024-token context
+    window its first token lands in, then a per-window packing profile.
+    One running-sum window = one shuffle on source; stats are a map-side-
+    partial groupBy."""
+    from nextgenetl_spark.operators.packing import (
+        context_window_chunks,
+        token_counts,
+        window_stats,
+    )
+
+    d = token_counts(load(spark, sf_dir, "documents"))
+    packed = context_window_chunks(d, budget=1024)
+    return window_stats(packed)
+
+
+@workload(
+    "greedy_bin_pack",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents),
+    pack(source, doc_id, n_tokens, rn, bin_id, fill) AS (
+        SELECT source, doc_id, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
+        FROM tok WHERE rn = 1
+        UNION ALL
+        SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+               CASE WHEN p.fill + t.n_tokens > 1024 THEN p.bin_id + 1 ELSE p.bin_id END,
+               CASE WHEN p.fill + t.n_tokens > 1024 THEN t.n_tokens ELSE p.fill + t.n_tokens END
+        FROM tok t JOIN pack p ON t.source = p.source AND t.rn = p.rn + 1)
+    SELECT source, doc_id, n_tokens, bin_id FROM pack
+    """,
+)
+def greedy_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit bin packing into 1024-token training bins
+    (operators/packing.py greedy_bin_pack): a sequential per-source
+    recurrence, run as one Arrow batch per source via applyInPandas —
+    the window-function form cannot express it. Oracle: recursive CTE
+    replaying the same recurrence row by row."""
+    from nextgenetl_spark.operators.packing import greedy_bin_pack, token_counts
+
+    d = token_counts(load(spark, sf_dir, "documents"))
+    return greedy_bin_pack(d, budget=1024)

@@ -226,3 +226,77 @@ def test_pipeline_sql_templating_tolerates_literal_braces(spark):
         }
     )
     assert sorted(r["id"] for r in out.collect()) == [3]
+
+
+def test_publish_metadata_and_archive_flip(spark, tmp_path):
+    """Publishing release N writes the metadata sidecar (status=current) to
+    both versioned and _current dirs; publishing N+1 flips N's sidecar to
+    status=archived; a skipped identical publish changes nothing."""
+    from nextgenetl_spark.plans.publish import (
+        publish_table,
+        read_table_metadata,
+        update_table_labels,
+    )
+
+    root = str(tmp_path / "wh")
+    meta = {
+        "friendlyName": "Parts (open)",
+        "description": "part dimension",
+        "labels": {"program": "tpch"},
+        "schema_descriptions": {"p_partkey": "part key"},
+    }
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], ["p_partkey", "p_name"])
+    out = publish_table(spark, v1, root, "part", "r1", metadata=meta)
+    assert out["published"]
+    m1 = read_table_metadata(f"{root}/part_versioned/r1")
+    assert m1["labels"] == {"program": "tpch", "status": "current", "release": "r1"}
+    assert m1["friendlyName"] == "Parts (open)"
+    assert read_table_metadata(f"{root}/part_current")["labels"]["release"] == "r1"
+    # the sidecar must not break plain parquet reads
+    assert spark.read.parquet(f"{root}/part_current").count() == 2
+
+    # identical data -> skip, nothing flips
+    out2 = publish_table(spark, v1, root, "part", "r2", metadata=meta)
+    assert not out2["published"]
+    assert read_table_metadata(f"{root}/part_versioned/r1")["labels"]["status"] == "current"
+
+    # changed data -> r2 publishes, r1 archives
+    v2 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["p_partkey", "p_name"])
+    out3 = publish_table(spark, v2, root, "part", "r2", metadata=meta)
+    assert out3["published"] and out3["previous_release"] == "r1"
+    assert read_table_metadata(f"{root}/part_versioned/r1")["labels"]["status"] == "archived"
+    assert read_table_metadata(f"{root}/part_versioned/r2")["labels"]["status"] == "current"
+
+    # label surgery mirrors update_table_labels
+    labels = update_table_labels(
+        f"{root}/part_versioned/r2", remove=["program"], add={"reviewed": "yes"}
+    )
+    assert labels == {"status": "current", "release": "r2", "reviewed": "yes"}
+
+
+def test_persisted_views_roundtrip(spark, tmp_path):
+    """create_view_from_query persists the definition and instantiates it;
+    load_views re-creates it in a 'new session' (simulated by dropping the
+    temp view); a name colliding with a table dir is fatal."""
+    import pytest
+
+    from nextgenetl_spark.catalog import create_view_from_query, drop_view, load_views
+
+    root = str(tmp_path / "wh")
+    src = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"])
+    src.createOrReplaceTempView("vt_src")
+    create_view_from_query(spark, root, "vt_top", "SELECT k, v FROM vt_src WHERE v > 15")
+    assert {r["k"] for r in spark.sql("SELECT * FROM vt_top").collect()} == {2, 3}
+
+    # "new session": catalog entry gone, definition file remains
+    spark.catalog.dropTempView("vt_top")
+    assert load_views(spark, root) == ["vt_top"]
+    assert {r["k"] for r in spark.sql("SELECT * FROM vt_top").collect()} == {2, 3}
+
+    # table-name collision is fatal, like the reference's type check
+    (tmp_path / "wh" / "vt_tbl").mkdir(parents=True)
+    with pytest.raises(ValueError, match="already exists as a table"):
+        create_view_from_query(spark, root, "vt_tbl", "SELECT 1")
+
+    assert drop_view(spark, root, "vt_top")
+    assert load_views(spark, root) == []
