@@ -108,6 +108,14 @@ def main() -> None:
             runs.append(time.time() - t0)
         cold_total += runs[0]
         timings[name] = round(min(runs), 3)
+        # drop the DataFrame graph so ContextCleaner releases localCheckpoint
+        # RDD blocks from iterative queries (connected components) — without
+        # this, accumulated blocks pressure executor memory and inflate
+        # later heavy queries by 30-70%
+        del df
+        import gc
+
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     out = {
