@@ -41,6 +41,7 @@ HEADLINE = {
     "ann_cosine_topk": "count",
     "token_stats": "count",
     "embedding_near_dup": "count",
+    "embedding_near_dup_auto": "count",
     "matrix_melt": "count",
     "sliding_window": "count",
     "wide_group_dedup": "count",

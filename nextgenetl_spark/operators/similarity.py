@@ -138,6 +138,55 @@ def blocked_near_dup_pairs_vectorized(
     return _guarded(out, df, block_col, max_block_rows, "blocked_near_dup_pairs_vectorized")
 
 
+def blocked_near_dup_pairs_auto(
+    df: DataFrame,
+    dim: int,
+    block_col: str = "label",
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_rows: int = MAX_BLOCK_ROWS,
+    num_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Size-routed embedding near-dup pairs: blocks within the bound get the
+    exact per-block GEMM; oversized blocks are SUB-BUCKETED by a
+    deterministic hyperplane signature (2^num_planes buckets, recall < 1 on
+    the routed part — the same exact-vs-LSH trade the token-side
+    near_dup_pairs_auto makes). The split is a block-count aggregate inside
+    the plan — no driver-side job, the operator stays lazy.
+
+    ``dim`` is the embedding dimension (static in any real pipeline); the
+    hyperplanes are generated driver-side from ``seed`` and inlined as
+    literals."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+    counts = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__n"))
+    oversized = counts.filter(F.col("__n") > max_block_rows).select(block_col)
+    small = df.join(F.broadcast(oversized), block_col, "left_anti")
+    big = df.join(F.broadcast(oversized), block_col, "left_semi")
+    exact = blocked_near_dup_pairs_vectorized(
+        small, block_col, threshold, id_col, vec_col, max_block_rows=None
+    )
+    sub = big.withColumn(
+        "__blk2",
+        F.concat_ws(
+            "#", F.col(block_col).cast("string"),
+            hyperplane_signature(F.col(vec_col), planes).cast("string"),
+        ),
+    )
+    # Sub-buckets shrink blocks ~2^num_planes-fold; the guard stays off here
+    # because the route exists precisely for blocks the bound rejects —
+    # raise num_planes if a single bucket could still exceed worker memory.
+    routed = blocked_near_dup_pairs_vectorized(
+        sub, "__blk2", threshold, id_col, vec_col, max_block_rows=None
+    )
+    return exact.unionByName(routed)
+
+
 def hyperplane_signature(vec_col, planes: list[list[float]]) -> F.Column:
     """Sign-bit signature against fixed hyperplanes → integer bucket id.
     ``planes`` is generated driver-side (deterministic seed) and inlined as

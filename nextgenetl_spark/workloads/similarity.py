@@ -74,6 +74,30 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "embedding_near_dup_auto",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3
+    """,
+)
+def embedding_near_dup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-routed embedding near-dup (operators/similarity.py
+    blocked_near_dup_pairs_auto): bounded blocks run the exact per-block
+    GEMM, oversized blocks sub-bucket by hyperplane signature — decided by a
+    block-count aggregate inside the plan. Every label block is bounded at
+    this sf, so the result equals the exact baseline and shares its oracle;
+    pytest forces a tiny bound to exercise the sub-bucket branch."""
+    from nextgenetl_spark.operators.similarity import blocked_near_dup_pairs_auto
+
+    return blocked_near_dup_pairs_auto(
+        load(spark, sf_dir, "embeddings"), dim=64, block_col="label", threshold=0.3
+    )
+
+
 @workload("ann_ivf_topk")  # approximate by construction → rows-only; pytest proves nprobe=ALL == brute force
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN top-5 for 10 query vectors (nprobe=4 of 16 cells, 2 Lloyd

@@ -405,3 +405,29 @@ def test_near_dup_auto_routes_oversized_blocks_to_lsh(spark):
     blocks = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
     for r in rows:
         assert blocks[r["a_id"]] == blocks[r["b_id"]]
+
+
+def test_embedding_near_dup_auto_routes_and_matches(spark):
+    """Generous bound -> identical to the exact blocked GEMM; tiny bound ->
+    every block routes through hyperplane sub-buckets: must run, emit only
+    same-block pairs, and stay a subset of the exact pairs."""
+    from nextgenetl_spark.operators.similarity import (
+        blocked_near_dup_pairs_auto,
+        blocked_near_dup_pairs_vectorized,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    exact = sorted(map(tuple, blocked_near_dup_pairs_vectorized(
+        emb, block_col="label", threshold=0.3, max_block_rows=None).collect()))
+    auto_big = sorted(map(tuple, blocked_near_dup_pairs_auto(
+        emb, dim=64, block_col="label", threshold=0.3, max_block_rows=100_000).collect()))
+    assert auto_big == exact
+
+    routed = blocked_near_dup_pairs_auto(
+        emb, dim=64, block_col="label", threshold=0.3, max_block_rows=2).collect()
+    blocks = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    got = sorted((r["a_id"], r["b_id"], r["sim"]) for r in routed)
+    assert got  # sub-buckets must still find the close pairs
+    assert set(got) <= set(exact)
+    for a, b, _ in got:
+        assert blocks[a] == blocks[b]
