@@ -152,7 +152,13 @@ def near_dup_pairs_auto(
     Both land in the same (a_id, b_id, jac) contract."""
     counts = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__n"))
     oversized = counts.filter(F.col("__n") > max_block_rows).select(block_col)
-    small = df.join(F.broadcast(oversized), block_col, "left_anti")
+    # Repartition the exact branch on the block key: the broadcast anti join
+    # shrinks Catalyst's size estimate, which otherwise flips the quadratic
+    # pair join to a BroadcastHashJoin probed at the SCAN's parallelism —
+    # one task per input file doing the whole O(block²) work. The explicit
+    # hash partitioning restores shuffle-partition parallelism and both
+    # self-join sides reuse the same exchange.
+    small = df.join(F.broadcast(oversized), block_col, "left_anti").repartition(block_col)
     big = df.join(F.broadcast(oversized), block_col, "left_semi")
     exact = ngram_jaccard_pairs(
         small, block_col, threshold, text_col, id_col, max_block_rows=None
