@@ -61,10 +61,15 @@ def main() -> None:
                 k_centroids=32, nprobe=4,
             ).count(),
             # size-routed pairs: bounded source blocks run exact quadratic,
-            # oversized ones reroute to MinHash-LSH — time must follow the
-            # LSH curve (near-linear) once replication pushes blocks past
-            # MAX_BLOCK_ROWS, instead of the quadratic exact curve
-            "auto_route": lambda: D.near_dup_pairs_auto(d, "source", threshold=0.5).count(),
+            # oversized ones reroute to MinHash-LSH. The bound is pinned at
+            # 2000 so x20 (5000-row blocks on this corpus) actually trips
+            # the reroute: x1/x5 follow the exact-quadratic curve (output-
+            # bound — replication makes most same-block TOKEN-set pairs
+            # near-dups), x20 collapses to the LSH curve, whose stricter
+            # shingle-set verify also emits ~100× fewer pairs.
+            "auto_route": lambda: D.near_dup_pairs_auto(
+                d, "source", threshold=0.5, max_block_rows=2000
+            ).count(),
             # pairs → canonical groups; rounds should stay flat (graph
             # diameter, pointer-doubled) while pair volume grows
             "conn_comp": lambda: D.connected_components(
