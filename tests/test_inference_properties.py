@@ -89,3 +89,78 @@ def test_bq_friendly_names_are_legal(name):
     out = make_name_bq_friendly(name)
     assert len(out) <= 300
     assert all(c.isalnum() or c == "_" for c in out)
+
+
+# --- round-2 additions: schema JSON round-trip + pipeline SQL templating ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+_scalar_types = st.sampled_from(
+    ["STRING", "INT64", "FLOAT64", "BOOL", "DATE", "TIMESTAMP", "NUMERIC"]
+)
+_names = st.from_regex(r"[a-z][a-z0-9_]{0,15}", fullmatch=True)
+
+
+def _field(depth):
+    scalar = st.fixed_dictionaries(
+        {"name": _names, "type": _scalar_types, "mode": st.sampled_from(["NULLABLE", "REPEATED"])}
+    )
+    if depth <= 0:
+        return scalar
+    record = st.fixed_dictionaries(
+        {
+            "name": _names,
+            "type": st.just("RECORD"),
+            "mode": st.sampled_from(["NULLABLE", "REPEATED"]),
+            "fields": st.lists(_field(depth - 1), min_size=1, max_size=3, unique_by=lambda f: f["name"]),
+        }
+    )
+    return st.one_of(scalar, record)
+
+
+@given(st.lists(_field(2), min_size=1, max_size=6, unique_by=lambda f: f["name"]))
+@settings(max_examples=80, deadline=None)
+def test_schema_fields_roundtrip_property(fields):
+    """fields -> StructType -> fields preserves name/type/mode structure
+    (descriptions default in; TIME/DATETIME aliases excluded — documented
+    canonicalization)."""
+    from nextgenetl_spark.schemas import fields_to_schema, schema_to_fields
+
+    st_ = fields_to_schema(fields)
+    back = schema_to_fields(st_)
+
+    def strip(fs):
+        out = []
+        for f in fs:
+            e = {"name": f["name"], "type": f["type"], "mode": f.get("mode", "NULLABLE")}
+            if f["type"] == "RECORD":
+                e["fields"] = strip(f["fields"])
+            out.append(e)
+        return out
+
+    assert strip(back) == strip(fields)
+
+
+@given(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80),
+    st.dictionaries(_names, st.integers(-1000, 1000), max_size=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_render_sql_only_touches_known_params(sql, params):
+    """render_sql replaces exactly the {known_param} tokens; every other
+    character (including stray braces) passes through verbatim."""
+    import re
+
+    from nextgenetl_spark.plans.pipeline import render_sql
+
+    out = render_sql(sql, params)
+    expect = re.sub(
+        r"\{([A-Za-z_][A-Za-z0-9_]*)\}",
+        lambda m: str(params[m.group(1)]) if m.group(1) in params else m.group(0),
+        sql,
+    )
+    assert out == expect
+    if not re.search(r"\{[A-Za-z_][A-Za-z0-9_]*\}", sql):
+        assert out == sql  # brace-free or non-param braces: identity
