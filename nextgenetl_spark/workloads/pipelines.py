@@ -112,3 +112,52 @@ def publish_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not res2["published"] or res3["published"]:
         raise AssertionError(f"publish tail misbehaved: r2={res2} r3={res3}")
     return spark.read.parquet(f"{root}/order_profile_current")
+
+
+@workload(
+    "release_report",
+    oracle="""
+    WITH old AS (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 != 0),
+    new AS (SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(15,2)) AS c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey % 7 != 0)
+    SELECT 'c_mktsegment' AS added_fields,
+           '' AS removed_fields,
+           'c_acctbal: double -> decimal(15,2)' AS dtype_changes,
+           (SELECT COUNT(*) FROM new WHERE c_custkey NOT IN (SELECT c_custkey FROM old)) AS added_key_count,
+           (SELECT COUNT(*) FROM old WHERE c_custkey NOT IN (SELECT c_custkey FROM new)) AS removed_key_count,
+           (SELECT COUNT(*) FROM old) AS old_rows,
+           (SELECT COUNT(*) FROM new) AS new_rows
+    """,
+)
+def release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release report (SURVEY N10; reference:
+    compare_clinical_gdc_api_releases.py:79-136 via INFORMATION_SCHEMA,
+    build_gdc_api_clinical_program_tables.py:1217-1363) through the oracle
+    gate: two derived releases of `customer` — new release adds a column,
+    retypes another, and churns keys — reported as one row of
+    added/removed/retyped fields plus key/row deltas. The DataFrame schema
+    IS the catalog here, so schema fields come from diff.release_report
+    dynamically; the oracle states the expected values."""
+    from nextgenetl_spark.diff import release_report as report
+
+    c = load(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 10 != 0).select("c_custkey", "c_name", "c_acctbal")
+    new = (
+        c.filter(F.col("c_custkey") % 7 != 0)
+        .select("c_custkey", "c_name", F.col("c_acctbal").cast("decimal(15,2)").alias("c_acctbal"), "c_mktsegment")
+    )
+    r = report(old, new, "c_custkey")
+    row = {
+        "added_fields": ",".join(r["added_fields"]),
+        "removed_fields": ",".join(r["removed_fields"]),
+        "dtype_changes": ",".join(f"{c}: {a} -> {b}" for c, (a, b) in sorted(r["dtype_changes"].items())),
+        "added_key_count": r["added_key_count"],
+        "removed_key_count": r["removed_key_count"],
+        "old_rows": r["row_counts"]["old"],
+        "new_rows": r["row_counts"]["new"],
+    }
+    return spark.createDataFrame(
+        [row],
+        "added_fields string, removed_fields string, dtype_changes string, "
+        "added_key_count long, removed_key_count long, old_rows long, new_rows long",
+    )
