@@ -97,7 +97,28 @@ def release_report(old: DataFrame, new: DataFrame, key: str) -> dict:
     part via INFORMATION_SCHEMA — here the DataFrame schema IS the catalog)."""
     old_fields = {f.name: f.dataType.simpleString() for f in old.schema.fields}
     new_fields = {f.name: f.dataType.simpleString() for f in new.schema.fields}
-    kd = key_diff(old, new, key)
+    # One full-outer key join + one unioned count: 2 jobs total where the
+    # compositional form (key_diff counts + row_count_compare) pays 4 —
+    # at warehouse scale each job is a full scan, so halving passes matters.
+    o = old.select(F.col(key).alias("__k")).distinct().withColumn("__o", F.lit(1))
+    n = new.select(F.col(key).alias("__k")).distinct().withColumn("__n", F.lit(1))
+    krow = (
+        o.join(n, "__k", "full_outer")
+        .agg(
+            F.count(F.when(F.col("__o").isNull(), 1)).alias("added"),
+            F.count(F.when(F.col("__n").isNull(), 1)).alias("removed"),
+        )
+        .first()
+    )
+    rc = {
+        r["__side"]: r["cnt"]
+        for r in old.select(F.lit("old").alias("__side"))
+        .unionByName(new.select(F.lit("new").alias("__side")))
+        .groupBy("__side")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    rc = {"old": rc.get("old", 0), "new": rc.get("new", 0)}
     return {
         "added_fields": sorted(set(new_fields) - set(old_fields)),
         "removed_fields": sorted(set(old_fields) - set(new_fields)),
@@ -106,9 +127,9 @@ def release_report(old: DataFrame, new: DataFrame, key: str) -> dict:
             for c in set(old_fields) & set(new_fields)
             if old_fields[c] != new_fields[c]
         },
-        "added_key_count": kd["added_keys"].count(),
-        "removed_key_count": kd["removed_keys"].count(),
-        "row_counts": row_count_compare(old, new),
+        "added_key_count": krow["added"],
+        "removed_key_count": krow["removed"],
+        "row_counts": {**rc, "equal": rc["old"] == rc["new"]},
     }
 
 
