@@ -512,10 +512,13 @@ def time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_start")
     )
     types = ev.select(F.col("event_type").alias("grid_type")).distinct()
+    # Broadcast the AGG side: a left-outer join can only build (broadcast)
+    # its right side — hinting the preserved grid side is ignored with a
+    # HintErrorLogger warning. agg is hours×types rows, equally bounded.
     return (
-        F.broadcast(grid.crossJoin(types))
+        grid.crossJoin(types)
         .join(
-            agg,
+            F.broadcast(agg),
             (F.col("grid_type") == F.col("agg_type"))
             & (F.col("hour_start") == F.col("h")),
             "left",
