@@ -1,0 +1,56 @@
+"""Physical-plan regression tests: the properties tools/explain.py audits,
+pinned for the queries where they are load-bearing at 100 TB — predicate
+pushdown into the parquet scan, column pruning, partition pruning, broadcast
+placement, and no single-partition exchanges in global top-k."""
+
+from __future__ import annotations
+
+import pytest
+
+from nextgenetl_spark.workloads import load_all
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_all()
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_manifest_filter_pushes_predicates_to_scan(spark):
+    plan = _plan(spark, "manifest_filter")
+    assert "PushedFilters: [" in plan
+    # at least one real pushed filter, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_pricing_summary_prunes_columns(spark):
+    plan = _plan(spark, "pricing_summary")
+    seg = plan[plan.index("ReadSchema"):].splitlines()[0]
+    # the 16-col lineitem scan must read only the query's columns
+    assert "l_comment" not in seg and "l_shipinstruct" not in seg
+
+
+def test_partition_pruning_reaches_scan(spark):
+    plan = _plan(spark, "partition_pruning")
+    assert "PartitionFilters: [" in plan
+    assert "PartitionFilters: []" not in plan
+
+
+def test_multiway_star_broadcasts_dims(spark):
+    plan = _plan(spark, "multiway_star")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_time_grid_fill_broadcast_lands_on_build_side(spark):
+    plan = _plan(spark, "time_grid_fill")
+    assert "BroadcastHashJoin LeftOuter BuildRight" in plan
+
+
+def test_no_single_partition_exchange_in_topk_paths(spark):
+    for name in ("manifest_filter", "ann_ivf_topk", "doc_length_quantiles"):
+        plan = _plan(spark, name)
+        assert "Exchange SinglePartition" not in plan, name
