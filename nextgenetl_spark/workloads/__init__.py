@@ -38,28 +38,32 @@ def workload(name: str, oracle: str | None = None):
     return deco
 
 
-# Queries with a green oracle row in round 1 (CORRECTNESS_r01.json). The
-# driver's per-round check walks queries() in registration order and may not
-# reach the end of the list, so load_all() registers everything *without*
-# prior oracle evidence first and the already-verified (plus slowest, the
-# availableNow streaming runs in events.py) last.
-_VERIFIED_R01 = frozenset({
-    "explode_tokens", "posexplode_offset", "zip_arrays", "leaf_extract",
-    "json_props", "tumbling_window", "sessionize", "packed_multivalue",
-    "sliding_window", "stream_tumbling_window", "stream_sessionize",
-    "stream_user_profile", "stream_sliding_window", "stream_dedup_keys",
-    "stream_static_enrich", "stream_interval_join", "stratified_sample",
-    "time_grid_fill", "asof_purchase_view", "range_join_post_purchase",
-    "stream_lake_publish", "stream_history_antijoin", "gtf_parse",
-    "maf_concat", "tsv_infer_load", "vcf_parse", "jsonl_infer_load",
-    "orc_roundtrip", "partition_pruning", "schema_evolution",
-    "multimodal_decode", "frame_sample", "pipeline_chain", "publish_current",
-    "pricing_summary", "manifest_filter", "pull_list_join", "multiway_star",
-    "left_join_counts", "child_count_attach", "full_outer_diff",
-    "anti_membership", "semi_membership", "self_join_roles", "expr_key_join",
-    "coalesced_legs", "union_provenance", "except_distinct",
-    "union_distinct", "intersect_distinct",
-})
+def _oracle_verified() -> frozenset[str]:
+    """Names with a green row in any prior round's CORRECTNESS_r*.json
+    (driver-written at the repo root). The driver's per-round check walks
+    queries() in registration order and may not reach the end of the list,
+    so load_all() registers everything *without* prior oracle evidence
+    first — reading the files keeps the prioritization current every round
+    with no manual list to maintain."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            # full match, or rows-only pass for ∅-oracle entries
+            if row.get("hash_match") or (row.get("rows_match") and "hash_match" not in row):
+                green.add(name)
+    return frozenset(green)
 
 
 def load_all() -> dict[str, Workload]:
@@ -78,9 +82,11 @@ def load_all() -> dict[str, Workload]:
         pipelines,
     )
 
+    verified = _oracle_verified()
+
     def _tier(item):
         n, wl = item
-        if n not in _VERIFIED_R01:
+        if n not in verified:
             return 0  # no oracle evidence yet — check first
         if wl.fn.__module__.endswith(".events"):
             return 2  # verified AND slowest (availableNow streaming) — last
