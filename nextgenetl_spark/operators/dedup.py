@@ -221,6 +221,37 @@ def minhash_signatures(
     return sigs.select(id_col, F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def minhash_signature_expr(text_col, num_perm: int = 32, shingle_n: int = 3) -> F.Column:
+    """Per-ROW MinHash signature as one Column expression (array<long>):
+    ``array_min`` over the re-seeded shingle hashes per permutation.
+
+    Same values as ``minhash_signatures`` (identical hash math), different
+    execution shape: the batch form explodes shingles into flat map-side
+    aggregates (faster on large corpora), while this form needs NO
+    aggregation at all — which makes it legal in append-mode Structured
+    Streaming, where a groupBy would demand watermark/window state."""
+    sh = F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda h: F.xxhash64(h, F.lit(seed)))) for seed in range(num_perm)]
+    )
+
+
+def band_structs(sig_col, num_bands: int) -> F.Column:
+    """(band, band_hash) structs for a signature column — the LSH banding
+    expression shared by the batch self-join and the streaming
+    stream-static probe."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    rows_per_band = (F.size(sig) / num_bands).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            # hash the long[] slice directly — no string materialization
+            F.xxhash64(F.slice(sig, b * rows_per_band + 1, rows_per_band), b).alias("bh"),
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -229,17 +260,7 @@ def lsh_candidate_pairs(
     """Band the signatures and self-join on (band, band_hash). Each band hash
     is one value per doc, so the join input is num_bands rows per doc; the
     shuffle is by bucket, and only same-bucket docs ever meet."""
-    sig_len = F.size(F.col("sig"))
-    rows_per_band = (sig_len / num_bands).cast("int")
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            # hash the long[] slice directly — no string materialization
-            F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), b).alias("bh"),
-        ),
-    )
-    banded = sigs.select(id_col, F.explode(bands).alias("b")).select(
+    banded = sigs.select(id_col, F.explode(band_structs("sig", num_bands)).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     a = banded.alias("a")

@@ -26,6 +26,34 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
+def docs_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the documents parquet — the ingest shape of a
+    text-curation pipeline (new crawl shards landing in a directory). Same
+    symlink staging as ``events_stream``; schema is static."""
+    import hashlib
+    import os
+
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    stage = f"/tmp/nextgenetl_streams/{hashlib.md5(src.encode()).hexdigest()[:12]}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(stage)
+
+
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch unit; use availableNow trigger for bounded runs).

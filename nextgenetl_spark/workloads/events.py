@@ -710,3 +710,35 @@ def stream_history_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     q.stop()
     return spark.table(name)
+
+
+@workload("stream_near_dup_ingest")  # no SQL oracle: LSH banding is not SQL-expressible; pytest proves equality with the batch MinHash pairs
+def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming NEAR-dup-on-ingest: the documents stream is
+    MinHash-banded per row (``minhash_signature_expr`` — a Column HOF, legal
+    where append-mode aggregation is not) and probed against a static banded
+    index of the already-ingested half of the corpus; candidates verify by
+    exact shingle-set Jaccard. Every step is a stateless projection or
+    stream-static join — no watermark, no state store, and multi-band pair
+    duplicates are collapsed by the first-matching-band filter instead of a
+    stateful dropDuplicates (streaming/neardup.py). Rows-only check; pytest
+    pins equality with the batch MinHash pairs on the same split."""
+    from nextgenetl_spark.streaming.neardup import history_index, near_dup_against_history
+    from nextgenetl_spark.streaming.source import docs_stream
+
+    name = "wl_stream_near_dup"
+    split = 250
+    hist = load(spark, sf_dir, "documents").where(F.col("doc_id") < split)
+    bands, verify = history_index(hist)
+    stream = docs_stream(spark, sf_dir).where(F.col("doc_id") >= split)
+    out = near_dup_against_history(stream, bands, verify, threshold=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)

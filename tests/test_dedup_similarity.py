@@ -431,3 +431,39 @@ def test_embedding_near_dup_auto_routes_and_matches(spark):
     assert set(got) <= set(exact)
     for a, b, _ in got:
         assert blocks[a] == blocks[b]
+
+
+def test_minhash_signature_expr_matches_batch_aggregation(spark):
+    """The per-row HOF signature (streaming shape) must be value-identical
+    to the batch flat-aggregate form."""
+    docs = load(spark, SF_SMOKE, "documents").limit(50)
+    batch = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(docs).collect()}
+    perrow = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select("doc_id", D.minhash_signature_expr("text").alias("sig")).collect()
+    }
+    assert batch == perrow
+
+
+def test_stream_near_dup_matches_batch_cross_pairs(spark):
+    """Streaming near-dup-on-ingest == the batch MinHash pairs restricted to
+    (history × new) — same banding, same verification, stateless plan."""
+    from nextgenetl_spark.streaming.neardup import history_index, near_dup_against_history
+
+    docs = load(spark, SF_SMOKE, "documents")
+    split = 250
+    hist = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+
+    bands, verify = history_index(hist)
+    got = {
+        (r["new_id"], r["hist_id"], r["jac"])
+        for r in near_dup_against_history(new, bands, verify, threshold=0.5).collect()
+    }
+    batch = D.minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    expect = {
+        (max(r["a_id"], r["b_id"]), min(r["a_id"], r["b_id"]), r["jac"])
+        for r in batch
+        if min(r["a_id"], r["b_id"]) < split <= max(r["a_id"], r["b_id"])
+    }
+    assert got == expect
