@@ -74,6 +74,35 @@ def change_status_to_archived(table_dir: str) -> None:
         update_table_labels(table_dir, add={"status": "archived"})
 
 
+def prune_releases(root: str, table: str, keep: int = 3) -> list[str]:
+    """Delete the oldest ARCHIVED releases beyond the newest ``keep``
+    versioned dirs (reference delete tail: common_etl/utils.py:116-124
+    delete_bq_table / support.py:1510-1526 delete_table_bq_job, applied to
+    superseded releases). The current release and any release not labeled
+    archived are never deleted, whatever ``keep`` says — pruning is for
+    storage, not history rewriting. Returns the releases removed."""
+    import re
+    import shutil
+
+    vdir = _versioned_dir(root, table)
+    if not os.path.isdir(vdir):
+        return []
+    releases = [d for d in os.listdir(vdir) if not d.startswith(("_", "."))]
+
+    def sort_key(r: str):
+        m = re.search(r"(\d+)$", r)
+        return (0, int(m.group(1))) if m else (1, r)
+
+    ordered = sorted(releases, key=sort_key)
+    removed = []
+    for rel in ordered[:-keep] if keep > 0 else ordered:
+        path = os.path.join(vdir, rel)
+        if read_table_metadata(path).get("labels", {}).get("status") == "archived":
+            shutil.rmtree(path)
+            removed.append(rel)
+    return removed
+
+
 def _versioned_dir(root: str, table: str) -> str:
     return os.path.join(root, f"{table}_versioned")
 

@@ -300,3 +300,34 @@ def test_persisted_views_roundtrip(spark, tmp_path):
 
     assert drop_view(spark, root, "vt_top")
     assert load_views(spark, root) == []
+
+
+def test_prune_releases_removes_only_old_archived(spark, tmp_path):
+    """Pruning keeps the newest `keep` releases plus anything not labeled
+    archived, and removes older archived dirs."""
+    from nextgenetl_spark.plans.publish import (
+        find_most_recent_release,
+        prune_releases,
+        publish_table,
+        read_table_metadata,
+    )
+
+    root = str(tmp_path / "wh")
+    for i in range(1, 5):
+        df = spark.createDataFrame([(k, f"v{i}") for k in range(i)], ["k", "v"])
+        assert publish_table(spark, df, root, "t", f"r{i}")["published"]
+    # r1..r3 archived, r4 current
+    for i in range(1, 4):
+        assert read_table_metadata(f"{root}/t_versioned/r{i}")["labels"]["status"] == "archived"
+
+    removed = prune_releases(root, "t", keep=2)
+    assert removed == ["r1", "r2"]  # r3 survives (within keep=2? no — r3,r4 kept)
+    import os
+
+    assert sorted(os.listdir(f"{root}/t_versioned")) == ["r3", "r4"]
+    assert find_most_recent_release(root, "t") == "r4"
+
+    # keep=1 would target r3 (archived) but never r4 (current)
+    assert prune_releases(root, "t", keep=1) == ["r3"]
+    assert sorted(os.listdir(f"{root}/t_versioned")) == ["r4"]
+    assert prune_releases(root, "t", keep=1) == []
