@@ -116,6 +116,8 @@ def read_tsv(
     sample_lines: int = 5000,
     normalize: bool = True,
     schema_path: str | None = None,
+    curated: list[dict] | dict | None = None,
+    prefer_curated_types: bool = False,
 ) -> DataFrame:
     """Load a TSV as the reference would: sanitize + dedupe headers, infer
     per-column types from a sampled head (unless an explicit schema is
@@ -125,7 +127,15 @@ def read_tsv(
     (cda_bq_etl/bq_helpers/schema.py:85-187): if the JSON file exists its
     types REPLACE inference (the normalize→cast pipeline still runs, so a
     reload is bit-identical to the inferring run); if absent, the inferred
-    types are persisted there for every later run to reload."""
+    types are persisted there for every later run to reload.
+
+    ``curated`` overlays a hand-curated schema repo on the inferred types
+    before casting/persisting (reference common_etl/support.py:1161-1290):
+    with ``prefer_curated_types=True`` a curated type WINS over inference
+    unless the entry carries an ``exception`` (create_schema_hold_list
+    static mode); otherwise curated entries contribute descriptions only.
+    The merged fields — descriptions included — are what ``schema_path``
+    persists."""
     import os
 
     if schema is not None:
@@ -150,10 +160,26 @@ def read_tsv(
         raw_headers, body = _sample_head(spark, path, sample_lines, sep)
         headers = dedupe_headers([make_name_bq_friendly(h) for h in raw_headers])
         types = infer_tsv_types(body, headers, sample_interval=sample_interval)
+        merged_fields = None
+        if curated is not None:
+            from nextgenetl_spark.schemas import merge_curated
+
+            merged_fields = merge_curated(types, curated, prefer_curated_types)
+            types = {f["name"]: f["type"] for f in merged_fields}
         if schema_path:
+            import json as _json
+            import tempfile as _tempfile
+
             from nextgenetl_spark.schemas import save_schema
 
-            save_schema(schema_path, types)
+            if merged_fields is None:
+                save_schema(schema_path, types)
+            else:
+                os.makedirs(os.path.dirname(schema_path) or ".", exist_ok=True)
+                fd, tmp = _tempfile.mkstemp(dir=os.path.dirname(schema_path) or ".")
+                with os.fdopen(fd, "w") as fh:
+                    _json.dump({"fields": merged_fields}, fh, indent=4)
+                os.replace(tmp, schema_path)
 
     str_schema = T.StructType([T.StructField(h, T.StringType(), True) for h in headers])
     df = (

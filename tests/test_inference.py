@@ -256,3 +256,33 @@ def test_read_jsonl_persisted_schema_matches_inferred(spark, tmp_path):
     second = read_jsonl(spark, str(f), schema_path=sp)
     assert first.schema == second.schema
     assert sorted(map(str, first.collect())) == sorted(map(str, second.collect()))
+
+
+def test_read_tsv_curated_overlay(spark, tmp_path):
+    """Curated entries override inferred types (static mode, honoring
+    exceptions), contribute descriptions, and the persisted schema carries
+    the merged fields — the reference's build_combined_schema flow."""
+    import json
+
+    from nextgenetl_spark.sources.tsv import read_tsv
+
+    f = tmp_path / "t.tsv"
+    f.write_text("id\tqty\tnote\n7\t1\thello\n8\t2\tworld\n")
+    curated = [
+        {"name": "id", "type": "STRING", "description": "case id"},  # wins: 7 -> '7'
+        {"name": "qty", "type": "STRING", "description": "count", "exception": "dynamic"},  # inference stands
+    ]
+    sp = str(tmp_path / "schema.json")
+    df = read_tsv(spark, str(f), curated=curated, prefer_curated_types=True, schema_path=sp)
+    assert dict(df.dtypes) == {"id": "string", "qty": "bigint", "note": "string"}
+    assert {r["id"] for r in df.collect()} == {"7", "8"}
+
+    fields = {x["name"]: x for x in json.load(open(sp))["fields"]}
+    assert fields["id"]["type"] == "STRING" and fields["id"]["description"] == "case id"
+    assert fields["qty"]["type"] == "INT64" and fields["qty"]["description"] == "count"
+    assert fields["note"]["description"] == "No description"
+
+    # reload path: second read uses the persisted merged schema, same result
+    again = read_tsv(spark, str(f), schema_path=sp)
+    assert again.schema == df.schema
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, df.collect()))
