@@ -83,14 +83,21 @@ def load_all() -> dict[str, Workload]:
     )
 
     verified = _oracle_verified()
+    # Within the unverified tier, smaller module groups (schema round-trip,
+    # release report, streaming near-dup — one query each) go before the
+    # long relational tail: if the driver's check has a fixed budget, each
+    # distinct capability gets a row before the 29-deep tail consumes slots.
+    module_rank = {"text": 0, "similarity": 1, "files": 2, "pipelines": 3,
+                   "multimodal": 4, "arrays": 5, "events": 6, "relational": 7}
 
     def _tier(item):
         n, wl = item
+        mod = wl.fn.__module__.rsplit(".", 1)[-1]
         if n not in verified:
-            return 0  # no oracle evidence yet — check first
-        if wl.fn.__module__.endswith(".events"):
-            return 2  # verified AND slowest (availableNow streaming) — last
-        return 1
+            return (0, module_rank.get(mod, 8))
+        if mod == "events":
+            return (2, 0)  # verified AND slowest (availableNow streaming) — last
+        return (1, 0)
 
     ordered = dict(sorted(REGISTRY.items(), key=_tier))
     REGISTRY.clear()
