@@ -68,6 +68,7 @@ HEADLINE = {
     "stream_interval_join": "count",
     "curation_pipeline": "count",
     "pii_scrub": "count",
+    "training_assembly": "count",
     "pack_context_windows": "count",
     "greedy_bin_pack": "count",
     "semantic_dedup_keep": "count",

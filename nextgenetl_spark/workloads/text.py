@@ -892,3 +892,94 @@ def greedy_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = token_counts(load(spark, sf_dir, "documents"))
     return greedy_bin_pack(d, budget=1024)
+
+
+@workload(
+    "training_assembly",
+    oracle="""
+    WITH dedup AS (
+        SELECT doc_id, text, source,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rk
+        FROM documents),
+    planted AS (
+        SELECT doc_id, source,
+               substr(text, 1, 40)
+               || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text
+        FROM dedup WHERE dup_rk = 1),
+    scrubbed AS (
+        SELECT doc_id, source,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+                   '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS text
+        FROM planted
+        WHERE len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) = 0),
+    q AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS ratio
+        FROM scrubbed),
+    kept AS (SELECT doc_id, source, n_tokens FROM q WHERE n_tokens >= 10 AND ratio >= 0.05),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS start
+        FROM kept)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(start / 1024.0) AS BIGINT) AS window_id
+    FROM cum
+    """,
+)
+def training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-2 training-data assembly line as ONE Catalyst plan: exact
+    dedup (keep-first by content hash) → deterministic PII planting (corpus
+    is synthetic word soup) → quarantine documents carrying SSN-shaped ids →
+    scrub the rest (operators/pii.py) → quality filter (length + stopword
+    ratio) → token counts → GPT-style 1024-token context-window assignment
+    (operators/packing.py). Proves the new operators COMPOSE: dedup shuffles
+    hashes, scrub/quality run scan-stage, the pack is one window shuffle on
+    source — document text itself is never shuffled."""
+    from pyspark.sql.window import Window
+
+    from nextgenetl_spark.operators.packing import context_window_chunks
+    from nextgenetl_spark.operators.pii import redact
+    from nextgenetl_spark.operators.pii import PII_PATTERNS
+
+    d = load(spark, sf_dir, "documents")
+    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = d.withColumn("dup_rk", F.row_number().over(wd)).filter(F.col("dup_rk") == 1)
+    planted = deduped.select(
+        "doc_id", "source",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+            F.lit(" call 555-867-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" ssn 123-45-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = planted.filter(
+        F.regexp_count("text", F.lit(PII_PATTERNS["ssn"][0])) == 0
+    ).select("doc_id", "source", redact("text").alias("text"))
+    toks = TS.tokens("text")
+    raw_ratio = TS.stopword_hits(toks, "en") / F.size(toks)
+    kept = (
+        scrubbed.withColumn("n_tokens", F.size(toks).cast("long"))
+        .filter((F.col("n_tokens") >= 10) & (raw_ratio >= 0.05))
+        .select("doc_id", "source", "n_tokens")
+    )
+    return context_window_chunks(kept, budget=1024).select(
+        "doc_id", "source", "n_tokens", "window_id"
+    )
