@@ -111,6 +111,54 @@ def sample_frames(
     return df.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
 
 
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("f0", T.DoubleType()),
+        T.StructField("f1", T.DoubleType()),
+        T.StructField("f2", T.DoubleType()),
+        T.StructField("f3", T.DoubleType()),
+    ]
+)
+
+
+def extract_features(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction per blob — the stage that turns
+    media bytes into an embedding for the similarity/ANN pipeline
+    (operators/similarity.py). Deterministic stub features (arithmetic on
+    blob length + first-4-byte values, so an oracle can recompute them);
+    a real model (CLIP et al.) swaps in without touching the plan — same
+    mapInPandas shape, wider output schema."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            lens = blobs.map(len)
+            b = [blobs.map(lambda x, i=i: x[i] if len(x) > i else 0) for i in range(4)]
+            seed = lens * 31 + b[0] * 7 + b[1] * 13 + b[2] * 17 + b[3] * 19
+            out = {"doc_id": pdf[id_col]}
+            for i in range(4):
+                out[f"f{i}"] = ((seed * (i + 1)) % 10007 / 10007.0).round(4)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(feats, FEATURE_SCHEMA)
+
+
+def resize_image(df: DataFrame, width: int, height: int, blob_col: str = "blob") -> DataFrame:
+    """Real-codec resize integration point (same mapInPandas shape as
+    ``decode_image``: blob in → resized blob out, schema declared up-front).
+    Requires an image library that is not installed in this environment."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - codec not in container
+        raise NotImplementedError(
+            "image resize requires PIL; install pillow and implement "
+            "Image.open(bytes).resize((width, height)) inside a mapInPandas "
+            "stage yielding (doc_id, blob) batches"
+        ) from exc
+    raise NotImplementedError("wire PIL resize over the blob bytes here")
+
+
 def decode_image(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
     """Real-codec integration point. Requires an image library (PIL) that is
     not installed in this environment."""

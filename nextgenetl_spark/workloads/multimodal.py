@@ -44,3 +44,33 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_frames/5 rows out through one Arrow-batched pass)."""
     blobs = attach_blob(load(spark, sf_dir, "documents"))
     return sample_frames(blobs, every_n=5, bytes_per_frame=100)
+
+
+@workload(
+    "multimodal_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS len,
+               ascii(substr(text, 1, 1)) AS b0, ascii(substr(text, 2, 1)) AS b1,
+               ascii(substr(text, 3, 1)) AS b2, ascii(substr(text, 4, 1)) AS b3
+        FROM documents),
+    s AS (SELECT doc_id, len * 31 + b0 * 7 + b1 * 13 + b2 * 17 + b3 * 19 AS seed FROM b)
+    SELECT doc_id,
+           ROUND((seed * 1 % 10007) / 10007.0, 4) AS f0,
+           ROUND((seed * 2 % 10007) / 10007.0, 4) AS f1,
+           ROUND((seed * 3 % 10007) / 10007.0, 4) AS f2,
+           ROUND((seed * 4 % 10007) / 10007.0, 4) AS f3
+    FROM s
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-bytes → embedding features via Arrow-batched mapInPandas
+    (operators/multimodal.py extract_features) — the stage that bridges
+    binary media columns into the similarity/ANN pipeline. Deterministic
+    stub features (arithmetic on blob length + leading byte values; the
+    corpus is ASCII so the oracle recomputes them from the text); a real
+    encoder swaps in without touching the plan."""
+    from nextgenetl_spark.operators.multimodal import extract_features
+
+    return extract_features(attach_blob(load(spark, sf_dir, "documents")))

@@ -74,3 +74,29 @@ def test_vectorized_near_dup_matches_expression_form(spark):
         for r in blocked_near_dup_pairs_vectorized(emb, threshold=0.25).collect()
     }
     assert expr == vec and expr
+
+
+def test_extract_features_deterministic_and_bounded(spark):
+    from nextgenetl_spark.catalog import load
+    from nextgenetl_spark.operators.multimodal import attach_blob, extract_features
+    from tests.conftest import SF_SMOKE
+
+    blobs = attach_blob(load(spark, SF_SMOKE, "documents").limit(50))
+    a = sorted(map(tuple, extract_features(blobs).collect()))
+    b = sorted(map(tuple, extract_features(blobs).collect()))
+    assert a == b
+    for row in a:
+        for f in row[1:]:
+            assert 0.0 <= f < 1.0
+
+
+def test_resize_image_raises_without_codec(spark):
+    import pytest
+
+    from nextgenetl_spark.catalog import load
+    from nextgenetl_spark.operators.multimodal import attach_blob, resize_image
+    from tests.conftest import SF_SMOKE
+
+    blobs = attach_blob(load(spark, SF_SMOKE, "documents").limit(1))
+    with pytest.raises(NotImplementedError, match="resize requires PIL"):
+        resize_image(blobs, 32, 32)
