@@ -63,6 +63,8 @@ HEADLINE = {
     "asof_purchase_view": "count",
     "near_dup_groups_star": "count",
     "tfidf_top_terms": "count",
+    "ngram_counts": "count",
+    "vocab_build": "collect",
     "mixture_token_budget": "count",
     "compression_ratio": "count",
     "stream_interval_join": "count",

@@ -983,3 +983,74 @@ def training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return context_window_chunks(kept, budget=1024).select(
         "doc_id", "source", "n_tokens", "window_id"
     )
+
+
+@workload(
+    "ngram_counts",
+    oracle="""
+    WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    grams AS (
+        SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                      i -> array_to_string(t[i:i+2], ' '))) AS gram
+        FROM toks),
+    c AS (SELECT gram, COUNT(*) AS n FROM grams GROUP BY gram)
+    SELECT gram, n FROM c WHERE n >= 5
+    """,
+)
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level 3-gram frequency table (the classic count-all-n-grams
+    job over a training corpus): shingle in the scan stage (zip-shift
+    construction, operators/dedup.py shingles WITHOUT the distinct — counts
+    need every occurrence), explode, hash-aggregate with map-side partial
+    combine. The shuffle carries (gram, partial-count) pairs, never
+    documents; a frequency floor keeps the result (and at 100 TB the
+    output table) bounded. NOTE: shingles() dedups per doc, so this builds
+    the occurrence list inline with the same zip-shift idiom."""
+    d = load(spark, sf_dir, "documents")
+    toks = TS.tokens("text")
+    shifted1 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1)))
+    shifted2 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(1)))
+    z = F.zip_with(toks, shifted1, lambda a, b: F.concat_ws(" ", a, b))
+    z = F.zip_with(z, shifted2, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(z, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+    return (
+        d.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@workload(
+    "vocab_build",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents),
+    c AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY term),
+    ranked AS (
+        SELECT term, freq,
+               row_number() OVER (ORDER BY freq DESC, term) AS token_id
+        FROM c)
+    SELECT CAST(token_id AS INT) AS token_id, term, freq
+    FROM ranked WHERE token_id <= 64
+    """,
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary build: top-64 terms by corpus frequency with
+    deterministic (freq DESC, term) rank as the token id. The global top-k
+    runs as orderBy().limit() → TakeOrderedAndProject (per-partition
+    partial top-k merged on the driver, never a single-partition sort);
+    only the k survivors pass through the id-numbering window."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(TS.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from pyspark.sql.window import Window
+
+    top = freq.orderBy(F.desc("freq"), F.asc("term")).limit(64)
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))  # 64 rows only
+    return top.withColumn("token_id", F.row_number().over(w).cast("int")).select(
+        "token_id", "term", "freq"
+    )
