@@ -111,6 +111,58 @@ def sample_frames(
     return df.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("start_byte", T.IntegerType()),
+        T.StructField("end_byte", T.IntegerType()),
+        T.StructField("n_windows", T.IntegerType()),
+    ]
+)
+
+
+def audio_windows(
+    df: DataFrame,
+    window_bytes: int = 160,
+    hop_bytes: int = 80,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-size windows over a media blob — the ASR-training
+    chunking shape (window/hop in bytes standing in for samples; a real
+    pipeline derives them from the sample rate in the typed metadata).
+    1→N row expansion via Arrow-batched mapInPandas, like ``sample_frames``
+    but with hop < window overlap: a window starts at every hop offset
+    while any byte remains, and the final partial window is kept (padded
+    downstream), matching common feature-frame conventions."""
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, ends, totals = [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                n = len(blob)
+                starts_list = list(range(0, n, hop_bytes))
+                n_win = len(starts_list)
+                for i, s in enumerate(starts_list):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    starts.append(s)
+                    ends.append(min(s + window_bytes, n))
+                    totals.append(n_win)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int32"),
+                    "start_byte": pd.Series(starts, dtype="int32"),
+                    "end_byte": pd.Series(ends, dtype="int32"),
+                    "n_windows": pd.Series(totals, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(windows, AUDIO_WINDOW_SCHEMA)
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

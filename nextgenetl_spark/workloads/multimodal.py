@@ -74,3 +74,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nextgenetl_spark.operators.multimodal import extract_features
 
     return extract_features(attach_blob(load(spark, sf_dir, "documents")))
+
+
+@workload(
+    "audio_windows",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    w AS (
+        SELECT doc_id, n,
+               unnest(range(0, n, 80)) AS start_byte,
+               len(range(0, n, 80)) AS n_windows
+        FROM b)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_byte) - 1 AS INT) AS win_idx,
+           CAST(start_byte AS INT) AS start_byte,
+           CAST(least(start_byte + 160, n) AS INT) AS end_byte,
+           CAST(n_windows AS INT) AS n_windows
+    FROM w
+    """,
+)
+def audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 160-byte windows every 80 bytes over each media blob —
+    the ASR feature-frame chunking shape (operators/multimodal.py
+    audio_windows), 1→N Arrow-batched expansion with hop overlap. The
+    oracle replays the window arithmetic from the byte length."""
+    from nextgenetl_spark.operators.multimodal import audio_windows as win
+
+    return win(attach_blob(load(spark, sf_dir, "documents")))
