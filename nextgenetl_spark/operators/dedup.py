@@ -358,6 +358,190 @@ def simhash64(text_col) -> F.Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def md5_simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash whose per-token hash is the first 16 hex chars of
+    ``md5(token)`` — bit b is bit (3 - b%4) of hex char b//4. Same execution
+    shape as ``simhash_fingerprints`` (explode distinct tokens → 64 flat
+    vote aggregates inside whole-stage codegen → fold winning masks into one
+    BIGINT), but every hash step is engine-portable: md5 + hex-char
+    arithmetic exist verbatim in ANSI-ish SQL, so a DuckDB oracle reproduces
+    the fingerprint bit-for-bit. The xxhash64 form stays the production/perf
+    path; this one is the cross-engine-verifiable pin of the algorithm."""
+    masks = [(1 << b) if b < 63 else -(2**63) for b in range(64)]
+    base = df.select(F.col(id_col), F.explode_outer(F.array_distinct(tokens(text_col))).alias("t"))
+    base = base.select(id_col, F.md5("t").alias("h"))
+    # hex-char values 0..15, one per nibble of the 64-bit prefix
+    hv = [F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"hv{i}") for i in range(16)]
+    base = base.select(id_col, *hv)
+    aggs = [
+        F.sum(
+            F.when(F.col(f"hv{b // 4}").bitwiseAND(F.lit(2 ** (3 - b % 4))) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    votes = base.groupBy(id_col).agg(*aggs)
+    fp = None
+    for b, m in enumerate(masks):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(m).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select(id_col, fp.alias("fp"))
+
+
+def md5_simhash_oracle_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB SQL computing exactly ``md5_simhash_fingerprints`` grouped into
+    dedup groups — generated from the same bit layout so the two can never
+    drift apart."""
+    hv = ",\n           ".join(
+        f"instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS hv{i}" for i in range(16)
+    )
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (hv{b // 4} & {2 ** (3 - b % 4)}) <> 0 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    masks = [(1 << b) if b < 63 else -(2**63) for b in range(64)]
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({m} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b, m in enumerate(masks)
+    )
+    return f"""
+    WITH base AS (
+        SELECT {id_col}, unnest(list_distinct(string_split_regex(trim({text_col}), '\\s+'))) AS t
+        FROM {table}
+    ), h AS (
+        SELECT {id_col}, md5(t) AS h FROM base
+    ), hv AS (
+        SELECT {id_col},
+           {hv}
+        FROM h
+    ), votes AS (
+        SELECT {id_col},
+           {votes}
+        FROM hv GROUP BY {id_col}
+    ), fps AS (
+        SELECT {id_col}, {fp} AS fp FROM votes
+    )
+    SELECT fp, COUNT(*) AS n_docs, MIN({id_col}) AS canonical_id
+    FROM fps GROUP BY fp
+    """
+
+
+def md5_minhash_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with an engine-portable hash: permutation
+    i's value is ``min(md5('i|' || shingle))`` (a hex-string min), band
+    hashes are md5 over the '|'-joined band slice, and candidate pairs are
+    verified by exact Jaccard over the md5'd shingle sets. Identical
+    banding/verify shape to ``minhash_near_dup_pairs`` (explode → flat min
+    aggregates → (band, band_hash) self-join → verify candidates only); the
+    xxhash64 form is the perf path, this one is the cross-engine pin that a
+    DuckDB oracle replays exactly."""
+    sh = shingles(text_col, shingle_n)
+    base = df.select(F.col(id_col), F.explode(sh).alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}") for i in range(num_perm)
+    ]
+    sigs = base.groupBy(id_col).agg(*aggs)
+    rows = num_perm // num_bands
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"m{i}") for i in range(b * rows, (b + 1) * rows)])).alias("bh"),
+        )
+        for b in range(num_bands)
+    ]
+    banded = sigs.select(id_col, F.explode(F.array(*bands)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+    shm = df.select(
+        F.col(id_col), F.array_distinct(F.transform(sh, lambda s: F.md5(s))).alias("shm")
+    )
+    av = shm.withColumnRenamed(id_col, "a_id").withColumnRenamed("shm", "a_shm")
+    bv = shm.withColumnRenamed(id_col, "b_id").withColumnRenamed("shm", "b_shm")
+    return (
+        cands.join(av, "a_id")
+        .join(bv, "b_id")
+        .select("a_id", "b_id", F.round(jaccard(F.col("a_shm"), F.col("b_shm")), 4).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def md5_minhash_oracle_sql(
+    threshold: float = 0.5,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    num_bands: int = 4,
+) -> str:
+    """DuckDB SQL replaying ``md5_minhash_near_dup_pairs`` exactly (shingle
+    construction, seeded md5 minima, banding, candidate join, Jaccard
+    verify) — generated from the same parameters so both sides share one
+    definition. shingle_n is fixed at 3 here (the workload default)."""
+    sig = ",\n           ".join(f"min(md5('{i}|' || s)) AS m{i}" for i in range(num_perm))
+    rows = num_perm // num_bands
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT {id_col}, {b} AS band, md5("
+        + " || '|' || ".join(f"m{i}" for i in range(b * rows, (b + 1) * rows))
+        + f") AS bh FROM sig"
+        for b in range(num_bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, string_split_regex(trim({text_col}), '\\s+') AS tk FROM {table}
+    ), sh AS (
+        SELECT {id_col},
+               list_distinct(CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk) - 1),
+                                        i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+                    ELSE [array_to_string(tk, ' ')] END) AS sh
+        FROM toks
+    ), ex AS (
+        SELECT {id_col}, unnest(sh) AS s FROM sh
+    ), sig AS (
+        SELECT {id_col},
+           {sig}
+        FROM ex GROUP BY {id_col}
+    ), bands AS (
+        {band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.{id_col} AS a_id, b.{id_col} AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.{id_col} < b.{id_col}
+    ), shm AS (
+        SELECT {id_col}, list_distinct(list_transform(sh, s -> md5(s))) AS shm FROM sh
+    ), v AS (
+        SELECT a_id, b_id,
+               ROUND(CAST(len(list_intersect(x.shm, y.shm)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.shm, y.shm))), 4) AS jac
+        FROM cand
+        JOIN shm x ON x.{id_col} = a_id
+        JOIN shm y ON y.{id_col} = b_id
+    )
+    SELECT a_id, b_id, jac FROM v WHERE jac >= {threshold}
+    """
+
+
 def connected_components(
     edges: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iters: int = 30
 ) -> DataFrame:

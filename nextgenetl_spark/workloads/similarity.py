@@ -114,6 +114,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "ann_ivf_full_probe",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      ROUND(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 4) AS sim
+               FROM q, c WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id,
+           ROUND(sim, 4) AS sim,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with nprobe == k_centroids: probing every cell degenerates
+    to exact brute force, so the ENTIRE IVF machinery — deterministic
+    centroid pick, Lloyd refinement, cell assignment, query-side probe
+    ranking, per-cell scoring, final re-rank — is value-hash-verified
+    against the brute-force oracle. The nprobe=4 variant (`ann_ivf_topk`)
+    is the production recall/cost point; this one is its correctness pin."""
+    from nextgenetl_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return ivf_topk(q, c, k_centroids=16, nprobe=16, k=5, refine_iters=1).select(
+        "query_id", "neighbor_id", "sim", "rank"
+    )
+
+
+@workload(
     "embedding_norm_qc",
     oracle="""
     WITH v AS (

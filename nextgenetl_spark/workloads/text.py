@@ -154,6 +154,31 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_dup_pairs(d, threshold=0.5)
 
 
+@workload("minhash_md5_near_dup", oracle=D.md5_minhash_oracle_sql(threshold=0.5))
+def minhash_md5_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup with the engine-portable md5 hash family — the
+    full banded pipeline (seeded minima → band hashes → bucket self-join →
+    Jaccard verify) replayed verbatim by a DuckDB oracle, pinning the LSH
+    machinery end-to-end where the xxhash64 production path can only get a
+    rows-only check. Reference near-dup use case: SURVEY §2 dedup family."""
+    d = load(spark, sf_dir, "documents")
+    return D.md5_minhash_near_dup_pairs(d, threshold=0.5)
+
+
+@workload("simhash_md5_dedup", oracle=D.md5_simhash_oracle_sql())
+def simhash_md5_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup groups with md5-nibble bit votes — bit-for-bit
+    reproducible in the DuckDB oracle (generated from the same bit layout),
+    giving the simhash algorithm a full value-hash check next to the
+    xxhash64 perf path's rows-only one."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        D.md5_simhash_fingerprints(d)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
 @workload(
     "doc_fingerprint",
     oracle=None,  # xxhash64 is Spark-specific; rows-only check + pytest determinism test

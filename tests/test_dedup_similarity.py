@@ -467,3 +467,77 @@ def test_stream_near_dup_matches_batch_cross_pairs(spark):
         if min(r["a_id"], r["b_id"]) < split <= max(r["a_id"], r["b_id"])
     }
     assert got == expect
+
+
+def test_md5_simhash_python_reference(spark):
+    """md5_simhash_fingerprints matches a pure-Python recomputation of the
+    same bit layout — pins the engine-portable hash family independently of
+    both Spark and DuckDB."""
+    import hashlib
+    import re
+
+    rows = [(1, "alpha beta gamma alpha"), (2, "delta epsilon"), (3, "alpha beta gamma alpha")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["fp"] for r in D.md5_simhash_fingerprints(df).collect()}
+
+    def ref_fp(text):
+        toks = dict.fromkeys(re.split(r"\s+", text.strip()))
+        votes = [0] * 64
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for b in range(64):
+                hv = int(h[b // 4], 16)
+                votes[b] += 1 if (hv >> (3 - b % 4)) & 1 else -1
+        fp = 0
+        for b, v in enumerate(votes):
+            if v > 0:
+                fp += (1 << b) if b < 63 else -(2**63)
+        return fp
+
+    assert got == {i: ref_fp(t) for i, t in rows}
+    assert got[1] == got[3]  # identical docs → identical fingerprints
+
+
+def test_md5_minhash_matches_xxhash_semantics(spark):
+    """The md5 minhash variant finds the same verified pair set as the
+    xxhash64 production path on planted near-dups (verification makes
+    precision exact on both; the planted dups are high-jaccard so both
+    banding schemes must catch them)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base + " extra"), (3, "completely different content entirely here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    md5_pairs = {
+        (r["a_id"], r["b_id"]) for r in D.md5_minhash_near_dup_pairs(df, threshold=0.5).collect()
+    }
+    xx_pairs = {
+        (r["a_id"], r["b_id"]) for r in D.minhash_near_dup_pairs(df, threshold=0.5).collect()
+    }
+    assert (1, 2) in md5_pairs
+    assert md5_pairs == xx_pairs
+
+
+def test_md5_oracle_sql_matches_spark(spark):
+    """Full cross-engine pin at smoke SF: the generated DuckDB oracles
+    reproduce the Spark md5 simhash/minhash outputs exactly."""
+    import duckdb
+
+    docs = load(spark, SF_SMOKE, "documents")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'")
+
+    sim_spark = sorted(
+        (r["fp"], r["n_docs"], r["canonical_id"])
+        for r in D.md5_simhash_fingerprints(docs)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .collect()
+    )
+    sim_duck = sorted(tuple(r) for r in con.execute(D.md5_simhash_oracle_sql()).fetchall())
+    assert sim_spark == sim_duck
+
+    mh_spark = sorted(
+        (r["a_id"], r["b_id"], r["jac"])
+        for r in D.md5_minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    )
+    mh_duck = sorted(tuple(r) for r in con.execute(D.md5_minhash_oracle_sql(threshold=0.5)).fetchall())
+    assert mh_spark == mh_duck
