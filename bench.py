@@ -38,6 +38,9 @@ HEADLINE = {
     "ngram_jaccard_pairs": "count",
     "near_dup_pairs_auto": "count",
     "minhash_near_dup": "count",
+    "minhash_md5_near_dup": "count",
+    "simhash_md5_dedup": "count",
+    "ann_ivf_full_probe": "count",
     "ann_cosine_topk": "count",
     "token_stats": "count",
     "embedding_near_dup": "count",

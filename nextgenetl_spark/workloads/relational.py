@@ -1272,3 +1272,87 @@ def grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         li=li,
     )
+
+
+@workload(
+    "scd2_order_history",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           ROUND(value, 2) AS value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM events
+    WHERE user_id < 100 AND event_type = 'purchase'
+    """,
+)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each change event opens a validity interval
+    that the NEXT change for the same key closes (lead over the key
+    partition), the open interval marking the current row — the versioned-
+    table shape the reference maintains by copying whole releases
+    (`_versioned` tables + archive flip, common_etl/utils.py:368-382),
+    here derived in one window pass. Scale: one shuffle on the SCD key;
+    the filter prunes at the scan, and ties break on event_id so the
+    interval chain is deterministic."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.filter((F.col("user_id") < 100) & (F.col("event_type") == "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+    )
+
+
+@workload(
+    "merge_upsert_orders",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice, 'upsert' AS action
+        FROM orders WHERE o_orderkey % 7 = 0
+    ), base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice, 'retain' AS action
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT * FROM upd
+    UNION ALL
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert as a batch plan — the write disposition the
+    reference lacks (it only truncates/appends; updates are whole-table
+    rewrites): updates win on the key, unmatched target rows are retained,
+    unmatched update keys are inserts. Expressed as update-set UNION
+    anti-join(target, update-keys), which at 100 TB is one key-shuffle
+    (AQE picks broadcast when the update set is small — the common
+    incremental-batch case) instead of a full-table rewrite."""
+    o = load(spark, sf_dir, "orders")
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        # ×2 is exact in binary floating point (power-of-two scaling), so no
+        # cross-engine rounding is needed; ×1.1 would land on .005 boundaries
+        # where Spark rounds half-up and DuckDB half-even.
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("upsert").alias("action"),
+    )
+    base = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("retain").alias("action"),
+    )
+    return upd.unionByName(base.join(upd.select("o_orderkey"), "o_orderkey", "left_anti"))

@@ -132,3 +132,40 @@ def test_events_load_value_preserving_under_non_utc_session(spark):
     lo = pc.min(ts).value // 1_000_000
     hi = pc.max(ts).value // 1_000_000
     assert (got["lo"], got["hi"]) == (lo, hi)
+
+
+def test_scd2_intervals_chain_per_key(spark):
+    """SCD2 validity intervals must chain (valid_to == next valid_from),
+    have exactly one open (current) interval per key, and never overlap."""
+    rows = REGISTRY["scd2_order_history"].fn(spark, SF_SMOKE).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["user_id"], []).append(r)
+    assert by_key
+    for recs in by_key.values():
+        recs.sort(key=lambda r: (r["valid_from"], r["event_id"]))
+        assert sum(r["is_current"] for r in recs) == 1
+        assert recs[-1]["valid_to"] is None and recs[-1]["is_current"]
+        for prev, nxt in zip(recs, recs[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+
+
+def test_merge_upsert_update_wins_and_retains(spark):
+    """Upsert semantics: every update key appears exactly once with the
+    updated values; target rows without an update survive unchanged; no
+    key appears twice."""
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["merge_upsert_orders"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    keys = [r["o_orderkey"] for r in rows]
+    assert len(keys) == len(set(keys))
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    upd_keys = {r["o_orderkey"] for r in o.filter(F.col("o_orderkey") % 7 == 0).collect()}
+    base_keys = {r["o_orderkey"] for r in o.filter(F.col("o_orderkey") % 5 != 0).collect()}
+    got_upserts = {r["o_orderkey"] for r in rows if r["action"] == "upsert"}
+    assert got_upserts == upd_keys  # includes inserts (upd keys not in base)
+    assert {r["o_orderkey"] for r in rows} == upd_keys | base_keys
+    for r in rows:
+        if r["action"] == "upsert":
+            assert r["o_orderstatus"] == "U"

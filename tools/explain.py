@@ -28,6 +28,8 @@ RED_FLAGS = (
 EXPECTED = {
     "ann_cosine_topk": {"BroadcastNestedLoopJoin"},
     "ann_ivf_topk": {"BroadcastNestedLoopJoin"},
+    # same centroid-probe crossJoin(broadcast(k-row cents)) as ann_ivf_topk
+    "ann_ivf_full_probe": {"BroadcastNestedLoopJoin"},
     # 1-row N-docs aggregate broadcast into every tf row — constant-size NLJ
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-total broadcast into every (doc, term) row — same shape
