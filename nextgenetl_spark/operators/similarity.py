@@ -52,6 +52,68 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_topk_gemm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact brute-force top-k, vectorized: the query batch (small by
+    contract — it is the ad-hoc side of an ANN lookup) is collected once and
+    closed over as a numpy matrix; the corpus is scanned with mapInPandas,
+    each Arrow batch scoring ALL queries in one normalized GEMM and emitting
+    only its batch-local top-(k+1) rows per query. A final window ranks the
+    tiny surviving candidate set (queries × batches × (k+1) rows).
+
+    Same results as ``cosine_topk`` (tie-break on neighbor id after
+    round_digits rounding; the per-batch selection uses the identical total
+    order, so partial top-k is lossless). Different cost: the expression
+    form evaluates interpreted per-element lambdas per pair, this one does
+    one BLAS matmul per batch and shuffles only candidates — at 100 TB the
+    corpus never shuffles and the scan stays Arrow-batched."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(F.col(query_id), F.col(vec_col)).collect()
+    id_type = queries.schema[query_id].dataType.simpleString()
+    out_schema = f"{query_id} {id_type}, {corpus_id} {corpus.schema[corpus_id].dataType.simpleString()}, sim double"
+    if not qrows:
+        return queries.sparkSession.createDataFrame([], out_schema).withColumn(
+            "rank", F.lit(1)
+        ).limit(0)
+    qids = np.array([r[0] for r in qrows])
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[corpus_id].to_numpy()
+            C = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = np.round(Cn @ Qn.T, round_digits)  # (batch, q)
+            S[ids[:, None] == qids[None, :]] = -np.inf  # self-match exclusion
+            take = min(k + 1, len(ids))
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                # batch-local top-(k+1) under the GLOBAL total order
+                # (-sim, neighbor_id): lossless for the final top-k merge
+                order = np.lexsort((ids, -S[:, j]))[:take]
+                keep = order[np.isfinite(S[order, j])]
+                out_q.extend([qids[j]] * len(keep))
+                out_n.extend(ids[keep])
+                out_s.extend(S[keep, j])
+            yield pd.DataFrame({query_id: out_q, corpus_id: out_n, "sim": out_s})
+
+    cands = corpus.select(F.col(corpus_id), F.col(vec_col)).mapInPandas(score, out_schema)
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 #: Bounded-block contract for the quadratic embedding pair generators. The
 #: vectorized variant materializes an n×n block similarity matrix
 #: (8 bytes · n²: 8k rows ≈ 512 MB), so this bound is also a memory bound.

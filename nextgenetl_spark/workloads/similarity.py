@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from nextgenetl_spark.catalog import load
 from nextgenetl_spark.operators.similarity import (
     blocked_near_dup_pairs_vectorized,
-    cosine_topk,
+    cosine_topk_gemm,
     lsh_topk,
 )
 from nextgenetl_spark.workloads import workload
@@ -31,12 +31,15 @@ from nextgenetl_spark.workloads import workload
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 10 query vectors — exact ANN baseline.
-    Queries broadcast; corpus never shuffles; dot products via
-    zip_with/aggregate stay JVM-side."""
+    Queries close over the scan as a numpy matrix; the corpus never
+    shuffles — each Arrow batch scores all queries in one normalized GEMM
+    and only batch-local top-(k+1) candidates reach the final ranking
+    window (operators/similarity.py cosine_topk_gemm; the expression form
+    cosine_topk is kept as the pure-Column reference)."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    out = cosine_topk(q, c, k=5)
+    out = cosine_topk_gemm(q, c, k=5)
     return out.select("query_id", "neighbor_id", "sim", "rank")
 
 

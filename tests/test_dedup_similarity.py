@@ -541,3 +541,23 @@ def test_md5_oracle_sql_matches_spark(spark):
     )
     mh_duck = sorted(tuple(r) for r in con.execute(D.md5_minhash_oracle_sql(threshold=0.5)).fetchall())
     assert mh_spark == mh_duck
+
+
+def test_cosine_topk_gemm_equals_expression_form(spark):
+    """The vectorized GEMM brute force must return exactly the expression
+    form's (query, rank) → neighbor assignment — the per-batch partial
+    top-(k+1) uses the same total order, so the merge is lossless."""
+    from nextgenetl_spark.operators.similarity import cosine_topk_gemm
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    expr = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in cosine_topk(q, c, k=4).collect()
+    }
+    gemm = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in cosine_topk_gemm(q, c, k=4).collect()
+    }
+    assert expr == gemm
