@@ -591,10 +591,12 @@ def connected_components(
         # graphs; neutral on clique-shaped dedup graphs. Monotone
         # (label(label) <= label), so the sum-convergence check still holds.
         l2 = labels.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
+        # lazy checkpoint: still cuts lineage, but the materializing job is
+        # the convergence aggregate below — one job per round, not two
         labels = (
             labels.join(l2, labels.label == l2.n2, "left")
             .select("node", F.coalesce("l2", "label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # decimal(38,0) sum: exact at any node count (a long sum could
         # overflow, a double sum could absorb a small change at ~1e18 scale)
@@ -664,7 +666,8 @@ def connected_components_star(
     prev = None
     for _ in range(max_iters):
         big = _large_star(sym)
-        e = _small_star(big).localCheckpoint()
+        # lazy: the convergence aggregate right below materializes the round
+        e = _small_star(big).localCheckpoint(eager=False)
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
