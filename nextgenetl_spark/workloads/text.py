@@ -1079,3 +1079,48 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("token_id", F.row_number().over(w).cast("int")).select(
         "token_id", "term", "freq"
     )
+
+
+@workload(
+    "source_data_card",
+    oracle="""
+    WITH t AS (
+        SELECT source, lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT source, lang,
+           COUNT(*)                                            AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT)                          AS total_tokens,
+           ROUND(AVG(n_tok), 2)                                AS avg_tokens,
+           ROUND(AVG(n_chars), 2)                              AS avg_chars,
+           CAST(SUM(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           ROUND(CAST(SUM(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS short_ratio
+    FROM t
+    GROUP BY source, lang
+    """,
+)
+def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus data card — doc counts, token volume, mean
+    lengths, short-doc share: the summary table a curation team publishes
+    next to a training mixture (and the input to mixture_token_budget's
+    weighting). One map-side-combined aggregation over scan-stage
+    expressions; the shuffle carries one partial-agg row per group at any
+    corpus size."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(TS.tokens("text"))
+    return (
+        d.select("source", "lang", n_tok.alias("n_tok"), F.length("text").alias("n_chars"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum(F.when(F.col("n_tok") < 10, 1).otherwise(0)).alias("n_short"),
+            F.round(
+                F.sum(F.when(F.col("n_tok") < 10, 1).otherwise(0)) / F.count(F.lit(1)), 4
+            ).alias("short_ratio"),
+        )
+    )
