@@ -83,6 +83,9 @@ HEADLINE = {
     "stream_static_enrich": "collect",
     "stream_history_antijoin": "count",
     "stream_lake_publish": "collect",
+    "scd2_order_history": "count",
+    "merge_upsert_orders": "count",
+    "source_data_card": "collect",
 }
 
 

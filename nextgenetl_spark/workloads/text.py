@@ -1124,3 +1124,27 @@ def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("short_ratio"),
         )
     )
+
+
+@workload(
+    "normalized_dedup",
+    oracle="""
+    SELECT md5(array_to_string(string_split_regex(trim(text), '\\s+'), ' ')) AS fp,
+           COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY fp
+    """,
+)
+def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the WHITESPACE-NORMALIZED content fingerprint
+    (md5 over space-rejoined tokens): catches duplicates that differ only
+    in runs of spaces/tabs/newlines — the first-line normalization every
+    web-scrape dedup applies before hashing. Same scale shape as
+    exact_dedup: the shuffle carries 16-byte hashes, never text."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(TS.tokens("text"), " "))
+    return (
+        d.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )

@@ -331,3 +331,44 @@ def test_prune_releases_removes_only_old_archived(spark, tmp_path):
     assert prune_releases(root, "t", keep=1) == ["r3"]
     assert sorted(os.listdir(f"{root}/t_versioned")) == ["r4"]
     assert prune_releases(root, "t", keep=1) == []
+
+
+def test_compact_parquet_dir_reduces_files_preserving_rows(spark, tmp_path):
+    """Compaction: 40 tiny files -> few ~target-size files, rows intact."""
+    from nextgenetl_spark.plans.compaction import compact_parquet_dir
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 4000).withColumnRenamed("id", "k").repartition(40).write.parquet(src)
+    stats = compact_parquet_dir(spark, src, dst, target_file_bytes=64 * 1024)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] < 40
+    assert spark.read.parquet(dst).count() == 4000
+    # deterministic content: same key set
+    got = {r["k"] for r in spark.read.parquet(dst).collect()}
+    assert got == set(range(4000))
+
+
+def test_compact_partitioned_keeps_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.plans.compaction import compact_parquet_dir
+
+    src = str(tmp_path / "part_small")
+    dst = str(tmp_path / "part_compacted")
+    (
+        spark.range(0, 3000)
+        .select(F.col("id").alias("k"), (F.col("id") % 3).alias("p"))
+        .repartition(30)
+        .write.partitionBy("p")
+        .parquet(src)
+    )
+    stats = compact_parquet_dir(spark, src, dst, target_file_bytes=256 * 1024, partition_by=["p"])
+    assert stats["files_after"] < stats["files_before"]
+    out = spark.read.parquet(dst)
+    assert out.count() == 3000
+    # hive layout preserved: partition dirs exist and pruning filter works
+    import os
+
+    assert any(d.startswith("p=") for d in os.listdir(dst))
+    assert out.filter(F.col("p") == 1).count() == 1000
