@@ -427,6 +427,32 @@ def md5_simhash_oracle_sql(table: str = "documents", text_col: str = "text", id_
     """
 
 
+#: Universal-hash permutation family for the portable MinHash: fixed odd
+#: multipliers/offsets (deterministic, engine-neutral) and the largest prime
+#: below 2^32. perm_i(h) = (A[i]*h + B[i]) mod P over the 32-bit md5 prefix;
+#: products stay < 2^63, so the arithmetic is exact in any BIGINT engine.
+MINHASH_P = 4294967291
+#: multipliers < 2^31 so A*h < 2^63 for any 32-bit h (no BIGINT overflow
+#: in either engine — Spark ANSI mode raises on long overflow)
+_MINHASH_A = [2146435069, 1610612741, 805306457, 402653189, 201326611,
+              100663319, 50331653, 25165843, 12582917, 6291469,
+              3145739, 1572869, 786433, 393241, 196613, 98317]
+_MINHASH_B = [1013904223, 1664525, 22695477, 69069, 1103515245,
+              214013, 134775813, 2097593, 2531011, 40692,
+              3877, 29573, 12345, 1012019, 573, 997]
+
+
+def _hex_prefix_int_sql(expr: str, n_chars: int = 8) -> str:
+    """Engine-neutral SQL turning the first ``n_chars`` hex chars of
+    ``expr`` into an integer (polynomial build from instr lookups — DuckDB
+    has no conv(); Spark evaluates the same string identically)."""
+    terms = [
+        f"(instr('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (n_chars - 1 - i)}"
+        for i in range(n_chars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def md5_minhash_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -436,25 +462,33 @@ def md5_minhash_near_dup_pairs(
     num_bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs with an engine-portable hash: permutation
-    i's value is ``min(md5('i|' || shingle))`` (a hex-string min), band
+    """MinHash+LSH near-dup pairs with an engine-portable hash family:
+    each shingle is md5-hashed ONCE, its 32-bit hex prefix h feeds
+    ``num_perm`` universal-hash permutations ``(A[i]*h + B[i]) mod P``
+    (exact BIGINT arithmetic — the textbook MinHash construction), band
     hashes are md5 over the '|'-joined band slice, and candidate pairs are
     verified by exact Jaccard over the md5'd shingle sets. Identical
     banding/verify shape to ``minhash_near_dup_pairs`` (explode → flat min
     aggregates → (band, band_hash) self-join → verify candidates only); the
     xxhash64 form is the perf path, this one is the cross-engine pin that a
-    DuckDB oracle replays exactly."""
+    DuckDB oracle replays exactly — and one md5 per shingle instead of
+    num_perm keeps the pin within ~20% of the xxhash64 form's cost."""
     sh = shingles(text_col, shingle_n)
     base = df.select(F.col(id_col), F.explode(sh).alias("s"))
+    h = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    base = base.select(id_col, h.alias("h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}") for i in range(num_perm)
+        F.min((F.lit(_MINHASH_A[i]) * F.col("h") + F.lit(_MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i in range(num_perm)
     ]
     sigs = base.groupBy(id_col).agg(*aggs)
     rows = num_perm // num_bands
     bands = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[F.col(f"m{i}") for i in range(b * rows, (b + 1) * rows)])).alias("bh"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"m{i}").cast("string") for i in range(b * rows, (b + 1) * rows)])
+            ).alias("bh"),
         )
         for b in range(num_bands)
     ]
@@ -495,14 +529,19 @@ def md5_minhash_oracle_sql(
     num_bands: int = 4,
 ) -> str:
     """DuckDB SQL replaying ``md5_minhash_near_dup_pairs`` exactly (shingle
-    construction, seeded md5 minima, banding, candidate join, Jaccard
-    verify) — generated from the same parameters so both sides share one
+    construction, universal-hash minima over the md5 32-bit prefix, banding,
+    candidate join, Jaccard verify) — generated from the same parameter
+    tables (_MINHASH_A/_MINHASH_B/MINHASH_P) so both sides share one
     definition. shingle_n is fixed at 3 here (the workload default)."""
-    sig = ",\n           ".join(f"min(md5('{i}|' || s)) AS m{i}" for i in range(num_perm))
+    hexpr = _hex_prefix_int_sql("md5(s)")
+    sig = ",\n           ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(num_perm)
+    )
     rows = num_perm // num_bands
     band_rows = "\n        UNION ALL\n        ".join(
         f"SELECT {id_col}, {b} AS band, md5("
-        + " || '|' || ".join(f"m{i}" for i in range(b * rows, (b + 1) * rows))
+        + " || '|' || ".join(f"CAST(m{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows))
         + f") AS bh FROM sig"
         for b in range(num_bands)
     )
@@ -518,10 +557,12 @@ def md5_minhash_oracle_sql(
         FROM toks
     ), ex AS (
         SELECT {id_col}, unnest(sh) AS s FROM sh
+    ), hx AS (
+        SELECT {id_col}, {hexpr} AS h FROM ex
     ), sig AS (
         SELECT {id_col},
            {sig}
-        FROM ex GROUP BY {id_col}
+        FROM hx GROUP BY {id_col}
     ), bands AS (
         {band_rows}
     ), cand AS (
