@@ -83,12 +83,46 @@ class Pipeline:
             raise KeyError(f"unknown table '{name}' (known: {sorted(self.tables)})")
         return self.tables[name]
 
+    def _step_fingerprint(self, step: dict, rendered_sql: str | None) -> str:
+        """Definition fingerprint of a step: the rendered SQL (param values
+        included) or builder name, plus every layout/config option. Changing
+        any of these invalidates a skip_if_fresh output; changing UPSTREAM
+        DATA does not — the contract covers the reference's resume case
+        (re-running a pipeline over unchanged inputs), not cache coherence."""
+        import hashlib
+        import json
+
+        basis = {k: v for k, v in step.items() if k not in ("name", "skip_if_fresh")}
+        if rendered_sql is not None:
+            basis["sql"] = rendered_sql
+        return hashlib.md5(json.dumps(basis, sort_keys=True, default=str).encode()).hexdigest()
+
     def run_step(self, step: dict) -> DataFrame:
+        import json
+
         name = step.get("name", step.get("dest", "<unnamed>"))
         dest = step["dest"]
+        rendered = None
         if "sql" in step:
-            sql = render_sql(step["sql"], self.params) if step.get("format", True) else step["sql"]
-            df = self.spark.sql(sql)
+            rendered = render_sql(step["sql"], self.params) if step.get("format", True) else step["sql"]
+        if step.get("skip_if_fresh"):
+            # Incremental resume: reuse a materialized output whose recorded
+            # definition fingerprint matches this step — the automatic form
+            # of the reference's resume-by-steps-list (reference re-runs are
+            # manual step subsets; here freshness is checked per step).
+            if not (step.get("materialize") and self.warehouse):
+                raise ValueError(f"step '{name}': skip_if_fresh requires materialize + warehouse")
+            path = os.path.join(self.warehouse, dest)
+            sidecar = os.path.join(path, "_step_fingerprint.json")
+            if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(sidecar):
+                with open(sidecar, encoding="utf-8") as fh:
+                    recorded = json.load(fh).get("fingerprint")
+                if recorded == self._step_fingerprint(step, rendered):
+                    df = self.spark.read.parquet(path)
+                    self.register(dest, df)
+                    return df
+        if "sql" in step:
+            df = self.spark.sql(rendered)
         elif "builder" in step:
             df = self.builders[step["builder"]](self, step)
         else:
@@ -115,6 +149,9 @@ class Pipeline:
             mode = step.get("mode", "overwrite")
             df.write.mode(mode).parquet(path)
             df = self.spark.read.parquet(path)
+            if step.get("skip_if_fresh"):
+                with open(os.path.join(path, "_step_fingerprint.json"), "w", encoding="utf-8") as fh:
+                    json.dump({"fingerprint": self._step_fingerprint(step, rendered)}, fh)
         if step.get("export_csv"):
             # table → delimited-file extract (reference: common_etl/
             # support.py:434-469), header/sep per step config.

@@ -25,6 +25,7 @@ def read_jsonl(
     schema: T.StructType | None = None,
     max_infer_records: int | None = None,
     schema_path: str | None = None,
+    corrupt_mode: str = "permissive",
 ) -> DataFrame:
     """Load JSONL with reference-rule schema inference (not Spark's) and
     reference-rule value normalization (data_helpers.py:560-578
@@ -36,7 +37,17 @@ def read_jsonl(
     ``schema_path``: persisted-schema round-trip (reference
     cda_bq_etl/bq_helpers/schema.py:85-187) — reload the JSON schema if the
     file exists (skipping the inference pass entirely), else infer and
-    persist it there."""
+    persist it there.
+
+    ``corrupt_mode`` — malformed-line policy for the distributed load:
+    'permissive' (default, Spark's: bad lines become all-NULL rows),
+    'fail' (FAILFAST — first bad line aborts the job),
+    'skip' (DROPMALFORMED — bad lines silently dropped),
+    'quarantine' (bad lines kept with their raw text in a
+    ``_corrupt_record`` column so the caller can split good/bad into
+    separate sinks — the audit-friendly option for a 100 TB ingest where
+    a silent drop is unacceptable). The driver-side inference pass applies
+    the same policy (raises only under 'fail')."""
     import os
 
     from pyspark.sql import functions as F
@@ -55,14 +66,32 @@ def read_jsonl(
                     break
                 line = line.strip()
                 if line:
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        if corrupt_mode == "fail":
+                            raise
+                        continue  # skipped/quarantined lines don't drive inference
                     records.append({k: normalize_value(v) for k, v in rec.items()})
         schema = infer_schema(records)
         if schema_path:
             from nextgenetl_spark.schemas import save_schema
 
             save_schema(schema_path, schema)
-    df = spark.read.schema(schema).json(path)
+    spark_mode = {
+        "permissive": "PERMISSIVE",
+        "fail": "FAILFAST",
+        "skip": "DROPMALFORMED",
+        "quarantine": "PERMISSIVE",
+    }[corrupt_mode]
+    read_schema = schema
+    reader = spark.read.option("mode", spark_mode)
+    if corrupt_mode == "quarantine":
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
+    df = reader.schema(read_schema).json(path)
     for f in schema.fields:
         if isinstance(f.dataType, T.StringType):
             df = df.withColumn(f.name, normalize_value_expr(F.col(f.name)))

@@ -372,3 +372,44 @@ def test_compact_partitioned_keeps_layout(spark, tmp_path):
 
     assert any(d.startswith("p=") for d in os.listdir(dst))
     assert out.filter(F.col("p") == 1).count() == 1000
+
+
+def test_skip_if_fresh_reuses_then_invalidates(spark, tmp_path):
+    """skip_if_fresh: an unchanged step definition reuses the materialized
+    output (no recompute); changing the SQL or a param invalidates the
+    fingerprint and recomputes."""
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.plans.pipeline import Pipeline
+
+    wh = str(tmp_path / "wh")
+    src = spark.range(0, 10).select(F.col("id").alias("k"))
+    step = {
+        "name": "s1",
+        "dest": "out1",
+        "sql": "SELECT k, k * {mult} AS v FROM src",
+        "materialize": True,
+        "skip_if_fresh": True,
+    }
+
+    p = Pipeline(spark, params={"mult": 2}, warehouse=wh)
+    p.register("src", src)
+    p.run_step(step)
+    import os
+
+    out_dir = os.path.join(wh, "out1")
+    mtime1 = os.path.getmtime(os.path.join(out_dir, "_SUCCESS"))
+
+    # identical rerun in a fresh Pipeline → skipped (no rewrite)
+    p2 = Pipeline(spark, params={"mult": 2}, warehouse=wh)
+    p2.register("src", src)
+    df = p2.run_step(step)
+    assert os.path.getmtime(os.path.join(out_dir, "_SUCCESS")) == mtime1
+    assert {(r["k"], r["v"]) for r in df.collect()} == {(i, 2 * i) for i in range(10)}
+
+    # changed param → fingerprint differs → recompute with new values
+    p3 = Pipeline(spark, params={"mult": 3}, warehouse=wh)
+    p3.register("src", src)
+    df3 = p3.run_step(step)
+    assert {(r["k"], r["v"]) for r in df3.collect()} == {(i, 3 * i) for i in range(10)}
+    assert os.path.getmtime(os.path.join(out_dir, "_SUCCESS")) != mtime1

@@ -149,3 +149,32 @@ def test_tsv_hadoop_head_reads_first_file(spark, tmp_path):
     (tmp_path / "b.tsv").write_text("h\nsecond\n")
     text = _head_lines_hadoop(spark, f"file://{tmp_path}/*.tsv", 10)
     assert text.splitlines() == ["h", "first"]
+
+
+def test_jsonl_corrupt_mode_policies(spark, tmp_path):
+    """Malformed-line policies: permissive nulls, skip drops, quarantine
+    captures the raw line, fail aborts."""
+    import pytest
+
+    from nextgenetl_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text('{"a": "x", "n": 1}\n{BROKEN\n{"a": "y", "n": 2}\n')
+
+    perm = read_jsonl(spark, str(p)).collect()
+    assert len(perm) == 3  # bad line -> all-NULL row
+    assert sum(1 for r in perm if r["a"] is None and r["n"] is None) == 1
+
+    skip = read_jsonl(spark, str(p), corrupt_mode="skip").collect()
+    assert {(r["a"], r["n"]) for r in skip} == {("x", 1), ("y", 2)}
+
+    q = read_jsonl(spark, str(p), corrupt_mode="quarantine")
+    rows = q.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith("{BROKEN")
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    assert {(r["a"], r["n"]) for r in good} == {("x", 1), ("y", 2)}
+
+    with pytest.raises(Exception):
+        read_jsonl(spark, str(p), corrupt_mode="fail").collect()

@@ -170,3 +170,42 @@ def test_lake_sink_idempotent_on_batch_redelivery(spark, tmp_path):
     assert {r["event_id"] for r in again.select("event_id").collect()} == ids1
     # partitionOverwriteMode restored to the session default
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+
+
+def test_stream_restart_from_checkpoint_processes_only_new_files(spark, tmp_path):
+    """Restart recovery: a second availableNow run against the SAME
+    checkpoint must process only files that arrived after the first run
+    (no reprocessing, no duplicates), and a third run with nothing new must
+    write nothing — the file-source offset log + idempotent batch sink
+    together are the exactly-once story under restarts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.streaming.sink import run_stream_to_lake
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    pq.write_table(pa.table({"event_id": list(range(100))}), land / "f1.parquet")
+
+    def stream():
+        return spark.readStream.schema("event_id long").parquet(str(land))
+
+    run_stream_to_lake(stream(), lake, ckpt)
+    first = spark.read.parquet(lake)
+    assert first.count() == 100
+
+    pq.write_table(pa.table({"event_id": list(range(100, 150))}), land / "f2.parquet")
+    run_stream_to_lake(stream(), lake, ckpt)
+    second = spark.read.parquet(lake)
+    rows = second.collect()
+    assert len(rows) == 150
+    assert {r["event_id"] for r in rows} == set(range(150))
+    # the new file landed in a NEW batch, old batches untouched
+    assert second.agg(F.max("_batch_id")).first()[0] >= 1
+    per_batch = {r["_batch_id"]: r["n"] for r in second.groupBy("_batch_id").agg(F.count("*").alias("n")).collect()}
+    assert sum(per_batch.values()) == 150
+
+    run_stream_to_lake(stream(), lake, ckpt)  # nothing new
+    assert spark.read.parquet(lake).count() == 150
