@@ -742,3 +742,98 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     q.stop()
     return spark.table(name)
+
+
+@workload(
+    "keep_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, ts, ROUND(value, 2) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def keep_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-newest-record-per-key dedup (ties break on event_id): the
+    current-state extract every CDC/ingest pipeline runs before publishing a
+    snapshot — the inverse of exact_dedup's keep-first. One shuffle on the
+    key; at scale the window sort is per-partition and the payload never
+    shuffles twice."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts", F.round("value", 2).alias("value"))
+    )
+
+
+@workload(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, v.t_view,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts >= v.t_view THEN e.ts END) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        GROUP BY e.user_id, v.t_view
+    ), p AS (
+        SELECT e.user_id, c.t_view, c.t_click,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t_click THEN e.ts END) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        GROUP BY e.user_id, c.t_view, c.t_click
+    )
+    SELECT COUNT(*)                                        AS n_users,
+           CAST(SUM(CASE WHEN t_view     IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN t_click    IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+           CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after_click,
+           ROUND(CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END), 0), 4) AS view_to_purchase_rate
+    FROM p
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click-after-view → purchase-after-click) per
+    user, reduced to stage counts + conversion rate — the product-analytics
+    query shape. Three conditional-min aggregations chained by re-joining
+    the events on user_id; only (user, ts-milestone) rows survive each
+    reduction, so the milestone side is broadcast at small scale (Catalyst's
+    choice here) and flips to a co-partitioned join on the same user_id
+    hashing the aggregates already use when the user count outgrows the
+    broadcast threshold."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    c = (
+        e.join(v, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when((F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")), F.col("ts"))
+            ).alias("t_click")
+        )
+    )
+    p = (
+        e.join(c, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    n_view = F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+    n_purch = F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0))
+    return p.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        n_view.alias("n_view"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0)).alias("n_click_after_view"),
+        n_purch.alias("n_purchase_after_click"),
+        F.round(n_purch / F.nullif(n_view, F.lit(0)), 4).alias("view_to_purchase_rate"),
+    )
