@@ -84,6 +84,9 @@ HEADLINE = {
     "stream_history_antijoin": "count",
     "stream_lake_publish": "collect",
     "scd2_order_history": "count",
+    "keep_latest_per_key": "count",
+    "funnel_conversion": "collect",
+    "normalized_dedup": "count",
     "merge_upsert_orders": "count",
     "source_data_card": "collect",
 }
