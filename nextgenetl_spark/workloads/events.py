@@ -837,3 +837,47 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_purch.alias("n_purchase_after_click"),
         F.round(n_purch / F.nullif(n_view, F.lit(0)), 4).alias("view_to_purchase_rate"),
     )
+
+
+@workload(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT) AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-seen week, counted
+    per week-offset of later activity — the classic cohort-retention
+    rollup. Two aggregations and one join, all partitioned on user_id, then
+    a final small (cohort, offset) reduce; event payloads never move, only
+    (user, week) pairs. Both engines truncate weeks to ISO Monday, so the
+    offsets align bit-for-bit."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    # cast to DATE: Spark date_trunc returns a timestamp where DuckDB's
+    # returns a date — the value is the same midnight, the type is not
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
