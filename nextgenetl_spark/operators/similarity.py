@@ -427,3 +427,71 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    k_centroids: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist an IVF index: centroids (k rows) + the corpus assigned to
+    cells, written hive-partitioned BY cell_id. Building costs one centroid
+    pass (+ refine_iters Lloyd passes) and one assignment scan; every later
+    query batch reads ONLY its probed cells' partitions — the index-reuse
+    workflow that makes IVF pay off at 100 TB, where re-deriving cells per
+    query batch (ivf_topk's self-contained form) would re-scan the corpus
+    every time."""
+    cents = pick_centroids(corpus, k_centroids, id_col, vec_col)
+    if refine_iters > 0:
+        cents = refine_centroids(corpus, cents, refine_iters, id_col, vec_col)
+    cents = cents.localCheckpoint()
+    cells = assign_cells(corpus, cents, id_col, vec_col)
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    (
+        cells.select(id_col, vec_col, "cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{index_dir}/cells")
+    )
+    return {"k_centroids": k_centroids, "index_dir": index_dir}
+
+
+def ivf_query_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: rank cells per query against the tiny
+    centroid table (broadcast), keep nprobe, join the cell-partitioned
+    corpus on cell_id — dynamic partition pruning / partition filters keep
+    unprobed cells' files unread — then score and re-rank. Same output
+    contract as ``ivf_topk`` (query_id, neighbor_id, sim, rank); with
+    nprobe == k_centroids it is exactly brute force."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cells = spark.read.parquet(f"{index_dir}/cells")
+    qprobe = (
+        queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select(query_id, "qv", "cell_id", cosine(F.col("qv"), F.col("cvec")).alias("csim"))
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.desc("csim"), F.asc("cell_id"))
+    qcells = qprobe.withColumn("__pr", F.row_number().over(wq)).filter(F.col("__pr") <= nprobe)
+    scored = (
+        F.broadcast(qcells).join(cells, "cell_id")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

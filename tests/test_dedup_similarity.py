@@ -561,3 +561,75 @@ def test_cosine_topk_gemm_equals_expression_form(spark):
         for r in cosine_topk_gemm(q, c, k=4).collect()
     }
     assert expr == gemm
+
+
+def test_md5_minhash_python_reference(spark):
+    """Full pure-Python recomputation of the portable MinHash pipeline
+    (shingles → one md5 per shingle → 32-bit prefix → universal-hash minima
+    → band hashes) — pins the spec independent of both Spark and DuckDB."""
+    import hashlib
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs today"),
+        (3, "ab"),  # shorter than one 3-shingle → single partial shingle
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = df.select(
+        "doc_id", D.shingles("text", 3).alias("sh")
+    )
+    base = sh.select("doc_id", F.explode("sh").alias("s"))
+    aggs = [
+        F.min(
+            (F.lit(D._MINHASH_A[i]) * F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+             + F.lit(D._MINHASH_B[i])) % F.lit(D.MINHASH_P)
+        ).alias(f"m{i}")
+        for i in range(16)
+    ]
+    got = {r["doc_id"]: tuple(r[f"m{i}"] for i in range(16)) for r in base.groupBy("doc_id").agg(*aggs).collect()}
+
+    def ref_sig(text):
+        toks = text.strip().split()
+        if len(toks) >= 3:
+            sh = list(dict.fromkeys(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)))
+        else:
+            sh = [" ".join(toks)]
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+        return tuple(
+            min((D._MINHASH_A[i] * h + D._MINHASH_B[i]) % D.MINHASH_P for h in hs)
+            for i in range(16)
+        )
+
+    assert got == {i: ref_sig(t) for i, t in rows}
+
+
+def test_ivf_persisted_index_full_probe_equals_brute(spark, tmp_path):
+    """build-once/query-many IVF: querying the persisted cell-partitioned
+    index with nprobe=ALL returns exactly the brute-force top-k, and the
+    index layout is hive-partitioned by cell_id so probes prune files."""
+    import os
+
+    from nextgenetl_spark.operators.similarity import build_ivf_index, ivf_query_index
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, k_centroids=8, refine_iters=1)
+    assert any(d.startswith("cell_id=") for d in os.listdir(os.path.join(idx, "cells")))
+
+    q = emb.filter(F.col("vec_id") < 6).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    brute = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in cosine_topk(q, c, k=3).collect()
+    }
+    idx_full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_query_index(spark, idx, q, nprobe=8, k=3).collect()
+    }
+    assert idx_full == brute
+
+    # partial probe still returns k ranked rows per query
+    part = ivf_query_index(spark, idx, q, nprobe=2, k=3).collect()
+    per_q = {}
+    for r in part:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
