@@ -66,7 +66,11 @@ def bounded_block_guard(
         F.col("__n").cast("string"),
         F.lit(f" rows > max_block_rows={max_block_rows}. {alt_hint}"),
     )
-    return top.select(F.assert_true(F.col("__n") <= max_block_rows, msg).alias("__guard"))
+    # empty input → max("__n") is NULL; coalesce to pass (zero rows cannot
+    # violate a block bound — without this, assert_true(NULL) raises and an
+    # empty upstream filter crashes every guarded operator)
+    cond = F.coalesce(F.col("__n") <= max_block_rows, F.lit(True))
+    return top.select(F.assert_true(cond, msg).alias("__guard"))
 
 
 def _with_guard(result: DataFrame, guard: DataFrame) -> DataFrame:
