@@ -144,3 +144,26 @@ def compression_ratio_stats(df: DataFrame, text_col: str = "text", id_col: str =
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def nfc_normalize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unicode NFC normalization of a text column (Arrow-batched
+    mapInPandas over python's unicodedata — Spark has no built-in unicode
+    normalizer). Returns (id, text_nfc, changed). Run BEFORE any
+    hash-based dedup: the same visible string in NFC vs NFD forms hashes
+    differently, so un-normalized corpora under-deduplicate. At 100 TB the
+    normalization rides the scan stage batch-by-batch; nothing shuffles."""
+    import unicodedata
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def norm(batches):
+        for pdf in batches:
+            out = pdf[text_col].map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+            yield pd.DataFrame({id_col: pdf[id_col], "text_nfc": out, "changed": out != pdf[text_col]})
+
+    return df.select(id_col, text_col).mapInPandas(
+        norm, f"{id_col} {id_type}, text_nfc string, changed boolean"
+    )

@@ -1148,3 +1148,51 @@ def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
     )
+
+
+@workload(
+    "nfc_normalized_text",
+    oracle="""
+    SELECT doc_id, nfc_normalize(text) AS text_nfc,
+           nfc_normalize(text) <> text AS changed
+    FROM documents
+    """,
+)
+def nfc_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization pass (operators/textstats.py
+    nfc_normalize) — the prerequisite of hash-based dedup on any corpus
+    with combining characters; DuckDB's nfc_normalize replays it exactly.
+    pytest plants NFD strings to exercise the non-identity path."""
+    return TS.nfc_normalize(load(spark, sf_dir, "documents"))
+
+
+@workload(
+    "doc_sentences",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]?') AS sents FROM documents
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, trim(sents[i]) AS sentence,
+           CAST(len(string_split_regex(trim(sents[i]), '\s+')) AS INT) AS n_tokens
+    FROM s, unnest(range(1, len(sents) + 1)) AS t(i)
+    WHERE trim(sents[i]) <> ''
+    """,
+)
+def doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex sentence segmentation with per-sentence ordinals and token
+    counts — the chunking primitive below passage windows (RE2-safe
+    pattern, no lookbehind, so the same regex runs in both engines).
+    posexplode numbers sentences BEFORE the empty-trim filter, matching the
+    oracle's ordinality; segmentation is scan-stage, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    sents = F.regexp_extract_all(F.col("text"), F.lit(r"[^.!?]+[.!?]?"), F.lit(0))
+    out = d.select("doc_id", F.posexplode(sents).alias("sent_idx", "sentence"))
+    return (
+        out.select(
+            "doc_id",
+            F.col("sent_idx").cast("int"),
+            F.trim("sentence").alias("sentence"),
+        )
+        .filter(F.col("sentence") != "")
+        .withColumn("n_tokens", F.size(TS.tokens("sentence")).cast("int"))
+    )

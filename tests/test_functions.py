@@ -206,3 +206,48 @@ def test_asof_join_semantics(spark):
     assert out[(1, 4)] == (None, None) # no right row at ts<=4... rid 100 is ts5
     assert out[(2, 7)] == (7, 200)     # exact match on other key
     assert out[(3, 9)] == (None, None) # key with no right rows
+
+
+def test_nfc_normalize_planted_nfd(spark):
+    """NFD composed forms normalize to NFC and flag as changed; ASCII and
+    already-NFC rows pass through unchanged."""
+    import unicodedata
+
+    from nextgenetl_spark.operators.textstats import nfc_normalize
+
+    nfd = unicodedata.normalize("NFD", "école café")
+    rows = [(1, "plain ascii"), (2, nfd), (3, "école café"), (4, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["text_nfc"], r["changed"]) for r in nfc_normalize(df).collect()}
+    assert out[1] == ("plain ascii", False)
+    assert out[2] == ("école café", True)
+    assert out[3] == ("école café", False)
+    assert out[4][0] is None
+    # after normalization, 2 and 3 hash identically (the dedup motivation)
+    assert out[2][0] == out[3][0]
+
+
+def test_sentence_segmentation_ordinals_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.workloads import load_all
+
+    d = spark.createDataFrame(
+        [(1, "First one. Second two words? Third!"), (2, "no punctuation here")],
+        ["doc_id", "text"],
+    )
+    d.createOrReplaceTempView("___tmp")
+    sents = F.regexp_extract_all(F.col("text"), F.lit(r"[^.!?]+[.!?]?"), F.lit(0))
+    out = (
+        d.select("doc_id", F.posexplode(sents).alias("sent_idx", "sentence"))
+        .select("doc_id", "sent_idx", F.trim("sentence").alias("s"))
+        .filter(F.col("s") != "")
+        .collect()
+    )
+    got = {(r["doc_id"], r["sent_idx"]): r["s"] for r in out}
+    assert got == {
+        (1, 0): "First one.",
+        (1, 1): "Second two words?",
+        (1, 2): "Third!",
+        (2, 0): "no punctuation here",
+    }
