@@ -101,3 +101,29 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
+
+
+def embeddings_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the embeddings parquet — the serving shape of
+    an ANN lookup pipeline (query-vector batches landing in a directory).
+    Same symlink staging as ``events_stream``; schema is static."""
+    import hashlib
+    import os
+
+    src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    stage = f"/tmp/nextgenetl_streams/{hashlib.md5(src.encode()).hexdigest()[:12]}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "embeddings.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(stage)

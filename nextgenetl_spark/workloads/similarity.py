@@ -245,3 +245,65 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("node").isNull() | (F.col("label") == F.col("vec_id"))).alias("keep"),
         )
     )
+
+
+@workload(
+    "stream_ann_lookup",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      ROUND(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 4) AS sim
+               FROM q, c WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id,
+           ROUND(sim, 4) AS sim,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+    WHERE rank <= 5
+    """,
+)
+def stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN serving against the persisted IVF index: query vectors
+    arrive as a file-source stream, and each micro-batch is scored via
+    ``foreachBatch`` → ``ivf_query_index`` (per-query ranking is not
+    expressible inside an append stream, so per-batch batch-plan scoring is
+    the standard serving pattern). The index is built ONCE per source dir
+    (cells hive-partitioned by cell_id, _SUCCESS-checked cache) — the
+    stream never rescans the corpus. Probing ALL cells makes the streamed
+    result exactly brute force, so the whole serving path shares the
+    brute-force oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from nextgenetl_spark.operators.similarity import build_ivf_index, ivf_query_index
+    from nextgenetl_spark.streaming.source import embeddings_stream
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"ngetl_ivf_{key}")
+    if not os.path.exists(os.path.join(idx, "centroids", "_SUCCESS")):
+        build_ivf_index(load(spark, sf_dir, "embeddings"), idx, k_centroids=16, refine_iters=1)
+
+    results: list = []
+
+    def score_batch(batch_df, batch_id):
+        q = batch_df.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        results.extend(
+            ivf_query_index(spark, idx, q, nprobe=16, k=5)
+            .select("query_id", "neighbor_id", "sim", "rank")
+            .collect()
+        )
+
+    q = (
+        embeddings_stream(spark, sf_dir)
+        .writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.createDataFrame(
+        results, "query_id long, neighbor_id long, sim double, rank int"
+    )
