@@ -152,6 +152,16 @@ class Pipeline:
             if step.get("skip_if_fresh"):
                 with open(os.path.join(path, "_step_fingerprint.json"), "w", encoding="utf-8") as fh:
                     json.dump({"fingerprint": self._step_fingerprint(step, rendered)}, fh)
+        if step.get("export_jsonl"):
+            # table → JSONL extract: the reference's staging format for
+            # BQ load jobs (write_list_to_jsonl_and_upload,
+            # common_etl/support.py JSONL paths) — here a distributed
+            # newline-delimited JSON write, one file per partition.
+            if not self.warehouse:
+                raise ValueError(f"step '{name}': export_jsonl requires a warehouse dir")
+            df.write.mode(step.get("mode", "overwrite")).json(
+                os.path.join(self.warehouse, step["export_jsonl"])
+            )
         if step.get("export_csv"):
             # table → delimited-file extract (reference: common_etl/
             # support.py:434-469), header/sep per step config.

@@ -413,3 +413,27 @@ def test_skip_if_fresh_reuses_then_invalidates(spark, tmp_path):
     df3 = p3.run_step(step)
     assert {(r["k"], r["v"]) for r in df3.collect()} == {(i, 3 * i) for i in range(10)}
     assert os.path.getmtime(os.path.join(out_dir, "_SUCCESS")) != mtime1
+
+
+def test_export_jsonl_round_trips(spark, tmp_path):
+    """export_jsonl writes newline-delimited JSON that read_jsonl loads back
+    with identical rows — the reference's BQ-load staging format."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.plans.pipeline import Pipeline
+
+    wh = str(tmp_path / "wh")
+    src = spark.range(0, 20).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    p = Pipeline(spark, warehouse=wh)
+    p.register("src", src)
+    p.run_step({"name": "x", "dest": "out", "sql": "SELECT k, v FROM src", "export_jsonl": "out_jsonl"})
+    out_dir = os.path.join(wh, "out_jsonl")
+    rows = []
+    for fn in os.listdir(out_dir):
+        if fn.endswith(".json"):
+            with open(os.path.join(out_dir, fn), encoding="utf-8") as fh:
+                rows.extend(_json.loads(line) for line in fh if line.strip())
+    assert {(r["k"], r["v"]) for r in rows} == {(i, 2 * i) for i in range(20)}
