@@ -437,3 +437,25 @@ def test_export_jsonl_round_trips(spark, tmp_path):
             with open(os.path.join(out_dir, fn), encoding="utf-8") as fh:
                 rows.extend(_json.loads(line) for line in fh if line.strip())
     assert {(r["k"], r["v"]) for r in rows} == {(i, 2 * i) for i in range(20)}
+
+
+def test_quickstart_example_runs_end_to_end(spark, tmp_path):
+    """examples/quickstart.py exercises ingest → pipeline → publish → diff →
+    curation in one pass; keep it green so the documented entry path works."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "quickstart", os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples", "quickstart.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from tests.conftest import SF_SMOKE
+
+    out = mod.main(spark, SF_SMOKE, str(tmp_path))
+    assert out["ingest_rows"] == 50
+    assert out["pipeline_rows"] > 0
+    assert out["published_rows"] == out["pipeline_rows"]
+    assert out["diff_rows"] > 0  # the perturbation is visible to the QC diff
+    assert set(out["split_counts"]) <= {"train", "val", "test"}
+    assert sum(out["split_counts"].values()) > 0
