@@ -457,6 +457,49 @@ def _hex_prefix_int_sql(expr: str, n_chars: int = 8) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+#: Rolling-fingerprint constants: base prime and modulus chosen so every
+#: intermediate (acc*B + h with acc < P < 2^31, B < 2^20, h < 2^28) stays
+#: far below 2^63 — exact in any BIGINT engine.
+ROLL_B = 1000003
+ROLL_P = 2147483647
+
+
+def md5_rolling_fingerprint(text_col) -> F.Column:
+    """Order-SENSITIVE rolling content fingerprint, engine-portable: each
+    token's 28-bit md5 prefix feeds a left-fold polynomial hash
+    ``acc = (acc*B + h) mod P``. Unlike the set-shaped simhash/minhash
+    pins, token ORDER changes this value — it is the portable analogue of
+    ``textstats.fingerprint`` (the xxhash64 perf path) and shares its
+    dedup-key use. One interpreted HOF pass per row (pin query, not the
+    hot path)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    hs = F.transform(
+        tokens(c), lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
+    )
+    return F.aggregate(
+        hs, F.lit(0).cast("long"), lambda acc, h: (acc * F.lit(ROLL_B) + h) % F.lit(ROLL_P)
+    )
+
+
+def md5_rolling_fingerprint_oracle_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB SQL replaying ``md5_rolling_fingerprint`` exactly: the same
+    28-bit md5 prefixes folded by list_reduce with the same (B, P)."""
+    hexpr = _hex_prefix_int_sql("md5(t)", 7)
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, string_split_regex(trim({text_col}), '\\s+') AS tk FROM {table}
+    ), hs AS (
+        SELECT {id_col}, list_transform(tk, t -> {hexpr}) AS hs FROM toks
+    )
+    SELECT {id_col},
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (acc, h) -> (acc * {ROLL_B} + h) % {ROLL_P}) AS fp
+    FROM hs
+    """
+
+
 def md5_minhash_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.5,

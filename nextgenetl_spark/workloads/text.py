@@ -1196,3 +1196,13 @@ def doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sentence") != "")
         .withColumn("n_tokens", F.size(TS.tokens("sentence")).cast("int"))
     )
+
+
+@workload("doc_fingerprint_md5", oracle=D.md5_rolling_fingerprint_oracle_sql())
+def doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling content fingerprint with the engine-portable
+    md5 family (operators/dedup.py md5_rolling_fingerprint) — the full
+    oracle pin next to doc_fingerprint's xxhash64 perf path: DuckDB folds
+    the identical token-hash sequence with the same (B, P)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", D.md5_rolling_fingerprint("text").alias("fp"))

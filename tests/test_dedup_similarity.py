@@ -633,3 +633,27 @@ def test_ivf_persisted_index_full_probe_equals_brute(spark, tmp_path):
     for r in part:
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
+def test_md5_rolling_fingerprint_order_sensitive_and_matches_python(spark):
+    """Rolling fingerprint: order-sensitive (unlike the set-shaped pins),
+    and bit-equal to a pure-Python left fold of the same md5 prefixes."""
+    import hashlib
+
+    rows = [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", D.md5_rolling_fingerprint("text").alias("fp")).collect()
+    }
+
+    def ref(text):
+        acc = 0
+        for t in text.strip().split():
+            h = int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+            acc = (acc * D.ROLL_B + h) % D.ROLL_P
+        return acc
+
+    assert got == {i: ref(t) for i, t in rows}
+    assert got[1] == got[3]
+    assert got[1] != got[2]  # order matters
