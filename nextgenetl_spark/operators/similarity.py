@@ -495,3 +495,59 @@ def ivf_query_index(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_topk_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    nprobe_flips: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multiprobe hyperplane LSH: besides its own bucket, each query probes
+    the buckets reached by flipping its ``nprobe_flips`` LOWEST-MARGIN sign
+    bits (the planes it was closest to — where a true neighbor most likely
+    landed on the other side). Standard recall booster: multiprobe trades a
+    small fan-out (1 + flips buckets per query) for the recall that would
+    otherwise need many independent hash tables. The corpus is still
+    bucketed ONCE; only the query side explodes, so the join stays one
+    bucket-keyed shuffle."""
+    margins = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        margins.append(F.struct(F.abs(d).alias("m"), F.lit(i).alias("i")))
+    base = hyperplane_signature(F.col(vec_col), planes)
+    # lowest-|margin| planes first; flip each of the first nprobe_flips
+    flips = F.slice(F.array_sort(F.array(*margins)), 1, nprobe_flips)
+    probes = F.array_union(
+        F.array(base),
+        # 2^i as pow (shiftleft needs a literal bit count); i <= len(planes) so
+        # the double → int cast is exact
+        F.transform(
+            flips, lambda s: base.bitwiseXOR(F.pow(F.lit(2.0), s["i"].cast("double")).cast("int"))
+        ),
+    )
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("qv"), F.explode(probes).alias("bucket")
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("cv"),
+        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(query_id, corpus_id, F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("sim"))
+        .distinct()  # a neighbor can appear via several probed buckets
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

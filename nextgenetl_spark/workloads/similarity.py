@@ -307,3 +307,24 @@ def stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         results, "query_id long, neighbor_id long, sim double, rank int"
     )
+
+
+@workload("ann_lsh_multiprobe")  # approximate by construction → rows-only; pytest proves recall >= single-probe
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe hyperplane LSH (operators/similarity.py
+    lsh_topk_multiprobe): each query also probes the buckets across its two
+    lowest-margin hyperplanes — the recall of several hash tables for the
+    cost of a small query-side fan-out, with the corpus still bucketed
+    once."""
+    import random
+
+    from nextgenetl_spark.operators.similarity import lsh_topk_multiprobe
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return lsh_topk_multiprobe(q, c, planes, k=5, nprobe_flips=2).select(
+        "query_id", "neighbor_id", "sim", "rank"
+    )

@@ -657,3 +657,30 @@ def test_md5_rolling_fingerprint_order_sensitive_and_matches_python(spark):
     assert got == {i: ref(t) for i, t in rows}
     assert got[1] == got[3]
     assert got[1] != got[2]  # order matters
+
+
+def test_lsh_multiprobe_recall_at_least_single_probe(spark):
+    """Multiprobe LSH must recall at least as many true top-k neighbors as
+    single-probe on the same planes (it probes a superset of buckets), and
+    stay a subset of brute force by construction of the verify ranking."""
+    import random
+
+    from nextgenetl_spark.operators.similarity import lsh_topk_multiprobe
+
+    rng = random.Random(7)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    emb = load(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 12).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+
+    brute = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, c, k=3).collect()}
+    single = {(r["query_id"], r["neighbor_id"]) for r in lsh_topk(q, c, planes, k=3).collect()}
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk_multiprobe(q, c, planes, k=3, nprobe_flips=2).collect()
+    }
+    assert len(multi & brute) >= len(single & brute)
+    # with 2 of 4 bits probable, multiprobe should strictly improve recall
+    # on this corpus unless single-probe is already perfect
+    if single & brute != brute:
+        assert len(multi & brute) > len(single & brute)
