@@ -881,3 +881,32 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@workload(
+    "value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS INT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 2) AS bucket_min,
+           ROUND(MAX(value), 2) AS bucket_max
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the value column per event type — the
+    distribution-profile query behind data QC dashboards. Bucketing is a
+    scan-stage floor division, so the aggregate map-side combines into one
+    (type, bucket) row per partition regardless of event volume."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.floor(F.col("value") / 25.0).cast("int").alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("bucket_min"),
+            F.round(F.max("value"), 2).alias("bucket_max"),
+        )
+    )

@@ -459,3 +459,24 @@ def test_quickstart_example_runs_end_to_end(spark, tmp_path):
     assert out["diff_rows"] > 0  # the perturbation is visible to the QC diff
     assert set(out["split_counts"]) <= {"train", "val", "test"}
     assert sum(out["split_counts"].values()) > 0
+
+
+def test_lake_report_flags_small_files_and_compaction_clears_it(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, str(tmp_path.parents[0]))  # no-op safety
+    from nextgenetl_spark.plans.compaction import compact_parquet_dir
+    from tools.lake_report import lake_report
+
+    root = tmp_path / "lake"
+    root.mkdir()
+    spark.range(0, 4000).repartition(40).write.parquet(str(root / "shattered"))
+    spark.range(0, 100).coalesce(1).write.parquet(str(root / "fine"))
+    rows = {r["table"]: r for r in lake_report(str(root), target_file_bytes=64 * 1024)}
+    assert rows["shattered"]["compactable"]
+    assert rows["shattered"]["n_files"] == 40
+    assert not rows["fine"]["compactable"]
+
+    compact_parquet_dir(spark, str(root / "shattered"), str(root / "shattered_c"), target_file_bytes=64 * 1024)
+    after = {r["table"]: r for r in lake_report(str(root), target_file_bytes=64 * 1024)}
+    assert after["shattered_c"]["n_files"] < 40
