@@ -393,10 +393,10 @@ def md5_simhash_fingerprints(
     return votes.select(id_col, fp.alias("fp"))
 
 
-def md5_simhash_oracle_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
-    """DuckDB SQL computing exactly ``md5_simhash_fingerprints`` grouped into
-    dedup groups — generated from the same bit layout so the two can never
-    drift apart."""
+def _md5_simhash_fps_cte(table: str, text_col: str, id_col: str) -> str:
+    """Shared WITH-chain computing ``md5_simhash_fingerprints`` as a
+    ``fps({id_col}, fp)`` CTE — one generator feeding both the dedup-groups
+    oracle and the hamming-pairs oracle so the bit layout cannot drift."""
     hv = ",\n           ".join(
         f"instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS hv{i}" for i in range(16)
     )
@@ -425,10 +425,80 @@ def md5_simhash_oracle_sql(table: str = "documents", text_col: str = "text", id_
         FROM hv GROUP BY {id_col}
     ), fps AS (
         SELECT {id_col}, {fp} AS fp FROM votes
-    )
+    )"""
+
+
+def md5_simhash_oracle_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB SQL computing exactly ``md5_simhash_fingerprints`` grouped into
+    dedup groups — generated from the same bit layout so the two can never
+    drift apart."""
+    return f"""{_md5_simhash_fps_cte(table, text_col, id_col)}
     SELECT fp, COUNT(*) AS n_docs, MIN({id_col}) AS canonical_id
     FROM fps GROUP BY fp
     """
+
+
+def md5_simhash_hamming_oracle_sql(
+    max_hamming: int = 3, table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle for ``md5_simhash_near_dup_pairs``: brute-force hamming
+    join over the same fingerprints. The Spark side bands; banding with
+    num_bands > max_hamming is LOSSLESS by pigeonhole, so the banded result
+    equals this all-pairs form exactly."""
+    return f"""{_md5_simhash_fps_cte(table, text_col, id_col)}
+    SELECT a.{id_col} AS a_id, b.{id_col} AS b_id,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM fps a JOIN fps b ON a.{id_col} < b.{id_col}
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+def md5_simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+) -> DataFrame:
+    """SimHash hamming-ball near-duplicate pairs via BANDING — the scale
+    path past exact-fingerprint grouping: split the 64-bit fingerprint into
+    ``num_bands`` chunks, self-join on (band, chunk) — pigeonhole: a pair
+    within ``max_hamming`` < num_bands differing bits must agree on at
+    least one whole band, so candidate recall is 100% and the
+    bit_count-verify makes the result EXACT, equal to the all-pairs oracle.
+    The join shuffles (band, 16-bit chunk, id) rows, never text; at 100 TB
+    candidates ≈ true near-dups, not the pair space."""
+    bits_per_band = 64 // num_bands
+    mask = (1 << bits_per_band) - 1
+    fps = md5_simhash_fingerprints(df, text_col, id_col)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("fp"), b * bits_per_band).bitwiseAND(F.lit(mask)).alias("chunk"),
+        )
+        for b in range(num_bands)
+    ]
+    banded = fps.select(id_col, "fp", F.explode(F.array(*bands)).alias("bb")).select(
+        id_col, "fp", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
 
 
 #: Universal-hash permutation family for the portable MinHash: fixed odd

@@ -1206,3 +1206,15 @@ def doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical token-hash sequence with the same (B, P)."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", D.md5_rolling_fingerprint("text").alias("fp"))
+
+
+@workload("simhash_hamming_pairs", oracle=D.md5_simhash_hamming_oracle_sql(max_hamming=3))
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-ball near-dup pairs (operators/dedup.py
+    md5_simhash_near_dup_pairs): banded candidate join + bit_count verify.
+    Banding with num_bands > max_hamming is lossless by pigeonhole, so the
+    banded Spark plan hash-matches the all-pairs DuckDB oracle exactly —
+    the scale path for simhash past exact-fingerprint grouping, fully
+    value-verified."""
+    d = load(spark, sf_dir, "documents")
+    return D.md5_simhash_near_dup_pairs(d, max_hamming=3)

@@ -684,3 +684,25 @@ def test_lsh_multiprobe_recall_at_least_single_probe(spark):
     # on this corpus unless single-probe is already perfect
     if single & brute != brute:
         assert len(multi & brute) > len(single & brute)
+
+
+def test_simhash_hamming_banding_lossless(spark):
+    """Banded hamming-ball pairs must equal brute-force all-pairs hamming
+    (pigeonhole: <= 3 differing bits with 4 bands leaves one band intact)."""
+    docs = load(spark, SF_SMOKE, "documents")
+    banded = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in D.md5_simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    fps = D.md5_simhash_fingerprints(docs)
+    a = fps.selectExpr("doc_id AS a_id", "fp AS fa")
+    b = fps.selectExpr("doc_id AS b_id", "fp AS fb")
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    brute = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(ham <= 3)
+        .select("a_id", "b_id", ham.cast("int").alias("hamming"))
+        .collect()
+    }
+    assert banded == brute
