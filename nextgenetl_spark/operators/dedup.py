@@ -470,7 +470,11 @@ def md5_simhash_near_dup_pairs(
     candidates ≈ true near-dups, not the pair space."""
     bits_per_band = 64 // num_bands
     mask = (1 << bits_per_band) - 1
-    fps = md5_simhash_fingerprints(df, text_col, id_col)
+    # lazy checkpoint: both sides of the band self-join consume fps, and AQE
+    # does not reliably reuse the 64-aggregate exchange — materializing the
+    # (id, fp) table (16 bytes/doc) halves the fingerprint work and is the
+    # right shape at scale anyway (compute fingerprints once, band many ways)
+    fps = md5_simhash_fingerprints(df, text_col, id_col).localCheckpoint(eager=False)
     bands = [
         F.struct(
             F.lit(b).alias("band"),
