@@ -551,3 +551,29 @@ def lsh_topk_multiprobe(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def append_to_ivf_index(
+    spark,
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental index maintenance: assign ONLY the new vectors to the
+    persisted centroids and append them into the cell partitions — no
+    corpus re-scan, no rebuild. Centroids stay fixed (the standard IVF
+    trade-off: cells drift as data grows; rebuild with
+    ``build_ivf_index`` when recall degrades). Dynamic partition overwrite
+    is NOT used — this is a pure append, so re-running the same batch
+    duplicates it; dedupe upstream or route through the exactly-once sink
+    for streams."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cells = assign_cells(new_vectors, cents, id_col, vec_col)
+    (
+        cells.select(id_col, vec_col, "cell_id")
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(f"{index_dir}/cells")
+    )
+    return {"index_dir": index_dir}

@@ -706,3 +706,35 @@ def test_simhash_hamming_banding_lossless(spark):
         .collect()
     }
     assert banded == brute
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """Appending new vectors to a persisted index (no rebuild) makes them
+    retrievable, and a full-probe query over the grown index equals brute
+    force over the grown corpus."""
+    from nextgenetl_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_query_index,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(old, idx, k_centroids=8, refine_iters=1)
+    append_to_ivf_index(spark, idx, new)
+
+    q = emb.filter(F.col("vec_id") < 6).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    brute = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in cosine_topk(q, c, k=3).collect()
+    }
+    grown = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_query_index(spark, idx, q, nprobe=8, k=3).collect()
+    }
+    assert grown == brute
+    # appended vectors actually live in the index
+    n_idx = spark.read.parquet(f"{idx}/cells").count()
+    assert n_idx == emb.count()
