@@ -1218,3 +1218,50 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-verified."""
     d = load(spark, sf_dir, "documents")
     return D.md5_simhash_near_dup_pairs(d, max_hamming=3)
+
+
+def _simhash_keep_oracle() -> str:
+    fps_cte = D._md5_simhash_fps_cte("documents", "text", "doc_id")
+    # WITH RECURSIVE must be declared at the head: rewrite the shared CTE's
+    # "WITH" and append the closure chain over the hamming pairs
+    return fps_cte.replace("WITH base AS", "WITH RECURSIVE base AS") + """
+    , pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    ), sym AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION SELECT b_id, a_id FROM pairs
+    ), reach(node, label) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.dst, r.label FROM sym s JOIN reach r ON s.src = r.node
+    ), lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(lab.label, d.doc_id) AS group_id,
+           (lab.node IS NULL OR lab.label = d.doc_id) AS keep
+    FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+    """
+
+
+@workload("simhash_dedup_keep", oracle=_simhash_keep_oracle())
+def simhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-side dedup decision list: simhash hamming-ball pairs →
+    connected components → keep the component minimum, keep all singletons
+    — the document analogue of semantic_dedup_keep, composed entirely from
+    oracle-checked pieces (banded hamming pairs are exact by pigeonhole;
+    the closure is min-label propagation). This is the list a curation
+    pipeline joins back onto the corpus to drop near-duplicate documents."""
+    from nextgenetl_spark.operators.dedup import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = D.md5_simhash_near_dup_pairs(d, max_hamming=3)
+    comp = connected_components(pairs.select("a_id", "b_id"))
+    return (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("group_id"),
+            (F.col("node").isNull() | (F.col("label") == F.col("doc_id"))).alias("keep"),
+        )
+    )
