@@ -738,3 +738,35 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     # appended vectors actually live in the index
     n_idx = spark.read.parquet(f"{idx}/cells").count()
     assert n_idx == emb.count()
+
+
+def test_shingles_match_naive_reference_on_random_texts(spark):
+    """The zip-with-shifted-copies shingle construction (the O(1)-per-element
+    trick) must equal the naive sliding-window reference for random token
+    counts around every edge (0..2 tokens, exactly n, long docs) and for
+    n=2..4."""
+    import random
+
+    rng = random.Random(123)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    texts = []
+    for i in range(60):
+        ln = rng.choice([0, 1, 2, 3, 4, 5, 8, 13, 21])
+        texts.append((i, " ".join(rng.choice(words) for _ in range(ln))))
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    def ref(text, n):
+        toks = text.strip().split() if text.strip() else [""]
+        if len(toks) >= n:
+            sh = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        else:
+            sh = [" ".join(toks)]
+        return sorted(set(sh))
+
+    for n in (2, 3, 4):
+        got = {
+            r["doc_id"]: sorted(r["sh"])
+            for r in df.select("doc_id", D.shingles("text", n).alias("sh")).collect()
+        }
+        want = {i: ref(t, n) for i, t in texts}
+        assert got == want, f"n={n}"
