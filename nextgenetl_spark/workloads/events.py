@@ -910,3 +910,42 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("bucket_max"),
         )
     )
+
+
+@workload(
+    "time_weighted_avg",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, value,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           ROUND(SUM(value * dur_us) / SUM(dur_us), 2) AS twa_value
+    FROM d WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of a metric per user: each reading holds until
+    the next one, so its weight is the interval length — the correct
+    average for irregularly-sampled gauges (plain AVG over-weights bursts).
+    Durations are exact integer microseconds on both engines (unix_micros /
+    epoch_us), so only the final weighted mean is floating point. One
+    user-keyed shuffle serves the lead window and the aggregate."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    d = e.select("user_id", "value", (F.lead(us).over(w) - us).alias("dur_us"))
+    return (
+        d.filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").alias("total_us"),
+            F.round(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 2).alias("twa_value"),
+        )
+    )
