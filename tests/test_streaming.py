@@ -209,3 +209,74 @@ def test_stream_restart_from_checkpoint_processes_only_new_files(spark, tmp_path
 
     run_stream_to_lake(stream(), lake, ckpt)  # nothing new
     assert spark.read.parquet(lake).count() == 150
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """Event-time correctness under lateness. Spark's watermark contract:
+    data within the delay is ALWAYS aggregated; later data is dropped once
+    its window state has been evicted. So the very-late row must arrive
+    AFTER the batch that finalized its window — then it is discarded rather
+    than re-opening the window (the bounded-state guarantee). Files process
+    one per micro-batch so the watermark advances between arrivals."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nextgenetl_spark.streaming.windows import tumbling_window_agg, with_watermark
+
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def ts(h, m):
+        import datetime
+
+        return datetime.datetime(2024, 3, 1, h, m, 0)
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([r[0] for r in rows], type=pa.timestamp("us")),
+                    "event_type": [r[1] for r in rows],
+                    "value": [float(r[2]) for r in rows],
+                }
+            ),
+            land / name,
+        )
+
+    # batch 0: watermark after it = 11:00 - 10min = 10:50
+    write("f1.parquet", [(ts(10, 0), "a", 1), (ts(10, 5), "a", 1), (ts(11, 0), "a", 1)])
+    _time.sleep(1.1)  # file source orders batches by modification time
+    # batch 1: advances the clock; at its end the 10:00/10:05 windows
+    # (end <= 10:50) are emitted and their state evicted
+    write("f2.parquet", [(ts(11, 10), "a", 1)])
+    _time.sleep(1.1)
+    # batch 2: 10:02 is behind the evicted-window watermark -> DROPPED
+    # (it must not re-open the already-emitted 10:00 window)
+    write("f3.parquet", [(ts(10, 2), "a", 1), (ts(11, 20), "a", 1)])
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    agg = tumbling_window_agg(with_watermark(sdf, delay="10 minutes"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    rows = spark.table("late_test").collect()
+    import calendar
+    import datetime
+
+    w1000 = calendar.timegm(datetime.datetime(2024, 3, 1, 10, 0).timetuple())
+    got_1000 = [r["n_events"] for r in rows if r["window_start"] == w1000]
+    # exactly one emission of the 10:00 window, count 1: the late 10:02 row
+    # neither merged in nor re-opened the window
+    assert got_1000 == [1]
