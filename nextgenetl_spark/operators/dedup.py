@@ -845,3 +845,56 @@ def connected_components_star(
         .union(e.select(F.col("dst").alias("node"), F.col("dst").alias("label")))
         .distinct()
     )
+
+
+def bbit_minhash_similarity(
+    df: DataFrame,
+    block_col: str,
+    b: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    max_block_rows: int | None = MAX_BLOCK_ROWS,
+) -> DataFrame:
+    """b-bit MinHash similarity estimates (Li & König, CACM 2011): keep only
+    the lowest ``b`` bits of each of ``num_perm`` minhash values —
+    num_perm·b bits per doc instead of num_perm·64 — and unbias the
+    matched-bit fraction with E[match] = J + (1-J)/2^b, i.e.
+    J_hat = (m - 2^-b) / (1 - 2^-b). The storage win is what lets a
+    100 TB corpus keep its signature matrix in memory; precision at the
+    same storage budget beats fewer full-width permutations. Pair
+    comparison is within blocks (same bounded-block contract as the other
+    quadratic forms). Returns (a_id, b_id, jac_est)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    mask = (1 << b) - 1
+    compact = sigs.select(
+        id_col, F.transform("sig", lambda h: h.bitwiseAND(F.lit(mask))).alias("bsig")
+    )
+    blocks = df.select(F.col(id_col), F.col(block_col))
+    compact = compact.join(blocks, id_col)
+    a = compact.alias("a")
+    c = compact.alias("b")
+    matched = F.size(F.filter(F.zip_with(F.col("a.bsig"), F.col("b.bsig"), lambda x, y: x == y), lambda t: t))
+    frac = matched / F.lit(num_perm)
+    correction = 1.0 / (1 << b)
+    jac_est = F.greatest((frac - F.lit(correction)) / F.lit(1.0 - correction), F.lit(0.0))
+    out = (
+        a.join(
+            c,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.round(jac_est, 4).alias("jac_est"),
+        )
+    )
+    if max_block_rows is not None:
+        guard = bounded_block_guard(
+            df, block_col, max_block_rows, "bbit_minhash_similarity",
+            "Use minhash_near_dup_pairs (banded LSH) for unbounded blocks.",
+        )
+        out = _with_guard(out, guard)
+    return out

@@ -770,3 +770,34 @@ def test_shingles_match_naive_reference_on_random_texts(spark):
         }
         want = {i: ref(t, n) for i, t in texts}
         assert got == want, f"n={n}"
+
+
+def test_bbit_minhash_estimates_track_true_jaccard(spark):
+    """b-bit minhash: the unbiased estimator tracks true shingle Jaccard
+    within sampling error, and near-identical docs score near 1 while
+    unrelated docs score near 0."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away today again"
+    rows = [
+        (1, "x", base),
+        (2, "x", base + " extra tail"),
+        (3, "x", "completely different content with nothing shared at all here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    est = {
+        (r["a_id"], r["b_id"]): r["jac_est"]
+        for r in D.bbit_minhash_similarity(df, "src", b=2, num_perm=64).collect()
+    }
+    sh = df.select("doc_id", D.shingles("text", 3).alias("sh"))
+    a, b_ = sh.alias("a"), sh.alias("b")
+    true = {
+        (r["a_id"], r["b_id"]): r["j"]
+        for r in a.join(b_, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            D.jaccard(F.col("a.sh"), F.col("b.sh")).alias("j"),
+        )
+        .collect()
+    }
+    assert est[(1, 2)] > 0.55 and abs(est[(1, 2)] - true[(1, 2)]) < 0.25
+    assert est[(1, 3)] < 0.3 and est[(2, 3)] < 0.3
