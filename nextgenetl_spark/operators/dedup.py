@@ -898,3 +898,97 @@ def bbit_minhash_similarity(
         )
         out = _with_guard(out, guard)
     return out
+
+
+def md5_minhash_signature_expr(text_col, num_perm: int = 16, shingle_n: int = 3) -> F.Column:
+    """Per-ROW portable MinHash signature (array<long>): the universal-hash
+    permutations of ``md5_minhash_near_dup_pairs`` computed with array_min
+    HOFs instead of aggregates — no groupBy, so it is legal in append-mode
+    Structured Streaming (the md5 analogue of ``minhash_signature_expr``).
+    Identical values to the batch form: same shingles, same md5 prefix,
+    same (A, B, P)."""
+    sh = shingles(text_col, shingle_n)
+    hs = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hs, lambda h: (F.lit(_MINHASH_A[i]) * h + F.lit(_MINHASH_B[i])) % F.lit(MINHASH_P))
+            )
+            for i in range(num_perm)
+        ]
+    )
+
+
+def md5_band_hash(sig_col, band: int, rows_per_band: int) -> F.Column:
+    """Band hash matching ``md5_minhash_near_dup_pairs``: md5 over the
+    '|'-joined stringified band slice of the signature."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    parts = [
+        F.element_at(sig, band * rows_per_band + i + 1).cast("string")
+        for i in range(rows_per_band)
+    ]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def md5_stream_near_dup_oracle_sql(
+    split: int,
+    threshold: float = 0.5,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    num_bands: int = 4,
+) -> str:
+    """DuckDB oracle for the streaming md5 near-dup probe: every (new ≥
+    split, hist < split) pair that shares at least one band hash and
+    verifies at the Jaccard threshold — the DISTINCT collapse equals the
+    stream's first-matching-band emission exactly once per pair."""
+    hexpr = _hex_prefix_int_sql("md5(s)")
+    sig = ",\n           ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(num_perm)
+    )
+    rows = num_perm // num_bands
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT {id_col}, {b} AS band, md5("
+        + " || '|' || ".join(f"CAST(m{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows))
+        + f") AS bh FROM sig"
+        for b in range(num_bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, string_split_regex(trim({text_col}), '\\s+') AS tk FROM {table}
+    ), sh AS (
+        SELECT {id_col},
+               list_distinct(CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk) - 1),
+                                        i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+                    ELSE [array_to_string(tk, ' ')] END) AS sh
+        FROM toks
+    ), ex AS (
+        SELECT {id_col}, unnest(sh) AS s FROM sh
+    ), hx AS (
+        SELECT {id_col}, {hexpr} AS h FROM ex
+    ), sig AS (
+        SELECT {id_col},
+           {sig}
+        FROM hx GROUP BY {id_col}
+    ), bands AS (
+        {band_rows}
+    ), cand AS (
+        SELECT DISTINCT n.{id_col} AS new_id, o.{id_col} AS hist_id
+        FROM bands n JOIN bands o
+          ON n.band = o.band AND n.bh = o.bh
+         AND n.{id_col} >= {split} AND o.{id_col} < {split}
+    ), shm AS (
+        SELECT {id_col}, list_distinct(list_transform(sh, s -> md5(s))) AS shm FROM sh
+    ), v AS (
+        SELECT new_id, hist_id,
+               ROUND(CAST(len(list_intersect(x.shm, y.shm)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.shm, y.shm))), 4) AS jac
+        FROM cand
+        JOIN shm x ON x.{id_col} = new_id
+        JOIN shm y ON y.{id_col} = hist_id
+    )
+    SELECT new_id, hist_id, jac FROM v WHERE jac >= {threshold}
+    """
