@@ -169,3 +169,18 @@ def test_merge_upsert_update_wins_and_retains(spark):
     for r in rows:
         if r["action"] == "upsert":
             assert r["o_orderstatus"] == "U"
+
+
+def test_skew_report_flags_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from tools.skew_report import skew_report
+
+    # 50 uniform keys x 10 rows + one hot key with 2000 rows
+    uni = spark.range(0, 500).select((F.col("id") % 50).alias("k"))
+    hot = spark.range(0, 2000).select(F.lit(999).alias("k"))
+    rep = skew_report(uni.unionByName(hot), "k")
+    assert rep["skewed"] and rep["skew_ratio"] >= 100
+    assert rep["top_keys"][0] == {"key": 999, "n": 2000}
+    uniform = skew_report(uni, "k")
+    assert not uniform["skewed"]
