@@ -70,6 +70,12 @@ def main() -> None:
             "auto_route": lambda: D.near_dup_pairs_auto(
                 d, "source", threshold=0.5, max_block_rows=2000
             ).count(),
+            # banded hamming candidates grow with true near-dups (replica
+            # fingerprints differ by ~1 token), never the pair space
+            "simhash_hamming": lambda: D.md5_simhash_near_dup_pairs(d).count(),
+            # portable universal-hash minhash: should track minhash_lsh's
+            # curve (same banding shape, one md5 per shingle)
+            "minhash_md5": lambda: D.md5_minhash_near_dup_pairs(d, threshold=0.5).count(),
             # pairs → canonical groups; rounds should stay flat (graph
             # diameter, pointer-doubled) while pair volume grows
             "conn_comp": lambda: D.connected_components(
