@@ -1356,3 +1356,75 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("retain").alias("action"),
     )
     return upd.unionByName(base.join(upd.select("o_orderkey"), "o_orderkey", "left_anti"))
+
+
+@workload(
+    "late_lineitem_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90)
+    GROUP BY o_orderpriority
+    """,
+)
+def late_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one lineitem shipped more than 90 days after
+    the order date, counted per priority (TPC-H Q4 shape: a CORRELATED
+    EXISTS against the fact table — the predicate spans both sides, so the
+    semi join carries it as a join condition). The lineitem side prunes to
+    (orderkey, shipdate) at the scan; the semi join stops probing an order
+    at its first late lineitem."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == l.l_orderkey) & (
+        l.l_shipdate.cast("date") > F.date_add(o.o_orderdate.cast("date"), 90)
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@workload(
+    "big_order_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_custkey, c.c_name, COUNT(*) AS n_big_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers holding oversized orders (TPC-H Q18 shape: an aggregate
+    subquery feeding a join chain). The HAVING reduction happens FIRST, so
+    only qualifying orderkeys — a tiny set — reach the join; at scale the
+    reduced set broadcasts and the customer join shuffles once on
+    custkey."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(big), o.o_orderkey == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_big_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
