@@ -1428,3 +1428,46 @@ def big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@workload(
+    "revenue_share",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY region, nation
+    )
+    SELECT region, nation, ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 4) AS region_share
+    FROM rev
+    """,
+)
+def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total analytics (market-share shape): per-nation revenue and
+    its fraction of the regional total — an aggregate feeding a window over
+    the aggregate's own output. The window input is one row per nation, so
+    the second pass is trivially small no matter the fact volume; dims
+    broadcast, lineitem shuffles once on the group key."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias("region_share"),
+    )
