@@ -577,3 +577,45 @@ def append_to_ivf_index(
         .parquet(f"{index_dir}/cells")
     )
     return {"index_dir": index_dir}
+
+
+def nearest_centroid(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means assignment step with the similarity score kept: every corpus
+    vector gets its nearest centroid by cosine plus the cosine itself —
+    (id, centroid_id, sim). Same scale shape as ``assign_cells``: the k×dim
+    centroid matrix collects once and ships in the UDF closure; the corpus
+    streams through ``mapInPandas`` and each Arrow batch is scored in one
+    normalized float64 GEMM. Ties break toward the lowest centroid_id
+    (np.argmax returns the first maximum; the matrix rows are sorted by
+    centroid_id), matching the SQL ``ORDER BY sim DESC, centroid_id``
+    tie rule. The corpus never shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    cent = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    c_ids = np.array([r["centroid_id"] for r in cent], dtype="int64")
+    C = np.stack([np.asarray(r["cvec"], dtype="float64") for r in cent])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Cn.T
+            best = np.argmax(S, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "centroid_id": c_ids[best],
+                    "sim": np.round(S[np.arange(len(best)), best], 4),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, centroid_id long, sim double"
+    )

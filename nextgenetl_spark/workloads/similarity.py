@@ -328,3 +328,75 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_multiprobe(q, c, planes, k=5, nprobe_flips=2).select(
         "query_id", "neighbor_id", "sim", "rank"
     )
+
+
+@workload(
+    "kmeans_assign",
+    oracle="""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         s AS (SELECT e.vec_id, c.centroid_id,
+                      list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) AS sim
+               FROM embeddings e, c)
+    SELECT vec_id, centroid_id, ROUND(sim, 4) AS sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM s)
+    WHERE rn = 1
+    """,
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step, value-hash oracle-checked: nearest centroid
+    by cosine for every vector against a deterministic centroid set (the 8
+    lowest vec_ids — fixed, so DuckDB can replay the exact argmax). One
+    normalized GEMM per Arrow batch (operators/similarity.py
+    nearest_centroid); the centroid matrix broadcasts in the closure and
+    the corpus never shuffles — the same plan at 100 TB, with k bounded by
+    what fits a closure (~100k×768 floats)."""
+    from nextgenetl_spark.operators.similarity import nearest_centroid
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    return nearest_centroid(emb, cent)
+
+
+@workload(
+    "cluster_cohesion",
+    oracle="""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         s AS (SELECT e.vec_id, c.centroid_id,
+                      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 4) AS sim
+               FROM embeddings e, c),
+         a AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM s)
+               WHERE rn = 1)
+    SELECT centroid_id,
+           COUNT(*) AS n_members,
+           ROUND(MIN(sim), 4) AS min_sim,
+           ROUND(CAST(SUM(CAST(ROUND(sim * 10000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 10000, 4) AS avg_sim
+    FROM a GROUP BY centroid_id
+    """,
+)
+def cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality profile over the k-means assignment: member count,
+    worst (minimum) member cosine, and mean member cosine per centroid —
+    the signal that drives IVF rebuilds and semantic-dedup thresholds. The
+    mean is computed over e4 fixed-point sims (sum of exact integers, then
+    one division) so the value hash is reproducible across engines — float
+    accumulation order never enters the comparable value. One GEMM pass +
+    one k-row hash aggregate; map-side partial, k rows to the driver."""
+    from nextgenetl_spark.operators.similarity import nearest_centroid
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    a = nearest_centroid(emb, cent)
+    return a.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.min("sim"), 4).alias("min_sim"),
+        F.round(
+            F.sum(F.round(F.col("sim") * 10000).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 10000,
+            4,
+        ).alias("avg_sim"),
+    )

@@ -1361,3 +1361,223 @@ def stream_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     q.stop()
     return spark.table(name)
+
+
+@workload(
+    "char_entropy",
+    oracle="""
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+    SELECT doc_id, ROUND(entropy(c), 4) AS char_entropy,
+           COUNT(DISTINCT c) AS n_distinct_chars
+    FROM ch GROUP BY doc_id
+    """,
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap degenerate-
+    text detector (base64 blobs and random noise score high, repeated-char
+    runs score low; natural language sits in a narrow band). Spark has no
+    entropy aggregate, so it is H = log2(N) - sum(c*log2 c)/N over the
+    per-(doc, char) counts — two hash aggregates, both map-side partial;
+    the shuffle carries one row per distinct (doc_id, char), bounded by
+    alphabet size × docs, never by text length."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.round(
+            F.log2(F.sum("n")) - F.sum(F.col("n") * F.log2("n")) / F.sum("n"), 4
+        ).alias("char_entropy"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+    )
+
+
+@workload(
+    "gopher_rules",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks,
+               length(text) AS nc
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_words,
+               ROUND(CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks), 4) AS mean_word_len,
+               ROUND(CAST(nc - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / nc, 4) AS symbol_ratio,
+               CAST(len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in','is'])) AS INT) AS n_stop_hits,
+               ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop_hits, uniq_ratio,
+           (n_words BETWEEN 15 AND 10000) AND (mean_word_len BETWEEN 2 AND 10)
+             AND (symbol_ratio < 0.1) AND (n_stop_hits >= 2) AND (uniq_ratio > 0.2) AS keep
+    FROM m
+    """,
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter: named per-document signals
+    (word count bounds, mean word length band, symbol-to-char ratio,
+    distinct-stopword hits, token-uniqueness ratio) and the conjunctive
+    keep flag. Every signal is a scan-stage Column expression over one
+    tokenization — zero shuffles, zero UDFs; at 100 TB this is a pure map
+    over the corpus and the filter pushes into the scan of any downstream
+    consumer."""
+    d = load(spark, sf_dir, "documents")
+    toks = TS.tokens("text")
+    nc = F.length("text")
+    n_words = F.size(toks)
+    mean_word_len = F.round(
+        F.length(F.array_join(toks, "")).cast("double") / n_words, 4
+    )
+    symbol_ratio = F.round(
+        (nc - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", ""))).cast("double") / nc, 4
+    )
+    n_stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in TS.STOPWORDS["en"]])
+        )
+    )
+    uniq_ratio = F.round(F.size(F.array_distinct(toks)).cast("double") / n_words, 4)
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        n_stop_hits.alias("n_stop_hits"),
+        uniq_ratio.alias("uniq_ratio"),
+    )
+    return m.withColumn(
+        "keep",
+        F.col("n_words").between(15, 10000)
+        & F.col("mean_word_len").between(2, 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("n_stop_hits") >= 2)
+        & (F.col("uniq_ratio") > 0.2),
+    )
+
+
+@workload(
+    "oov_rate",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c,
+                   row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+            FROM tok GROUP BY tok
+        ) WHERE rn <= 20
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS INT) AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate against a corpus-derived top-K vocabulary —
+    the tokenizer-coverage check run before committing to a vocab. Two-pass
+    shape: pass 1 aggregates global token counts and takes the top-K via
+    orderBy().limit() (TakeOrderedAndProject — per-partition partial top-K,
+    no global sort); pass 2 rescans the corpus and broadcast-left-joins the
+    K-row vocab, so the corpus itself never shuffles on token — only the
+    per-doc aggregate shuffles one row per document."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(20)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@workload(
+    "boilerplate_scrub",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ch AS (
+        SELECT doc_id, w.i AS w,
+               array_to_string(t[(w.i*8+1):(w.i*8+8)], ' ') AS chunk
+        FROM toks, generate_series(0, 100000) AS w(i)
+        WHERE w.i*8 < len(t)
+    ),
+    freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk),
+    kept AS (
+        SELECT c.doc_id, c.w, c.chunk
+        FROM ch c JOIN freq f USING (chunk) WHERE f.nd <= 2
+    ),
+    re AS (
+        SELECT doc_id, string_agg(chunk, ' ' ORDER BY w) AS scrubbed_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(r.scrubbed_text, '') AS scrubbed_text,
+           CAST(t.n_chunks - COALESCE(r.n_kept, 0) AS INT) AS n_dropped
+    FROM tot t LEFT JOIN re r USING (doc_id)
+    """,
+)
+def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-informed boilerplate removal AND document rewrite:
+    cut each document into non-overlapping 8-token chunks, count how many
+    distinct documents each chunk occurs in across the whole corpus, drop
+    chunks seen in 3+ documents (licence stanzas, shared headers), then
+    reassemble every document's surviving chunks in original order. This is
+    the sub-document dedup that document- and passage-level detection only
+    *report* — here the corpus is actually rewritten. Scale shape: the
+    chunk-frequency aggregate shuffles one row per distinct chunk (hash the
+    chunk to 16 bytes at 100 TB); the rewrite is a groupBy(doc_id) over
+    sort_array(collect_list(struct(w, chunk))) — one shuffle keyed on
+    doc_id, and the per-doc array is bounded by document length."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("t"))
+    n_wins = F.floor((F.size("t") - 1) / 8).cast("int")
+    ch = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_wins)).alias("w"),
+        "t",
+    ).select(
+        "doc_id",
+        "w",
+        F.concat_ws(" ", F.slice("t", F.col("w") * 8 + 1, 8)).alias("chunk"),
+    )
+    freq = ch.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
+    kept = ch.join(freq, "chunk").filter(F.col("nd") <= 2)
+    re = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("w", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    tot = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return tot.join(re, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_dropped"),
+    )
