@@ -89,6 +89,12 @@ HEADLINE = {
     "normalized_dedup": "count",
     "merge_upsert_orders": "count",
     "source_data_card": "collect",
+    "char_entropy": "count",
+    "gopher_rules": "count",
+    "oov_rate": "count",
+    "boilerplate_scrub": "count",
+    "kmeans_assign": "count",
+    "cluster_cohesion": "collect",
 }
 
 

@@ -184,3 +184,134 @@ def test_skew_report_flags_hot_key(spark):
     assert rep["top_keys"][0] == {"key": 999, "n": 2000}
     uniform = skew_report(uni, "k")
     assert not uniform["skewed"]
+
+
+def test_boilerplate_scrub_drops_shared_chunks_and_preserves_order(spark):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.workloads.text import boilerplate_scrub
+
+    out = boilerplate_scrub(spark, SF_SMOKE)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(rows) == set(orig)
+    dropped_total = sum(r["n_dropped"] for r in rows.values())
+    assert dropped_total > 0  # corpus contains cross-doc repeated chunks
+    for doc_id, r in rows.items():
+        toks = orig[doc_id].split(" ")
+        chunks = [" ".join(toks[i : i + 8]) for i in range(0, len(toks), 8)]
+        if r["n_dropped"] == 0:
+            assert r["scrubbed_text"] == orig[doc_id]
+        else:
+            # surviving text is the in-order concatenation of a subset of
+            # the original non-overlapping chunks
+            kept = r["scrubbed_text"].split(" ") if r["scrubbed_text"] else []
+            matched = _rechunk(kept, chunks)
+            assert " ".join(matched) == r["scrubbed_text"]
+            assert len(matched) == len(chunks) - r["n_dropped"]
+
+
+def _rechunk(kept_tokens, chunks):
+    """Greedy re-segmentation of the scrubbed token stream back into the
+    original chunk sequence (chunks are non-overlapping, so the kept text is
+    the in-order concatenation of a subset of them)."""
+    out, i = [], 0
+    for ck in chunks:
+        n = len(ck.split(" "))
+        if kept_tokens[i : i + n] == ck.split(" "):
+            out.append(ck)
+            i += n
+    return out
+
+
+def test_nearest_centroid_matches_bruteforce(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from nextgenetl_spark.operators.similarity import cosine, nearest_centroid
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    got = {r["vec_id"]: (r["centroid_id"], r["sim"]) for r in nearest_centroid(emb, cent).collect()}
+    # expression-form brute force as the independent reference
+    ref_rows = (
+        emb.crossJoin(cent.hint("broadcast"))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(cosine(F.col("embedding"), F.col("cvec")), 4).alias("sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("sim"), "centroid_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    ref = {r["vec_id"]: (r["centroid_id"], r["sim"]) for r in ref_rows}
+    assert set(got) == set(ref)
+    for k in got:
+        assert got[k][0] == ref[k][0]
+        assert abs(got[k][1] - ref[k][1]) <= 1e-4
+
+
+def test_gopher_rules_flags_constructed_docs(spark):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators import textstats as TS
+
+    good = "the quick brown fox jumps over a lazy dog and runs to the hills in the morning is bright"
+    short = "too short"
+    symbols = "the $$$ %%% @@@ ### !!! ((( ))) *** &&& ^^^ the of and to in is one two three four"
+    repeated = " ".join(["spam"] * 40) + " the of"
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, repeated)], ["doc_id", "text"]
+    )
+    toks = TS.tokens("text")
+    nc = F.length("text")
+    n_words = F.size(toks)
+    out = df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.length(F.array_join(toks, "")).cast("double") / n_words, 4).alias("mean_word_len"),
+        F.round((nc - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", ""))).cast("double") / nc, 4).alias("symbol_ratio"),
+        F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in TS.STOPWORDS["en"]]))).alias("n_stop_hits"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_words, 4).alias("uniq_ratio"),
+    ).withColumn(
+        "keep",
+        F.col("n_words").between(15, 10000)
+        & F.col("mean_word_len").between(2, 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("n_stop_hits") >= 2)
+        & (F.col("uniq_ratio") > 0.2),
+    )
+    r = {row["doc_id"]: row for row in out.collect()}
+    assert r[1]["keep"] is True
+    assert r[2]["keep"] is False  # word count below floor
+    assert r[3]["keep"] is False and r[3]["symbol_ratio"] >= 0.1
+    assert r[4]["keep"] is False and r[4]["uniq_ratio"] <= 0.2
+
+
+def test_char_entropy_extremes(spark):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.workloads import load_all
+
+    # uniform 4-char alphabet -> exactly 2 bits; single char -> 0 bits
+    df = spark.createDataFrame([(1, "abcd" * 10), (2, "aaaaaaaa")], ["doc_id", "text"])
+    counts = (
+        df.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ent = counts.groupBy("doc_id").agg(
+        F.round(F.log2(F.sum("n")) - F.sum(F.col("n") * F.log2("n")) / F.sum("n"), 4).alias("h")
+    )
+    r = {row["doc_id"]: row["h"] for row in ent.collect()}
+    assert r[1] == 2.0
+    assert r[2] == 0.0
