@@ -95,6 +95,9 @@ HEADLINE = {
     "boilerplate_scrub": "count",
     "kmeans_assign": "count",
     "cluster_cohesion": "collect",
+    "fuzzy_name_pairs": "count",
+    "fuzzy_best_match": "count",
+    "hll_user_rollup": "collect",
 }
 
 

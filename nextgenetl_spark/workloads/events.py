@@ -949,3 +949,33 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 2).alias("twa_value"),
         )
     )
+
+
+@workload("hll_user_rollup", oracle=None)  # DataSketches HLL estimates are not SQL-replayable; pytest bounds the error vs exact
+def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: build ONE DataSketches HLL sketch of
+    user_id per (day, event_type) cell, then answer per-day, per-type, and
+    grand-total distinct-user questions by UNIONING the stored sketches —
+    never re-scanning events. This is the re-aggregatable architecture for
+    100 TB distinct counts: the fact table is read once; every further
+    rollup merges kilobyte sketches (`hll_union_agg`), so a daily pipeline
+    keeps a sketch per cell and answers any coarser grain for free.
+    Output: one row per grain ('day'/'type'/'total') and key, with the
+    sketch estimate."""
+    e = load(spark, sf_dir, "events")
+    cells = (
+        e.select(F.to_date("ts").cast("string").alias("day"), "event_type", "user_id")
+        .groupBy("day", "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    cells = cells.localCheckpoint()  # build once, merge three ways
+    per_day = cells.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).select(F.lit("day").alias("grain"), F.col("day").alias("key"), "est_users")
+    per_type = cells.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).select(F.lit("type").alias("grain"), F.col("event_type").alias("key"), "est_users")
+    total = cells.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).select(F.lit("total").alias("grain"), F.lit("*").alias("key"), "est_users")
+    return per_day.unionByName(per_type).unionByName(total)

@@ -1471,3 +1471,63 @@ def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 2).alias("revenue"),
         F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias("region_share"),
     )
+
+
+@workload(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH b AS (SELECT DISTINCT p_name AS name, string_split(p_name, ' ')[1] AS blk FROM part)
+    SELECT a.name AS name_a, c.name AS name_b,
+           CAST(levenshtein(a.name, c.name) AS INT) AS dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+    WHERE levenshtein(a.name, c.name) BETWEEN 1 AND 3
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / fuzzy join: within-block edit-distance pairs over
+    the DISTINCT part-name dimension (first-token blocking, levenshtein
+    <= 3). The quadratic comparison runs only inside bounded blocks under
+    the same plan-embedded bounded_block_guard as the text/embedding
+    near-dup operators; levenshtein is JVM codegen, no Python. At 100 TB
+    the name dimension stays tiny relative to the fact table — dedupe
+    first, block, compare, then broadcast the match table back."""
+    from nextgenetl_spark.operators.linkage import fuzzy_pairs
+
+    p = load(spark, sf_dir, "part")
+    return fuzzy_pairs(
+        p.select("p_name"), "p_name", F.split(F.col("p_name"), " ")[0], max_dist=3
+    )
+
+
+@workload(
+    "fuzzy_best_match",
+    oracle="""
+    WITH b AS (SELECT DISTINCT p_name AS name, string_split(p_name, ' ')[1] AS blk FROM part),
+    pr AS (
+        SELECT a.name AS name_a, c.name AS name_b,
+               CAST(levenshtein(a.name, c.name) AS INT) AS dist
+        FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+        WHERE levenshtein(a.name, c.name) BETWEEN 1 AND 3
+    ),
+    mirrored AS (
+        SELECT name_a AS name, name_b AS match, dist FROM pr
+        UNION ALL
+        SELECT name_b AS name, name_a AS match, dist FROM pr
+    )
+    SELECT name, match, dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY name ORDER BY dist, match) AS rn FROM mirrored)
+    WHERE rn = 1
+    """,
+)
+def fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest in-block name for every distinct part name (min edit
+    distance, lexicographic tie-break) — the candidate step of a
+    canonicalize/merge pass. Pairs are computed once in canonical order and
+    mirrored by a union (half the levenshtein evaluations), then a per-name
+    window picks the minimum."""
+    from nextgenetl_spark.operators.linkage import best_fuzzy_match
+
+    p = load(spark, sf_dir, "part")
+    return best_fuzzy_match(
+        p.select("p_name"), "p_name", F.split(F.col("p_name"), " ")[0], max_dist=3
+    )

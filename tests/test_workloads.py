@@ -315,3 +315,58 @@ def test_char_entropy_extremes(spark):
     r = {row["doc_id"]: row["h"] for row in ent.collect()}
     assert r[1] == 2.0
     assert r[2] == 0.0
+
+
+def test_fuzzy_pairs_and_best_match_reference(spark):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.linkage import best_fuzzy_match, fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [("red widget",), ("red widgets",), ("red wagon",), ("blue bolt",), ("blue boat",)],
+        ["name"],
+    )
+    pairs = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in fuzzy_pairs(df, "name", F.split("name", " ")[0], max_dist=3).collect()
+    }
+    # levenshtein ground truth within first-token blocks
+    assert pairs[("red widget", "red widgets")] == 1
+    assert pairs[("blue boat", "blue bolt")] == 1
+    assert ("red wagon", "red widget") not in pairs  # dist 4 > max_dist 3
+    assert all(a.split(" ")[0] == b.split(" ")[0] for a, b in pairs)
+
+    best = {r["name"]: (r["match"], r["dist"]) for r in
+            best_fuzzy_match(df, "name", F.split("name", " ")[0], max_dist=3).collect()}
+    assert best["red widget"] == ("red widgets", 1)
+    assert best["blue bolt"] == ("blue boat", 1)
+    assert "red wagon" not in best or best["red wagon"][1] <= 3
+
+
+def test_fuzzy_pairs_guard_rejects_unbounded_block(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.linkage import fuzzy_pairs
+
+    big = spark.range(0, 50).select(F.concat(F.lit("x name"), F.col("id")).alias("name"))
+    with pytest.raises(Exception, match="fuzzy_pairs"):
+        fuzzy_pairs(big, "name", F.split("name", " ")[0], max_dist=3, max_block_rows=10).count()
+
+
+def test_hll_rollup_tracks_exact_distincts(spark):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.workloads.events import hll_user_rollup
+
+    est = {(r["grain"], r["key"]): r["est_users"] for r in hll_user_rollup(spark, SF_SMOKE).collect()}
+    from nextgenetl_spark.catalog import load
+
+    e = load(spark, SF_SMOKE, "events").select(
+        F.to_date("ts").cast("string").alias("day"), "event_type", "user_id"
+    )
+    exact_day = {r["day"]: r["n"] for r in e.groupBy("day").agg(F.countDistinct("user_id").alias("n")).collect()}
+    exact_total = e.select("user_id").distinct().count()
+    for day, n in exact_day.items():
+        assert abs(est[("day", day)] - n) <= max(2, 0.03 * n), (day, est[("day", day)], n)
+    assert abs(est[("total", "*")] - exact_total) <= max(2, 0.03 * exact_total)
