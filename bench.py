@@ -98,6 +98,8 @@ HEADLINE = {
     "fuzzy_name_pairs": "count",
     "fuzzy_best_match": "count",
     "hll_user_rollup": "collect",
+    "value_outliers": "count",
+    "debounce_events": "count",
 }
 
 

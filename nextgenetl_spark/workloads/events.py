@@ -979,3 +979,70 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     ).select(F.lit("total").alias("grain"), F.lit("*").alias("key"), "est_users")
     return per_day.unionByName(per_type).unionByName(total)
+
+
+@workload(
+    "value_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, event_type, value,
+               (value - AVG(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+        FROM events
+    )
+    SELECT event_id, event_type, value, ROUND(z, 4) AS z
+    FROM s WHERE abs(z) > 2
+    """,
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flagging — the metric-anomaly sweep over a
+    telemetry table. Mean and sample-stddev come from one window partitioned
+    by event_type (a single hash shuffle on the type key); the z filter then
+    runs on the windowed rows. At 100 TB swap the window for a tiny
+    per-type aggregate broadcast back onto the scan (two passes, no wide
+    shuffle) — semantics identical; the window form keeps it one-pass
+    here."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        e.select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs("z") > 2)
+        .select("event_id", "event_type", "value", F.round("z", 4).alias("z"))
+    )
+
+
+@workload(
+    "debounce_events",
+    oracle="""
+    WITH g AS (
+        SELECT event_id, user_id, event_type, ts,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM g WHERE gap_us IS NULL OR gap_us > 300000000
+    """,
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debouncing: drop repeat (user, type) events arriving
+    within 5 minutes of the previous kept-or-dropped one — the standard
+    duplicate-click / retry-storm scrub before sessionization. One lag
+    window on the (user_id, event_type) key = one shuffle; timestamps
+    compare as exact integer microseconds so the keep decision is
+    engine-reproducible. (This is the lag-gap form — debouncing against the
+    last KEPT event needs the running-state form, applyInPandasWithState in
+    streaming/state.py.)"""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = e.select(
+        "event_id", "user_id", "event_type", us.alias("ts_us"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+    return g.filter(F.col("gap_us").isNull() | (F.col("gap_us") > 300_000_000)).select(
+        "event_id", "user_id", "event_type", "ts_us"
+    )
