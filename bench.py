@@ -100,6 +100,9 @@ HEADLINE = {
     "hll_user_rollup": "collect",
     "value_outliers": "count",
     "debounce_events": "count",
+    "metric_correlations": "collect",
+    "central_tendency": "count",
+    "trend_slopes": "collect",
 }
 
 

@@ -1046,3 +1046,111 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(F.col("gap_us").isNull() | (F.col("gap_us") > 300_000_000)).select(
         "event_id", "user_id", "event_type", "ts_us"
     )
+
+
+@workload(
+    "metric_correlations",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user,
+           ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_value_user,
+           ROUND(stddev_samp(value), 4) AS sd_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group — corr / covar_samp / stddev_samp are
+    single-pass mergeable aggregates (sum, sum-of-squares, cross-product
+    moments combine associatively), so they partial-aggregate map-side and
+    shuffle one moment vector per group at any scale."""
+    e = load(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("value", u), 4).alias("corr_value_user"),
+        F.round(F.covar_samp("value", u), 4).alias("covar_value_user"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+    )
+
+
+@workload(
+    "central_tendency",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, median(value) AS median_value, COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    t AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT m.user_id, ROUND(m.median_value, 4) AS median_value, m.n_events,
+           t.event_type AS modal_type
+    FROM m JOIN t ON m.user_id = t.user_id AND t.rn = 1
+    """,
+)
+def central_tendency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median plus deterministic mode per user. The modal event type
+    is computed by construction (count per (user, type) → deterministic
+    row_number with a lexicographic tie-break) rather than the engine's
+    ``mode()`` aggregate, whose tie behavior is engine-defined — the
+    reproducibility rule that every dedup tie-break in this repo follows.
+    Median is exact here; at 100 TB swap to ``approx_percentile`` (t-digest,
+    mergeable) — same query shape."""
+    e = load(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), "event_type")
+    t = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"))
+    )
+    return m.join(t, "user_id").select("user_id", "median_value", "n_events", "modal_type")
+
+
+@workload(
+    "trend_slopes",
+    oracle="""
+    WITH x AS (
+        SELECT event_type, value,
+               CAST(epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY event_type) AS DOUBLE)
+                 / 3600000000.0 AS h
+        FROM events
+    )
+    SELECT event_type,
+           CAST(regr_count(value, h) AS BIGINT) AS n,
+           ROUND(regr_slope(value, h), 4) AS slope_per_hour,
+           ROUND(regr_intercept(value, h), 4) AS intercept,
+           ROUND(regr_r2(value, h), 4) AS r2
+    FROM x GROUP BY event_type
+    """,
+)
+def trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear trend via the SQL regression family (regr_slope /
+    regr_intercept / regr_r2) — drift detection over a metric stream. The
+    regressor is hours since the group's first event, derived from exact
+    integer microseconds (a window min) so both engines regress identical
+    inputs; the regression aggregates themselves are single-pass moment
+    sums — mergeable, map-side partial, one row per group shuffled."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("event_type")
+    x = e.select(
+        "event_type",
+        "value",
+        ((us - F.min(us).over(w)).cast("double") / 3.6e9).alias("h"),
+    )
+    return x.groupBy("event_type").agg(
+        F.regr_count("value", "h").alias("n"),
+        F.round(F.regr_slope("value", "h"), 4).alias("slope_per_hour"),
+        F.round(F.regr_intercept("value", "h"), 4).alias("intercept"),
+        F.round(F.regr_r2("value", "h"), 4).alias("r2"),
+    )
