@@ -95,7 +95,29 @@ def load_all() -> dict[str, Workload]:
     def _mod(wl):
         return wl.fn.__module__.rsplit(".", 1)[-1]
 
-    tier0 = [(n, wl) for n, wl in REGISTRY.items() if n not in verified]
+    # Within the unverified tier, rank by check cost so a TIME-boxed driver
+    # budget verifies the most queries: plain scans/aggs first, the
+    # iterative/quadratic family next, real availableNow streaming runs
+    # (micro-batch machinery, seconds each regardless of sf) last. The sort
+    # is stable, so registration order is preserved within each class.
+    heavy = {
+        "near_dup_groups", "near_dup_groups_star", "ngram_jaccard_pairs",
+        "near_dup_pairs_auto", "minhash_near_dup", "minhash_md5_near_dup",
+        "simhash_dedup_keep", "semantic_dedup_keep", "simhash_hamming_pairs",
+        "embedding_near_dup", "embedding_near_dup_auto", "training_assembly",
+        "curation_pipeline", "ann_ivf_topk", "ann_ivf_full_probe",
+        "ann_lsh_multiprobe", "ann_cosine_topk", "boilerplate_scrub",
+    }
+
+    def _cost(name: str) -> int:
+        if name.startswith("stream_"):
+            return 2
+        return 1 if name in heavy else 0
+
+    tier0 = sorted(
+        ((n, wl) for n, wl in REGISTRY.items() if n not in verified),
+        key=lambda kv: _cost(kv[0]),
+    )
     core = [(n, wl) for n, wl in tier0 if _mod(wl) in core_mods]
     ext = [(n, wl) for n, wl in tier0 if _mod(wl) not in core_mods]
     interleaved: list = []

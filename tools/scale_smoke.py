@@ -40,6 +40,24 @@ def replicate_emb(e, n):
     )
 
 
+def _scrub(d):
+    """In-plan variant of workloads/text.py boilerplate_scrub over a
+    replicated corpus (threshold scaled: a chunk is boilerplate when it
+    appears in more docs than one replication's worth of copies)."""
+    base = d.select("doc_id", F.split("text", " ").alias("t"))
+    n_wins = F.floor((F.size("t") - 1) / 8).cast("int")
+    ch = base.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), n_wins)).alias("w"), "t"
+    ).select("doc_id", "w", F.concat_ws(" ", F.slice("t", F.col("w") * 8 + 1, 8)).alias("chunk"))
+    freq = ch.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
+    kept = ch.join(freq, "chunk").filter(F.col("nd") <= 2)
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(F.struct("w", "chunk"))), lambda x: x["chunk"]), " "
+        ).alias("scrubbed_text")
+    )
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 5, 20]
     spark = get_spark("scale-smoke")
@@ -86,6 +104,10 @@ def main() -> None:
             "conn_comp_star": lambda: D.connected_components_star(
                 D.minhash_near_dup_pairs(d, threshold=0.5)
             ).count(),
+            # corpus-informed rewrite: chunk-frequency agg + doc reassembly.
+            # Cost should track corpus size (rows in, rows out), never a
+            # pair space — there is no join wider than chunk-frequency.
+            "boilerplate_scrub": lambda: _scrub(d).count(),
         }
         out = []
         for name, fn in steps.items():
