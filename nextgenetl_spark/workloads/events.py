@@ -1154,3 +1154,47 @@ def trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("value", "h"), 4).alias("intercept"),
         F.round(F.regr_r2("value", "h"), 4).alias("r2"),
     )
+
+
+@workload(
+    "two_phase_merge_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS value_sum,
+           ROUND(MIN(value), 4) AS value_min,
+           ROUND(MAX(value), 4) AS value_max,
+           ROUND(SUM(value) / COUNT(*), 4) AS value_avg
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def two_phase_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-aggregation pattern, correctness-pinned: aggregate each
+    DAY to a partial state (count, sum, min, max), then MERGE the partials
+    to the final per-type stats — provably equal to aggregating the raw
+    table directly (the oracle does exactly that). This is the daily ETL
+    shape at 100 TB: yesterday's partials are a tiny stored table, today's
+    delta aggregates alone, and the merge touches partial rows only — the
+    raw history is never re-scanned. Works because count/sum/min/max (and
+    moment vectors: see metric_correlations) are algebraic — partials
+    combine associatively; the same decomposition is what map-side partial
+    aggregation does inside one job."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(F.to_date("ts").alias("day"), "event_type", "value")
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("psum"),
+            F.min("value").alias("pmin"),
+            F.max("value").alias("pmax"),
+        )
+    )
+    return daily.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 2).alias("value_sum"),
+        F.round(F.min("pmin"), 4).alias("value_min"),
+        F.round(F.max("pmax"), 4).alias("value_max"),
+        F.round(F.sum("psum") / F.sum("pn"), 4).alias("value_avg"),
+    )
