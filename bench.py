@@ -103,6 +103,7 @@ HEADLINE = {
     "metric_correlations": "collect",
     "central_tendency": "count",
     "trend_slopes": "collect",
+    "two_phase_merge_agg": "collect",
 }
 
 
