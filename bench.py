@@ -104,6 +104,8 @@ HEADLINE = {
     "central_tendency": "count",
     "trend_slopes": "collect",
     "two_phase_merge_agg": "collect",
+    "phash_near_dup": "count",
+    "corpus_manifest": "collect",
 }
 
 

@@ -992,3 +992,49 @@ def md5_stream_near_dup_oracle_sql(
     )
     SELECT new_id, hist_id, jac FROM v WHERE jac >= {threshold}
     """
+
+
+def banded_hamming_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Generic banded hamming-ball self-join over ANY 64-bit fingerprint
+    table — the fingerprint-agnostic core of ``md5_simhash_near_dup_pairs``,
+    reused by the perceptual-hash (multimodal) dedup path. Pigeonhole:
+    max_hamming < num_bands makes the banding lossless, so the result
+    equals the all-pairs hamming join exactly. Shuffles (band, chunk, id)
+    rows, never payloads."""
+    bits_per_band = 64 // num_bands
+    mask = (1 << bits_per_band) - 1
+    f = fps.select(F.col(id_col), F.col(fp_col).alias("fp")).localCheckpoint(eager=False)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("fp"), b * bits_per_band).bitwiseAND(F.lit(mask)).alias("chunk"),
+        )
+        for b in range(num_bands)
+    ]
+    banded = f.select(id_col, "fp", F.explode(F.array(*bands)).alias("bb")).select(
+        id_col, "fp", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

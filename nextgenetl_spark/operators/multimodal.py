@@ -222,3 +222,42 @@ def decode_image(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") 
             "(same mapInPandas shape as decode_media_features)"
         ) from exc
     raise NotImplementedError("wire PIL.Image.open over the blob bytes here")
+
+
+PHASH_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("fp", T.LongType())]
+)
+
+
+def perceptual_hash(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 64-bit 'perceptual hash' per media blob: bit b is the
+    parity of the count of byte value 59+b (covering the lowercase/digit
+    range of the stub blobs). Content-histogram bits are what makes it
+    *perceptual*-shaped: a small edit (a re-encode header tweak, an
+    appended byte) flips at most a few bits, while reordering flips none —
+    unlike position-striped hashes, which scramble under any shift. A real
+    pHash (DCT over decoded pixels) swaps into the same Arrow-batched stage
+    without touching the plan or the downstream banded join; the stub keeps
+    the path engine-replayable so the oracle verifies it end to end."""
+    import numpy as np
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_fps = [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                counts = np.bincount(
+                    np.frombuffer(bytes(blob), dtype=np.uint8), minlength=123
+                )
+                fp = 0
+                for bit in range(64):
+                    if counts[59 + bit] & 1:
+                        fp |= 1 << bit
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                out_ids.append(doc_id)
+                out_fps.append(fp)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(out_ids, dtype="int64"), "fp": pd.Series(out_fps, dtype="int64")}
+            )
+
+    return df.mapInPandas(hash_batch, PHASH_SCHEMA)

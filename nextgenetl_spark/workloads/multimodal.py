@@ -5,6 +5,7 @@ codec stubbed deterministically — see operators/multimodal.py)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nextgenetl_spark.catalog import load
 from nextgenetl_spark.operators.multimodal import attach_blob, decode_media_features, sample_frames
@@ -101,3 +102,55 @@ def audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nextgenetl_spark.operators.multimodal import audio_windows as win
 
     return win(attach_blob(load(spark, sf_dir, "documents")))
+
+
+@workload(
+    "phash_near_dup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || 'za' FROM documents WHERE doc_id < 25
+    ),
+    bits AS (
+        SELECT doc_id, g.b AS bit,
+               (length(text) - length(replace(text, chr(CAST(59 + g.b AS INT)), ''))) % 2 AS v
+        FROM d, generate_series(0, 63) AS g(b)
+    ),
+    fps AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v = 1 THEN
+                    CASE WHEN bit = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << bit) END
+                    ELSE 0 END) AS BIGINT) AS fp
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+)
+def phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over MEDIA BLOBS — the
+    multimodal analogue of SimHash dedup, exercised against planted
+    're-encodes' (each blob for doc_id < 25 reappears with a 2-byte tail
+    edit, the shape of a header tweak on a re-encoded image). Blobs stream
+    through an Arrow-batched hash stage (operators/multimodal.py
+    perceptual_hash — histogram-parity stub; a real DCT pHash swaps in
+    unchanged), then the generic banded hamming join (operators/dedup.py
+    banded_hamming_pairs) finds pairs within hamming <= 3 — banding with 4
+    bands is lossless by pigeonhole, so the DuckDB all-pairs oracle
+    verifies the whole blob→fingerprint→banded-join path value-exactly.
+    At 100 TB: blobs never shuffle — only (band, chunk, id) rows do."""
+    from nextgenetl_spark.operators.dedup import banded_hamming_pairs
+    from nextgenetl_spark.operators.multimodal import perceptual_hash
+
+    d = load(spark, sf_dir, "documents")
+    variants = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("za")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(variants)
+    fps = perceptual_hash(attach_blob(corpus))
+    return banded_hamming_pairs(fps, max_hamming=3, num_bands=4)

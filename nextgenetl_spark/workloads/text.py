@@ -1581,3 +1581,33 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
         (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_dropped"),
     )
+
+
+@workload(
+    "corpus_manifest",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_hash
+    FROM documents
+    GROUP BY source
+    """,
+)
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-versioning manifest: per source, an ORDER-INSENSITIVE content
+    hash (md5 over the sorted per-doc md5s) plus volume counts — the
+    integrity record a pipeline stores per release to detect silent corpus
+    drift (the same role as the reference's table-diff QC, but O(1) storage
+    per source). Shuffle carries 32-byte hashes, never text; the per-source
+    hash list is bounded by docs-per-source — at extreme cardinality swap
+    the sorted-concat for an order-insensitive XOR/sum fold (commutative,
+    no collect_list)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.md5(
+            F.concat_ws("", F.sort_array(F.collect_list(F.md5(F.col("text")))))
+        ).alias("content_hash"),
+    )

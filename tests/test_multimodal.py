@@ -100,3 +100,35 @@ def test_resize_image_raises_without_codec(spark):
     blobs = attach_blob(load(spark, SF_SMOKE, "documents").limit(1))
     with pytest.raises(NotImplementedError, match="resize requires PIL"):
         resize_image(blobs, 32, 32)
+
+
+def test_phash_finds_planted_reencodes(spark):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.dedup import banded_hamming_pairs
+    from nextgenetl_spark.operators.multimodal import attach_blob, perceptual_hash
+    from tests.conftest import SF_SMOKE
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    variants = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("za")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(variants)
+    pairs = banded_hamming_pairs(
+        perceptual_hash(attach_blob(corpus)), max_hamming=3, num_bands=4
+    )
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs.collect()}
+    for i in range(10):
+        # appending 'za' flips exactly the z- and a-count parity bits
+        assert got[(i, i + 1000000)] == 2
+
+
+def test_perceptual_hash_is_permutation_invariant(spark):
+    """Histogram bits must not move when bytes reorder (the property a
+    position-striped hash lacks)."""
+    from nextgenetl_spark.operators.multimodal import attach_blob, perceptual_hash
+
+    df = spark.createDataFrame([(1, "abcza"), (2, "zacba")], ["doc_id", "text"])
+    fps = {r["doc_id"]: r["fp"] for r in perceptual_hash(attach_blob(df)).collect()}
+    assert fps[1] == fps[2]
