@@ -106,6 +106,8 @@ HEADLINE = {
     "two_phase_merge_agg": "collect",
     "phash_near_dup": "count",
     "corpus_manifest": "collect",
+    "basket_pairs": "count",
+    "quality_percentiles": "count",
 }
 
 

@@ -1531,3 +1531,39 @@ def fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_fuzzy_match(
         p.select("p_name"), "p_name", F.split(F.col("p_name"), " ")[0], max_dist=3
     )
+
+
+@workload(
+    "basket_pairs",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in 2+
+    orders — the bipartite (order, part) graph projected onto parts. The
+    within-order self-join is the bounded-block quadratic pattern again
+    with a NATURALLY bounded block (an order holds <= 7·2 lineitems by
+    TPC-H construction), so the pair space is O(orders · 13²/2) — linear in
+    the fact table. The pair aggregate shuffles (part_a, part_b) keys;
+    above a support floor that output is tiny relative to the input, and
+    raising the floor prunes it further (the a-priori trick)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

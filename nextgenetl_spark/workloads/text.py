@@ -1611,3 +1611,50 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("", F.sort_array(F.collect_list(F.md5(F.col("text")))))
         ).alias("content_hash"),
     )
+
+
+@workload(
+    "quality_percentiles",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, lang,
+               ROUND(CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                     / len(string_split_regex(trim(text), '\\s+')), 4) AS uniq_ratio
+        FROM documents
+    )
+    SELECT doc_id, lang, uniq_ratio,
+           ROUND(percent_rank() OVER (PARTITION BY lang ORDER BY uniq_ratio, doc_id), 4) AS pct_rank,
+           CASE WHEN percent_rank() OVER (PARTITION BY lang ORDER BY uniq_ratio, doc_id) < 0.1
+                THEN 'bottom_decile' ELSE 'keep' END AS cut
+    FROM q
+    """,
+)
+def quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile rank of a quality score with a
+    bottom-decile cut label — how curation thresholds are actually set
+    ('drop the worst 10% per language' survives distribution shift between
+    languages; a global absolute threshold does not). percent_rank needs a
+    per-language sort — one shuffle keyed on lang; at extreme skew (one
+    language dominating the corpus) swap to approx_percentile cutoffs
+    computed per language and broadcast back, same labels without the
+    within-partition sort."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = TS.tokens("text")
+    q = d.select(
+        "doc_id",
+        "lang",
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4).alias(
+            "uniq_ratio"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("uniq_ratio", "doc_id")
+    pr = F.percent_rank().over(w)
+    return q.select(
+        "doc_id",
+        "lang",
+        "uniq_ratio",
+        F.round(pr, 4).alias("pct_rank"),
+        F.when(pr < 0.1, "bottom_decile").otherwise("keep").alias("cut"),
+    )
