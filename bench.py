@@ -108,6 +108,8 @@ HEADLINE = {
     "corpus_manifest": "collect",
     "basket_pairs": "count",
     "quality_percentiles": "count",
+    "knn_label_predict": "count",
+    "label_centroids": "count",
 }
 
 

@@ -400,3 +400,95 @@ def cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_sim"),
     )
+
+
+@workload(
+    "knn_label_predict",
+    oracle="""
+    WITH lab AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 400),
+         unl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400),
+         s AS (SELECT u.vec_id, l.label,
+                      list_cosine_similarity(u.embedding::DOUBLE[], l.embedding::DOUBLE[]) AS sim,
+                      l.vec_id AS nb
+               FROM unl u, lab l),
+         topk AS (
+             SELECT vec_id, label, sim
+             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb) AS rn FROM s)
+             WHERE rn <= 5
+         ),
+         votes AS (
+             SELECT vec_id, label, COUNT(*) AS n_votes, MAX(sim) AS best_sim
+             FROM topk GROUP BY vec_id, label
+         )
+    SELECT vec_id, label AS pred_label, CAST(n_votes AS INT) AS n_votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY n_votes DESC, best_sim DESC, label) AS rn
+          FROM votes)
+    WHERE rn = 1
+    """,
+)
+def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding table: vectors with vec_id >=
+    400 are 'unlabeled' and take the majority label of their 5 nearest
+    labeled neighbors by cosine (ties → higher best-sim, then lower label —
+    fully deterministic, so DuckDB replays the whole vote). The scoring
+    pass is the same batch-GEMM shape as ann_cosine_topk: the unlabeled
+    queries broadcast, the labeled corpus streams through Arrow batches and
+    never shuffles; only (query, neighbor) candidate rows reach the vote
+    aggregate. The 100-TB variant scores within IVF cells (ivf_topk) and
+    feeds the identical vote."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    lab = emb.filter(F.col("vec_id") < 400)
+    unl = emb.filter(F.col("vec_id") >= 400).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = cosine_topk_gemm(
+        unl, lab.select(F.col("vec_id").alias("neighbor_id"), "embedding"), k=5
+    )
+    nb_labels = lab.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nb_label")
+    )
+    votes = (
+        topk.join(F.broadcast(nb_labels), "neighbor_id")
+        .groupBy(F.col("query_id").alias("vec_id"), F.col("nb_label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n_votes"), F.max("sim").alias("best_sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("n_votes"), F.desc("best_sim"), "pred_label"
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "pred_label", F.col("n_votes").cast("int").alias("n_votes"))
+    )
+
+
+@workload(
+    "label_centroids",
+    oracle="""
+    WITH u AS (
+        SELECT label, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS x
+        FROM embeddings
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           ROUND(AVG(x), 4) AS mean_val,
+           COUNT(*) AS n
+    FROM u GROUP BY label, pos
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class mean vector ('class centroids') as a flat (label, pos,
+    mean) table — the vector-reduce shape behind k-means refinement,
+    prototype classifiers, and cluster drift monitors. posexplode + one
+    hash aggregate: map-side partial means, shuffle = labels × dims rows
+    regardless of corpus size. (refine_centroids in operators/similarity.py
+    uses exactly this reduce; here it is surfaced as an oracle-checked
+    query.)"""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "x"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.avg("x"), 4).alias("mean_val"), F.count(F.lit(1)).alias("n"))
+    )
