@@ -45,6 +45,10 @@ EXPECTED = {
     "near_dup_groups_star": {"BroadcastNestedLoopJoin"},
     "embedding_near_dup": {"BroadcastNestedLoopJoin"},
     "semantic_dedup_keep": {"BroadcastNestedLoopJoin"},
+    # 1-row bounded-block guard (operators/dedup.py) cross-joined into the
+    # blocked levenshtein pair generators — constant-size NLJ
+    "fuzzy_name_pairs": {"BroadcastNestedLoopJoin"},
+    "fuzzy_best_match": {"BroadcastNestedLoopJoin"},
 }
 INTERESTING = (
     "Scan parquet",
