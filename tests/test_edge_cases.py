@@ -63,3 +63,57 @@ def test_sampling_on_empty_input(spark):
     e = _empty_docs(spark)
     out = deterministic_split(e, id_col="doc_id", thresholds=[("cccc", "train"), ("e666", "val")])
     assert out.count() == 0
+
+
+def test_fuzzy_pairs_matches_bruteforce_on_random_names(spark):
+    """Property: within-block pairs equal the brute-force levenshtein join
+    for a randomized (seeded) name set."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.linkage import fuzzy_pairs
+
+    rng = random.Random(7)
+    alpha = "abcde"
+    names = list({
+        "".join(rng.choice(alpha) for _ in range(rng.randint(3, 7)))
+        for _ in range(60)
+    })
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    block = F.substring("name", 1, 1)
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in fuzzy_pairs(df, "name", block, max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {}
+    for a, b in itertools.combinations(sorted(names), 2):
+        if a[0] == b[0]:
+            d = lev(a, b)
+            if 1 <= d <= 2:
+                want[(a, b)] = d
+    assert got == want
+
+
+def test_perceptual_hash_single_append_flips_at_most_one_bit(spark):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.multimodal import attach_blob, perceptual_hash
+
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [(0, base)] + [(i + 1, base + c) for i, c in enumerate("azq9 ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r["doc_id"]: r["fp"] for r in perceptual_hash(attach_blob(df)).collect()}
+    for i in range(1, 6):
+        flipped = bin((fps[0] ^ fps[i]) & ((1 << 64) - 1)).count("1")
+        assert flipped <= 1  # chars outside [59,122] (space, digits<'; ') flip zero bits
