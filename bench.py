@@ -110,6 +110,8 @@ HEADLINE = {
     "quality_percentiles": "count",
     "knn_label_predict": "count",
     "label_centroids": "count",
+    "equidepth_histogram": "collect",
+    "price_histogram": "collect",
 }
 
 

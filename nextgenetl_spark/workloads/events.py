@@ -1198,3 +1198,39 @@ def two_phase_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("pmax"), 4).alias("value_max"),
         F.round(F.sum("psum") / F.sum("pn"), 4).alias("value_avg"),
     )
+
+
+@workload(
+    "equidepth_histogram",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, value,
+               ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+        FROM events
+    )
+    SELECT event_type, CAST(quartile AS INT) AS quartile,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM q GROUP BY event_type, quartile
+    """,
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) histogram per event type via ntile — the
+    distribution profile that drives skew-aware partitioning choices. The
+    ntile window partitions BY TYPE (never a global sort — a bare
+    ``ntile() OVER (ORDER BY ...)`` would funnel the table through one
+    partition, the red flag tools/explain.py exists to catch); ordering is
+    tie-broken on event_id so bucket membership is engine-reproducible.
+    One type-keyed shuffle serves window + aggregate."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("event_type", F.col("quartile").cast("int").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )

@@ -1567,3 +1567,42 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@workload(
+    "price_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
+    SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20)), 19) AS INT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS bucket_min,
+           ROUND(MAX(l_extendedprice), 2) AS bucket_max
+    FROM lineitem, b
+    GROUP BY bucket
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram with data-derived bounds — the
+    1-row bounds aggregate broadcasts into the scan (the time_grid_fill
+    constant-size-NLJ pattern), so the histogram is two passes with no
+    wide shuffle: bounds agg, then a scan-stage bucket expression feeding
+    one 20-row hash aggregate. The closed top bucket (LEAST(..., 19))
+    keeps the max row in range on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("lo")) / width), F.lit(19)
+    ).cast("int")
+    return (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("bucket_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bucket_max"),
+        )
+    )

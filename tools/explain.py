@@ -49,6 +49,8 @@ EXPECTED = {
     # blocked levenshtein pair generators — constant-size NLJ
     "fuzzy_name_pairs": {"BroadcastNestedLoopJoin"},
     "fuzzy_best_match": {"BroadcastNestedLoopJoin"},
+    # 1-row (min,max) bounds broadcast into the bucket expression
+    "price_histogram": {"BroadcastNestedLoopJoin"},
 }
 INTERESTING = (
     "Scan parquet",
