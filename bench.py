@@ -112,6 +112,8 @@ HEADLINE = {
     "label_centroids": "count",
     "equidepth_histogram": "collect",
     "price_histogram": "collect",
+    "forecast_revenue_delta": "collect",
+    "shipping_priority": "collect",
 }
 
 
