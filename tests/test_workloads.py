@@ -370,3 +370,55 @@ def test_hll_rollup_tracks_exact_distincts(spark):
     for day, n in exact_day.items():
         assert abs(est[("day", day)] - n) <= max(2, 0.03 * n), (day, est[("day", day)], n)
     assert abs(est[("total", "*")] - exact_total) <= max(2, 0.03 * exact_total)
+
+
+def test_two_phase_merge_equals_direct_aggregation(spark):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.catalog import load
+    from nextgenetl_spark.workloads.events import two_phase_merge_agg
+
+    merged = {r["event_type"]: r for r in two_phase_merge_agg(spark, SF_SMOKE).collect()}
+    direct = {
+        r["event_type"]: r
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.round(F.min("value"), 4).alias("value_min"),
+            F.round(F.max("value"), 4).alias("value_max"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for t in merged:
+        assert merged[t]["n"] == direct[t]["n"]
+        assert abs(merged[t]["value_sum"] - direct[t]["value_sum"]) < 0.02
+        assert merged[t]["value_min"] == direct[t]["value_min"]
+        assert merged[t]["value_max"] == direct[t]["value_max"]
+
+
+def test_value_outliers_are_true_tail(spark):
+    """Every flagged row must sit beyond 2 sample stddevs of its type's
+    mean, and no unflagged row may sit beyond 2.001 (rounding guard)."""
+    import statistics
+
+    from nextgenetl_spark.catalog import load
+    from nextgenetl_spark.workloads.events import value_outliers
+
+    flagged = {(r["event_id"]): r for r in value_outliers(spark, SF_SMOKE).collect()}
+    rows = load(spark, SF_SMOKE, "events").select("event_id", "event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        vals = [r["value"] for r in rs]
+        mu = statistics.fmean(vals)
+        sd = statistics.stdev(vals)
+        for r in rs:
+            z = (r["value"] - mu) / sd
+            if abs(z) > 2.001:
+                assert r["event_id"] in flagged, (t, r["event_id"], z)
+            elif abs(z) < 1.999:
+                assert r["event_id"] not in flagged, (t, r["event_id"], z)
