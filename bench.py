@@ -114,6 +114,7 @@ HEADLINE = {
     "price_histogram": "collect",
     "forecast_revenue_delta": "collect",
     "shipping_priority": "collect",
+    "stream_debounce": "count",
 }
 
 

@@ -63,3 +63,69 @@ def running_user_profile(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DEBOUNCE_STATE_SCHEMA = T.StructType([T.StructField("last_kept_us", T.LongType())])
+
+DEBOUNCE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+DEBOUNCE_GAP_US = 300_000_000  # 5 minutes
+
+
+def _debounce_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    user_id, event_type = key
+    last = state.get[0] if state.exists else None
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "event_id"])
+    keep_ids, keep_ts = [], []
+    for ev, ts in zip(rows["event_id"], rows["ts_us"]):
+        ts = int(ts)
+        if last is None or ts - last > DEBOUNCE_GAP_US:
+            keep_ids.append(int(ev))
+            keep_ts.append(ts)
+            last = ts
+    state.update((last,))
+    yield pd.DataFrame(
+        {
+            "event_id": pd.Series(keep_ids, dtype="int64"),
+            "user_id": pd.Series([user_id] * len(keep_ids), dtype="int64"),
+            "event_type": pd.Series([event_type] * len(keep_ids), dtype="object"),
+            "ts_us": pd.Series(keep_ts, dtype="int64"),
+        }
+    )
+
+
+def debounce_against_last_kept(events: DataFrame) -> DataFrame:
+    """Stateful debounce: drop a (user, type) event unless it is > 5 min
+    after the last KEPT event — the running-state semantics the batch
+    lag-gap form (workloads/events.py debounce_events) cannot express
+    (lag compares to the previous event, kept or not). State is one long
+    per key. Within a micro-batch the group sorts by event time, so a
+    single availableNow replay reproduces the ordered greedy pass exactly
+    (the oracle's recursive CTE); across incremental batches the guarantee
+    holds when batches arrive in per-key event-time order — buffer late
+    data upstream with a watermark if the source can reorder."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+        )
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _debounce_group,
+            outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+            stateStructType=DEBOUNCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1234,3 +1234,54 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+@workload(
+    "stream_debounce",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    walk AS (
+        SELECT user_id, event_type, event_id, ts_us, rn,
+               1 AS kept, ts_us AS last_kept
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_type, o.event_id, o.ts_us, o.rn,
+               CASE WHEN o.ts_us - w.last_kept > 300000000 THEN 1 ELSE 0 END,
+               CASE WHEN o.ts_us - w.last_kept > 300000000 THEN o.ts_us ELSE w.last_kept END
+        FROM walk w JOIN ordered o
+          ON o.user_id = w.user_id AND o.event_type = w.event_type AND o.rn = w.rn + 1
+    )
+    SELECT event_id, user_id, event_type, CAST(ts_us AS BIGINT) AS ts_us
+    FROM walk WHERE kept = 1
+    """,
+)
+def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce against the last KEPT event as a REAL stateful streaming
+    run (streaming/stateful.py debounce_against_last_kept,
+    applyInPandasWithState; state = one long per (user, type)) — the
+    running-state semantics that the batch lag-gap form (debounce_events)
+    cannot express, and that plain SQL needs a recursive CTE to replay:
+    the oracle walks each key's ordered events carrying the last-kept
+    timestamp, which is exactly the state the operator keeps. Sequential
+    recurrence per key, batch-parallel across keys — the greedy_bin_pack
+    cost shape, here under the streaming state store."""
+    from nextgenetl_spark.streaming.source import events_stream
+    from nextgenetl_spark.streaming.stateful import debounce_against_last_kept
+
+    name = "wl_stream_debounce"
+    out = debounce_against_last_kept(events_stream(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
