@@ -115,6 +115,7 @@ HEADLINE = {
     "forecast_revenue_delta": "collect",
     "shipping_priority": "collect",
     "stream_debounce": "count",
+    "incremental_near_dup": "count",
 }
 
 

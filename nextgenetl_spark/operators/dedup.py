@@ -1038,3 +1038,122 @@ def banded_hamming_pairs(
         )
         .distinct()
     )
+
+
+def _md5_banded_and_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, shingle-set) frames for the portable md5 MinHash family —
+    the two tables a persisted near-dup index stores. banded = one (id,
+    band, bh) row per band; shm = (id, md5'd distinct shingle set) for the
+    exact-Jaccard verify."""
+    rows = num_perm // num_bands
+    sig = df.select(
+        F.col(id_col),
+        md5_minhash_signature_expr(text_col, num_perm, shingle_n).alias("sig"),
+    )
+    bands = [
+        F.struct(F.lit(b).alias("band"), md5_band_hash("sig", b, rows).alias("bh"))
+        for b in range(num_bands)
+    ]
+    banded = sig.select(id_col, F.explode(F.array(*bands)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    shm = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(text_col, shingle_n), lambda s: F.md5(s))
+        ).alias("shm"),
+    )
+    return banded, shm
+
+
+def build_minhash_index(
+    index_dir: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> dict:
+    """Persist a MinHash-LSH index for incremental near-dup: band rows
+    hive-partitioned BY band (a probe for one band opens only that
+    partition) plus the md5 shingle sets for candidate verification. The
+    batch analogue of streaming/neardup.py's in-memory history index and
+    the textual sibling of build_ivf_index — build once per corpus
+    release, then every new batch probes it without re-scanning history."""
+    banded, shm = _md5_banded_and_shingles(df, text_col, id_col, num_perm, num_bands, shingle_n)
+    banded.write.mode("overwrite").partitionBy("band").parquet(f"{index_dir}/bands")
+    shm.write.mode("overwrite").parquet(f"{index_dir}/shingles")
+    return {"index_dir": index_dir, "num_perm": num_perm, "num_bands": num_bands}
+
+
+def append_to_minhash_index(
+    spark,
+    index_dir: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> dict:
+    """Fold a new batch into the persisted index (pure append — dedupe the
+    batch upstream; re-running the same batch duplicates rows, same
+    contract as append_to_ivf_index)."""
+    banded, shm = _md5_banded_and_shingles(new_docs, text_col, id_col, num_perm, num_bands, shingle_n)
+    banded.write.mode("append").partitionBy("band").parquet(f"{index_dir}/bands")
+    shm.write.mode("append").parquet(f"{index_dir}/shingles")
+    return {"index_dir": index_dir}
+
+
+def query_minhash_index(
+    spark,
+    index_dir: str,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Probe the persisted index with a new batch: band the batch with the
+    SAME hash family, equi-join (band, bh) against the stored band table
+    (the shuffle carries band hashes, never text), then verify candidates
+    by exact Jaccard against the stored shingle sets. Returns (new_id,
+    hist_id, jac) — history never re-tokenizes, and the batch side is
+    typically orders of magnitude smaller than the corpus."""
+    hist_bands = spark.read.parquet(f"{index_dir}/bands")
+    hist_shm = spark.read.parquet(f"{index_dir}/shingles").select(
+        F.col(id_col).alias("hist_id"), F.col("shm").alias("hist_shm")
+    )
+    banded, shm = _md5_banded_and_shingles(new_docs, text_col, id_col, num_perm, num_bands, shingle_n)
+    cands = (
+        banded.alias("n")
+        .join(
+            hist_bands.alias("h"),
+            (F.col("n.band") == F.col("h.band")) & (F.col("n.bh") == F.col("h.bh")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"), F.col(f"h.{id_col}").alias("hist_id")
+        )
+        .distinct()
+    )
+    new_shm = shm.select(F.col(id_col).alias("new_id"), F.col("shm").alias("new_shm"))
+    return (
+        cands.join(new_shm, "new_id")
+        .join(hist_shm, "hist_id")
+        .select(
+            "new_id",
+            "hist_id",
+            F.round(jaccard(F.col("new_shm"), F.col("hist_shm")), 4).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )

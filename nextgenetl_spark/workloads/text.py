@@ -1658,3 +1658,30 @@ def quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pr, 4).alias("pct_rank"),
         F.when(pr < 0.1, "bottom_decile").otherwise("keep").alias("cut"),
     )
+
+
+@workload(
+    "incremental_near_dup",
+    oracle=D.md5_stream_near_dup_oracle_sql(split=400, threshold=0.5),
+)
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release near-dup via a PERSISTED MinHash index: history
+    (doc_id < 400) is indexed once (operators/dedup.py build_minhash_index
+    — band rows hive-partitioned by band + md5 shingle sets), then the new
+    batch (doc_id >= 400) probes it without re-tokenizing history. Same
+    oracle as the streaming probe (every cross-split pair sharing a band,
+    Jaccard-verified) — batch and stream are two drivers over one index
+    contract. At 100 TB: the index is a one-time cost per release; each
+    daily batch's probe shuffles band hashes only, and the verify join
+    touches only candidates."""
+    import hashlib
+    import os
+
+    d = load(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") < 400)
+    new = d.filter(F.col("doc_id") >= 400)
+    index_dir = "/tmp/nextgenetl_minhash_idx/" + hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:12]
+    D.build_minhash_index(index_dir, hist)
+    return D.query_minhash_index(spark, index_dir, new, threshold=0.5)

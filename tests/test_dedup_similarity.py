@@ -801,3 +801,32 @@ def test_bbit_minhash_estimates_track_true_jaccard(spark):
     }
     assert est[(1, 2)] > 0.55 and abs(est[(1, 2)] - true[(1, 2)]) < 0.25
     assert est[(1, 3)] < 0.3 and est[(2, 3)] < 0.3
+
+
+def test_minhash_index_append_then_query_matches_full_rebuild(spark, tmp_path):
+    """Growing the persisted index must answer probes identically to an
+    index rebuilt from scratch over the grown history."""
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        query_minhash_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    h1 = d.filter(F.col("doc_id") < 200)
+    h2 = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+    new = d.filter(F.col("doc_id") >= 400)
+
+    grown = str(tmp_path / "grown")
+    build_minhash_index(grown, h1)
+    append_to_minhash_index(spark, grown, h2)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    build_minhash_index(rebuilt, d.filter(F.col("doc_id") < 400))
+
+    a = sorted(map(tuple, query_minhash_index(spark, grown, new).collect()))
+    b = sorted(map(tuple, query_minhash_index(spark, rebuilt, new).collect()))
+    assert a == b and len(a) > 0
