@@ -116,6 +116,7 @@ HEADLINE = {
     "shipping_priority": "collect",
     "stream_debounce": "count",
     "incremental_near_dup": "count",
+    "variant_props": "count",
 }
 
 
