@@ -1053,15 +1053,34 @@ def _md5_banded_and_shingles(
     band, bh) row per band; shm = (id, md5'd distinct shingle set) for the
     exact-Jaccard verify."""
     rows = num_perm // num_bands
-    sig = df.select(
-        F.col(id_col),
-        md5_minhash_signature_expr(text_col, num_perm, shingle_n).alias("sig"),
+    # batch path: explode + flat min aggregates (codegen, map-side partial),
+    # NOT the per-row HOF signature expression — that form exists for
+    # append-mode streaming where groupBy is illegal, and is ~50x slower
+    # on a batch corpus (measured on the sf0.1 probe: 10.8s -> ~1s)
+    sh = shingles(text_col, shingle_n)
+    h = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    base = df.select(F.col(id_col), F.explode(sh).alias("s")).select(
+        id_col, h.alias("h")
     )
+    aggs = [
+        F.min(
+            (F.lit(_MINHASH_A[i]) * F.col("h") + F.lit(_MINHASH_B[i])) % F.lit(MINHASH_P)
+        ).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    sigs = base.groupBy(id_col).agg(*aggs)
     bands = [
-        F.struct(F.lit(b).alias("band"), md5_band_hash("sig", b, rows).alias("bh"))
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"m{i}").cast("string") for i in range(b * rows, (b + 1) * rows)]
+                )
+            ).alias("bh"),
+        )
         for b in range(num_bands)
     ]
-    banded = sig.select(id_col, F.explode(F.array(*bands)).alias("bb")).select(
+    banded = sigs.select(id_col, F.explode(F.array(*bands)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
     shm = df.select(
