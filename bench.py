@@ -117,6 +117,11 @@ HEADLINE = {
     "stream_debounce": "count",
     "incremental_near_dup": "count",
     "variant_props": "count",
+    "tsv_export_roundtrip": "count",
+    "csv_load_disposition": "count",
+    "flatten_merged_single": "count",
+    "wide_group_dedup_140": "count",
+    "phash_pixels_near_dup": "count",
 }
 
 
@@ -191,8 +196,32 @@ def main() -> None:
             con.execute(sql).fetchall()
             duck[name] = round(time.time() - t0, 3)
         out["duckdb"] = duck
+        out["duckdb_total"] = round(sum(duck.values()), 3)
+        out["paired_spark_total"] = round(sum(timings[n] for n in duck), 3)
 
-    print(json.dumps(out))
+    # Full per-query detail (incl. the duckdb dict) goes to a file; the
+    # stdout line must stay compact because the driver's tail capture clips
+    # at ~2000 chars (round-2 verdict #2: the full line was unparseable).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w", encoding="utf-8") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+
+    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "cold_total": out["cold_total"],
+        "queries": worst,  # 8 slowest; full per-query dict in BENCH_DETAIL.json
+        "detail": "BENCH_DETAIL.json",
+    }
+    if "duckdb_total" in out:
+        compact["duckdb_total"] = out["duckdb_total"]
+        compact["paired_spark_total"] = out["paired_spark_total"]
+        compact["n_paired"] = len(out["duckdb"])
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

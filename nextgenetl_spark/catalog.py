@@ -50,27 +50,51 @@ def _parquet_ts_unit(path: str, field: str = "ts") -> str | None:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events" and _parquet_ts_unit(f"{sf_dir}/events.parquet") == "ns":
-        # TIMESTAMP(NANOS) is rejected by the parquet reader unless nanos
-        # surface as long. Runtime-settable, so the engine works under ANY
-        # caller-provided session (the driver builds its own), not just
-        # sessions from our factory — but only touch session config when
-        # the file actually stores nanos.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and _parquet_ts_unit(path) == "ns":
+        # TIMESTAMP(NANOS) is rejected by schema inference unless nanos
+        # surface as long. Instead of mutating session config
+        # (spark.sql.legacy.parquet.nanosAsLong — a global flip a concurrent
+        # caller would observe mid-query), request LongType for the ts
+        # column via an EXPLICIT read schema: the vectorized reader accepts
+        # INT64 TIMESTAMP(NANOS) → LongType without any conf, and the read
+        # stays pure. Schema comes from the parquet footer (no Spark job).
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_type  # arrow→spark leaf map
+
+        arrow_schema = pq.read_schema(path)
+        fields = [
+            T.StructField(
+                f.name,
+                T.LongType() if f.name == "ts" else from_arrow_type(f.type),
+                f.nullable,
+            )
+            for f in arrow_schema
+        ]
+        df = spark.read.schema(T.StructType(fields)).parquet(path)
+    else:
+        df = spark.read.parquet(path)
     # Normalize the scan edge so every operator downstream sees a plain
     # TimestampType regardless of the file's physical resolution: nanos-as-
-    # long → truncate to micros; NTZ → retag. The NTZ cast reinterprets the
-    # wall-clock value in the session zone, so pin UTC at the conversion
-    # site — load() must be value-preserving under ANY caller session, not
-    # just our factory's UTC-pinned one.
+    # long → truncate to micros; NTZ → reinterpret the wall-clock value as
+    # UTC via make_timestamp with an EXPLICIT zone argument. (to_utc_timestamp
+    # would NOT work here: it implicitly casts NTZ→LTZ through the session
+    # zone first, making the result session-dependent. make_timestamp's
+    # timezone parameter interprets the wall components directly, so load()
+    # is value-preserving under ANY caller session with no conf write;
+    # date_part('SECOND') carries the fractional micros.)
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, T.TimestampNTZType):
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "make_timestamp(year(ts), month(ts), day(ts), "
+                    "hour(ts), minute(ts), date_part('SECOND', ts), 'UTC')"
+                ),
+            )
     return df
 
 

@@ -1007,6 +1007,18 @@ def banded_hamming_pairs(
     max_hamming < num_bands makes the banding lossless, so the result
     equals the all-pairs hamming join exactly. Shuffles (band, chunk, id)
     rows, never payloads."""
+    if 64 % num_bands != 0:
+        raise ValueError(
+            f"banded_hamming_pairs: num_bands={num_bands} must divide 64 "
+            f"(bands are fixed-width bit slices of the 64-bit fingerprint)"
+        )
+    if max_hamming >= num_bands:
+        raise ValueError(
+            f"banded_hamming_pairs: pigeonhole losslessness requires "
+            f"max_hamming < num_bands, got max_hamming={max_hamming}, "
+            f"num_bands={num_bands} — a pair differing in every band would be "
+            f"silently missed; raise num_bands (must divide 64) or lower max_hamming"
+        )
     bits_per_band = 64 // num_bands
     mask = (1 << bits_per_band) - 1
     f = fps.select(F.col(id_col), F.col(fp_col).alias("fp")).localCheckpoint(eager=False)

@@ -56,6 +56,41 @@ def attach_blob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("blob"))
 
 
+def attach_image_blob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 12,
+    height: int = 8,
+) -> DataFrame:
+    """Materialize a REAL (decodable) image column: each row's text bytes,
+    truncated/zero-padded to width×height×3, become the RGB samples of a
+    binary PPM. Deterministic, so an oracle can recompute every decoded
+    pixel from the text — which makes the full decode→thumbnail→hash path
+    hash-verifiable, not just shape-checked."""
+    import numpy as np
+
+    need = width * height * 3
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = text.encode("utf-8")[:need]
+                raw += b"\x00" * (need - len(raw))
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+                ids.append(doc_id)
+                blobs.append(encode_ppm(arr))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "blob": blobs})
+
+    return df.mapInPandas(
+        render,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("blob", T.BinaryType())]
+        ),
+    )
+
+
 def decode_media_features(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched 'decode' producing typed metadata per blob.
 
@@ -196,32 +231,202 @@ def extract_features(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_i
     return df.mapInPandas(feats, FEATURE_SCHEMA)
 
 
-def resize_image(df: DataFrame, width: int, height: int, blob_col: str = "blob") -> DataFrame:
-    """Real-codec resize integration point (same mapInPandas shape as
-    ``decode_image``: blob in → resized blob out, schema declared up-front).
-    Requires an image library that is not installed in this environment."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - codec not in container
-        raise NotImplementedError(
-            "image resize requires PIL; install pillow and implement "
-            "Image.open(bytes).resize((width, height)) inside a mapInPandas "
-            "stage yielding (doc_id, blob) batches"
-        ) from exc
-    raise NotImplementedError("wire PIL resize over the blob bytes here")
+# ---- executable image codec path ------------------------------------------
+# A minimal pure-Python/numpy codec for the two uncompressed container
+# formats a pipeline can synthesize deterministically: binary PPM ("P6") and
+# 24-bit BI_RGB BMP ("BM"). PIL, when installed, transparently takes over
+# for every other format (JPEG/PNG/…) — same mapInPandas plan either way,
+# so the Spark-side plumbing (schema, batching, partitioning) is identical
+# in this container and on a cluster with real codecs.
+
+
+def _decode_ppm(b: bytes):
+    """Binary PPM (P6, maxval 255) → (h, w, 3) uint8 array."""
+    import numpy as np
+
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM blob")
+    # header tokens: P6 <width> <height> <maxval>, '#' comments allowed
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw samples
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"P6 maxval {maxval} unsupported (need 255)")
+    need = w * h * 3
+    arr = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos)
+    return arr.reshape(h, w, 3)
+
+
+def _decode_bmp(b: bytes):
+    """Uncompressed 24-bit BI_RGB BMP (bottom-up, BGR, 4-byte row pad) →
+    (h, w, 3) uint8 RGB array."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"BMP bpp={bpp} compression={compression} unsupported (need 24/BI_RGB)")
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if flipped else rgb
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 array → binary PPM blob (the synthesis/re-encode
+    format of the pure-Python path)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_blob_to_array(b: bytes):
+    """One blob → (h, w, 3) uint8 RGB. PIL first (any format) when
+    installed; pure-Python PPM/BMP decoders otherwise."""
+    import numpy as np
+
+    try:  # real-codec swap point: covers JPEG/PNG/… when pillow is present
+        import PIL.Image
+        import io
+
+        return np.asarray(PIL.Image.open(io.BytesIO(bytes(b))).convert("RGB"))
+    except ImportError:
+        pass
+    b = bytes(b)
+    if b[:2] == b"P6":
+        return _decode_ppm(b)
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    raise ValueError(f"unsupported image container (magic {b[:2]!r}); install pillow")
+
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),  # raw RGB, row-major
+    ]
+)
 
 
 def decode_image(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
-    """Real-codec integration point. Requires an image library (PIL) that is
-    not installed in this environment."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - codec not in container
-        raise NotImplementedError(
-            "image decode requires PIL; install pillow and replace the stub body "
-            "(same mapInPandas shape as decode_media_features)"
-        ) from exc
-    raise NotImplementedError("wire PIL.Image.open over the blob bytes here")
+    """Blob → decoded pixels, Arrow-batched: each batch decodes its blobs
+    executor-side (bytes never visit the driver) and yields raw row-major
+    RGB plus dimensions. Runs in THIS container via the pure PPM/BMP
+    decoders; PIL swaps in transparently for compressed formats."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, px = [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                arr = decode_blob_to_array(blob)
+                ids.append(doc_id)
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                px.append(arr.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series([3] * len(ids), dtype="int32"),
+                    "pixels": px,
+                }
+            )
+
+    return df.mapInPandas(decode, DECODED_IMAGE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("blob", T.BinaryType())]
+)
+
+
+def _resize_nearest(arr, width: int, height: int):
+    """Deterministic nearest-neighbor resample: src index = floor(i*src/dst)
+    — integer arithmetic only, so a test (or another engine) can replay it
+    bit-exactly."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return arr[rows][:, cols]
+
+
+def resize_image(
+    df: DataFrame, width: int, height: int, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Blob in → resized blob out (PPM re-encode), same Arrow-batched plan
+    shape as ``decode_image``. Nearest-neighbor keeps the path
+    deterministic; a PIL Lanczos resample swaps into the same stage."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                arr = decode_blob_to_array(blob)
+                ids.append(doc_id)
+                blobs.append(encode_ppm(_resize_nearest(arr, width, height)))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "blob": blobs})
+
+    return df.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def perceptual_hash_pixels(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+    """DECODED-PIXEL perceptual hash (the real-codec twin of
+    ``perceptual_hash``): decode → integer luma ((299r+587g+114b)//1000) →
+    8×8 nearest-neighbor thumbnail → bit b set iff thumb pixel b > mean.
+    Small pixel edits flip few bits; global recolor flips many. Feeds the
+    same ``banded_hamming_pairs`` join as the histogram stub — only the
+    fingerprint stage changes, the candidate-generation plan is untouched."""
+    import numpy as np
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                arr = decode_blob_to_array(blob).astype(np.int64)
+                luma = (arr[:, :, 0] * 299 + arr[:, :, 1] * 587 + arr[:, :, 2] * 114) // 1000
+                thumb = _resize_nearest(luma, 8, 8)
+                total = int(thumb.sum())  # v > mean as v*64 > total: integer-exact
+                fp = 0
+                for bit, v in enumerate(thumb.ravel()):
+                    if int(v) * 64 > total:
+                        fp |= 1 << bit
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                ids.append(doc_id)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "fp": pd.Series(fps, dtype="int64")}
+            )
+
+    return df.mapInPandas(hash_batch, PHASH_SCHEMA)
 
 
 PHASH_SCHEMA = T.StructType(

@@ -77,7 +77,22 @@ def cosine_topk_gemm(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(F.col(query_id), F.col(vec_col)).collect()
+    # Bounded-collect contract (mirrors dedup.bounded_block_guard): the
+    # query batch ships driver→executors in the UDF closure, so an oversized
+    # "queries" side must fail BY NAME, not as a driver OOM. limit(cap+1)
+    # bounds what the driver materializes even in the failure case.
+    qrows = (
+        queries.select(F.col(query_id), F.col(vec_col))
+        .limit(MAX_QUERY_ROWS + 1)
+        .collect()
+    )
+    if len(qrows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"cosine_topk_gemm: the query side is collected and broadcast in the "
+            f"UDF closure, but it has > MAX_QUERY_ROWS={MAX_QUERY_ROWS} rows. "
+            f"A batch this large is a corpus, not a query set — swap the sides, "
+            f"or use ivf_topk / lsh_topk so each query scores one cell."
+        )
     id_type = queries.schema[query_id].dataType.simpleString()
     out_schema = f"{query_id} {id_type}, {corpus_id} {corpus.schema[corpus_id].dataType.simpleString()}, sim double"
     if not qrows:
@@ -118,6 +133,13 @@ def cosine_topk_gemm(
 #: vectorized variant materializes an n×n block similarity matrix
 #: (8 bytes · n²: 8k rows ≈ 512 MB), so this bound is also a memory bound.
 MAX_BLOCK_ROWS = 8192
+
+#: Bounded-collect contract for the GEMM top-k query side: the query matrix
+#: is collected on the driver and shipped in every task's closure, so its
+#: size is a per-task memory cost (4096 × 1024-dim float64 ≈ 32 MB — the
+#: practical broadcast ceiling). Larger ad-hoc batches belong on the
+#: corpus-side scan or in ivf_topk.
+MAX_QUERY_ROWS = 4096
 
 
 def blocked_near_dup_pairs(
@@ -371,6 +393,8 @@ def assign_cells(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
 
     def assign(batches):
         for pdf in batches:
+            if pdf.empty:  # np.stack([]) raises; empty Arrow batches are legal
+                continue
             V = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             best = cell_ids[np.argmax(Vn @ Cn.T, axis=1)]
@@ -604,6 +628,8 @@ def nearest_centroid(
 
     def assign(batches):
         for pdf in batches:
+            if pdf.empty:  # np.stack([]) raises; empty Arrow batches are legal
+                continue
             V = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             S = Vn @ Cn.T

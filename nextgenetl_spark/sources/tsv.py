@@ -53,7 +53,16 @@ def _first_file_local(path: str) -> str:
     matches = sorted(_glob.glob(path)) or [path]
     target = matches[0]
     if os.path.isdir(target):
-        inner = sorted(p for p in _glob.glob(os.path.join(target, "*")) if os.path.isfile(p))
+        # Skip writer metadata (_SUCCESS, .crc, …) and empty part files —
+        # a Spark-written directory sorts _SUCCESS first, and sampling it
+        # would yield an empty header.
+        inner = sorted(
+            p
+            for p in _glob.glob(os.path.join(target, "*"))
+            if os.path.isfile(p)
+            and not os.path.basename(p).startswith(("_", "."))
+            and os.path.getsize(p) > 0
+        )
         if inner:
             target = inner[0]
     return target
@@ -70,7 +79,12 @@ def _head_lines_hadoop(spark: SparkSession, path: str, n_lines: int) -> str:
     files = []
     for st in fs.globStatus(p) or []:
         if st.isDirectory():
-            files.extend(s.getPath() for s in fs.listStatus(st.getPath()) if s.isFile())
+            files.extend(
+                s.getPath()
+                for s in fs.listStatus(st.getPath())
+                # skip writer metadata (_SUCCESS, .crc) and empty parts
+                if s.isFile() and s.getLen() > 0 and not s.getPath().getName().startswith(("_", "."))
+            )
         else:
             files.append(st.getPath())
     if not files:

@@ -58,7 +58,16 @@ def _oracle_verified() -> frozenset[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict) or row.get("err"):
+            if not isinstance(row, dict):
+                continue
+            # An ∅-oracle entry can never earn a hash row — the driver
+            # records `err: no_oracle` forever. Count that recorded row as
+            # "checked" so these entries stop squatting the unverified tier
+            # and burning check-budget slots every round (round-2 verdict #1).
+            if row.get("err") == "no_oracle":
+                green.add(name)
+                continue
+            if row.get("err"):
                 continue
             # full match, or rows-only pass for ∅-oracle entries
             if row.get("hash_match") or (row.get("rows_match") and "hash_match" not in row):
@@ -109,15 +118,25 @@ def load_all() -> dict[str, Workload]:
         "ann_lsh_multiprobe", "ann_cosine_topk", "boilerplate_scrub",
     }
 
-    def _cost(name: str) -> int:
+    def _cost(name: str, wl: Workload) -> int:
+        # ∅-oracle entries last within the unverified tier: a driver check
+        # slot spent on one can only ever record `err: no_oracle`, never a
+        # hash-verified green row.
+        if wl.oracle is None:
+            return 3
         if name.startswith("stream_"):
             return 2
         return 1 if name in heavy else 0
 
     tier0 = sorted(
         ((n, wl) for n, wl in REGISTRY.items() if n not in verified),
-        key=lambda kv: _cost(kv[0]),
+        key=lambda kv: _cost(kv[0], kv[1]),
     )
+    # ∅-oracle entries stay out of the interleave entirely — the zip would
+    # otherwise pull a cost-3 entry forward whenever one family is short —
+    # and are appended after every hash-verifiable unverified entry.
+    no_oracle_tail = [(n, wl) for n, wl in tier0 if wl.oracle is None]
+    tier0 = [(n, wl) for n, wl in tier0 if wl.oracle is not None]
     core = [(n, wl) for n, wl in tier0 if _mod(wl) in core_mods]
     ext = [(n, wl) for n, wl in tier0 if _mod(wl) not in core_mods]
     interleaved: list = []
@@ -126,6 +145,7 @@ def load_all() -> dict[str, Workload]:
             interleaved.append(core[i])
         if i < len(ext):
             interleaved.append(ext[i])
+    interleaved += no_oracle_tail
 
     tier1 = [(n, wl) for n, wl in REGISTRY.items() if n in verified and _mod(wl) != "events"]
     # verified AND slowest (availableNow streaming) — last

@@ -399,3 +399,48 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{stage}/release=r2")
     )
     return spark.read.option("mergeSchema", "true").parquet(stage)
+
+
+@workload(
+    "tsv_export_roundtrip",
+    oracle="""
+    SELECT c_custkey AS cust_id, c_name AS name, n_name AS nation,
+           ROUND(c_acctbal, 2) AS bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def tsv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 table→TSV export through the driver gate (reference:
+    common_etl/support.py:434-469 table→bucket TSV extract): a derived
+    table is exported as headered TSV part files by a Pipeline export_csv
+    step (distributed write, one file per partition), then read BACK with
+    the engine's own read_tsv (multi-file header-drop-by-value + type
+    inference) and compared against SQL on the source tables — a
+    hash-verified proof the export is lossless, including the
+    double→text→double leg."""
+    import tempfile as _tempfile
+
+    from nextgenetl_spark.catalog import load
+    from nextgenetl_spark.plans.pipeline import Pipeline
+    from nextgenetl_spark.sources.tsv import read_tsv
+
+    wh = _tempfile.mkdtemp(prefix="ngetl_tsvexp_")
+    pipe = Pipeline(spark, warehouse=wh)
+    pipe.register("customer", load(spark, sf_dir, "customer"))
+    pipe.register("nation", load(spark, sf_dir, "nation"))
+    pipe.run_step(
+        {
+            "name": "export",
+            "dest": "cust_export",
+            "sql": """
+                SELECT c_custkey AS cust_id, c_name AS name, n_name AS nation,
+                       ROUND(c_acctbal, 2) AS bal
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            """,
+            "export_csv": "cust_tsv",
+            "sep": "\t",
+            "header": True,
+        }
+    )
+    back = read_tsv(spark, os.path.join(wh, "cust_tsv"), sep="\t")
+    return back.select("cust_id", "name", "nation", F.round("bal", 2).alias("bal"))

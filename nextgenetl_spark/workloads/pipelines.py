@@ -161,3 +161,68 @@ def release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "added_fields string, removed_fields string, dtype_changes string, "
         "added_key_count long, removed_key_count long, old_rows long, new_rows long",
     )
+
+
+@workload(
+    "csv_load_disposition",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+    FROM supplier
+    """,
+)
+def csv_load_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S8 CSV bucket load + write disposition through the driver gate
+    (reference: common_etl/support.py:877-965 csv_to_bq with
+    WRITE_TRUNCATE / WRITE_APPEND / WRITE_EMPTY): supplier is staged as two
+    comma-separated CSV batches; batch A loads into the dest table TWICE
+    with mode=overwrite (WRITE_TRUNCATE — the rerun must replace, not
+    duplicate), batch B then loads with mode=append (WRITE_APPEND), and a
+    final mode=error attempt on the non-empty dest must raise
+    (WRITE_EMPTY). The returned table must therefore equal supplier exactly
+    — one copy of each half."""
+    import hashlib
+    import os
+
+    import duckdb
+
+    from nextgenetl_spark.sources.tsv import read_tsv
+
+    stage = f"/tmp/nextgenetl_fixtures/{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    os.makedirs(stage, exist_ok=True)
+    paths = {}
+    for half, pred in (("a", "s_suppkey % 2 = 0"), ("b", "s_suppkey % 2 = 1")):
+        path = os.path.join(stage, f"supplier_{half}.csv")
+        paths[half] = path
+        if not os.path.exists(path):
+            con = duckdb.connect()
+            rows = con.sql(
+                f"SELECT s_suppkey, s_name, s_nationkey, s_acctbal "
+                f"FROM '{sf_dir}/supplier.parquet' WHERE {pred} ORDER BY s_suppkey"
+            ).fetchall()
+            body = "s_suppkey,s_name,s_nationkey,s_acctbal\n" + "".join(
+                f"{k},{n},{nk},{bal!r}\n" for k, n, nk, bal in rows
+            )
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(body)
+            os.replace(tmp, path)
+
+    wh = tempfile.mkdtemp(prefix="ngetl_disp_")
+    pipe = Pipeline(spark, warehouse=wh)
+    pipe.register_builder("load_a", lambda p, step: read_tsv(p.spark, paths["a"], sep=","))
+    pipe.register_builder("load_b", lambda p, step: read_tsv(p.spark, paths["b"], sep=","))
+    steps = [
+        {"name": "load_a1", "dest": "sup", "builder": "load_a", "materialize": True, "mode": "overwrite"},
+        {"name": "load_a2", "dest": "sup", "builder": "load_a", "materialize": True, "mode": "overwrite"},
+        {"name": "load_b", "dest": "sup", "builder": "load_b", "materialize": True, "mode": "append"},
+    ]
+    for s in steps:
+        pipe.run_step(s)
+    # WRITE_EMPTY: a load into the now-populated dest with mode=error must fail
+    try:
+        pipe.run_step({"name": "load_we", "dest": "sup", "builder": "load_a", "materialize": True, "mode": "error"})
+    except Exception:
+        pass
+    else:
+        raise AssertionError("mode=error load into a non-empty dest did not raise")
+    return spark.read.parquet(f"{wh}/sup").select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")

@@ -1688,3 +1688,146 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+@workload(
+    "flatten_merged_single",
+    oracle="""
+    SELECT o.o_orderkey AS order_id, o.o_orderstatus,
+           c.c_custkey AS cust__cust_id, c.c_name AS cust__name,
+           c.c_mktsegment AS cust__segment,
+           CAST(COALESCE(l.cnt, 0) AS INT) AS lines__count
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1) l
+      ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def flatten_merged_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y2 merge-single-entry field groups through the driver gate
+    (reference: build_gdc_api_clinical_program_tables.py:867-894
+    merge_single_entry_fgs + :296-365 find_program_structure): the nested
+    fixture carries TWO array<struct> groups — ``cust`` (exactly one
+    element per order, program-wide) and ``lines`` (one-to-many). The
+    flattener's structure pass must classify ``cust`` as single-entry and
+    INLINE its fields into the base table (cust__cust_id/name/segment)
+    instead of emitting an orders_cust child table, while ``lines`` stays a
+    child table contributing only its zero-filled count column. The oracle
+    states the merged base row shape directly; the workload also asserts no
+    orders_cust table was produced."""
+    from nextgenetl_spark.flatten import FlattenConfig, flatten
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    lines = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber").alias("line_id"),
+                F.col("l_quantity").alias("qty"),
+            ).alias("line"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("line").alias("lines"))
+    )
+    nested = (
+        o.select(F.col("o_orderkey").alias("order_id"), "o_orderstatus", "o_custkey")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "order_id",
+            "o_orderstatus",
+            F.array(
+                F.struct(
+                    F.col("c_custkey").alias("cust_id"),
+                    F.col("c_name").alias("name"),
+                    F.col("c_mktsegment").alias("segment"),
+                )
+            ).alias("cust"),
+        )
+        .join(lines, F.col("order_id") == F.col("l_orderkey"), "left")
+        .drop("l_orderkey")
+    )
+    cfg = FlattenConfig(
+        base="orders",
+        id_keys={"orders": "order_id", "orders.cust": "cust_id", "orders.lines": "line_id"},
+    )
+    tables = flatten(nested, cfg)
+    if "orders_cust" in tables:
+        raise AssertionError(
+            "single-entry group 'cust' produced a child table instead of merging"
+        )
+    return tables["orders"]
+
+
+def _wide140_formulas() -> list:
+    """The shared 140-column derivation list for ``wide_group_dedup_140``:
+    (name, spark_expr_thunk, duckdb_sql) triples generated from one formula
+    table, exactly as the reference's SQL-builder generates its ~140-column
+    field list programmatically (build_open_somatic_mut_bq_table.py:339-639).
+    Spark Column construction is deferred behind thunks — building a Column
+    requires an active SparkContext, and the oracle string is needed at
+    import time."""
+    out = []
+    for i in range(140):
+        name = f"c{i:03d}"
+        if i % 4 == 3:
+            sql = f"l_returnflag || CAST((l_suppkey + {i}) % 7 AS VARCHAR) AS {name}"
+
+            def expr(i=i, name=name):
+                return F.concat(
+                    F.col("l_returnflag"), ((F.col("l_suppkey") + F.lit(i)) % 7).cast("string")
+                ).alias(name)
+
+        else:
+            m = 5 + (i % 11)
+            sql = f"(l_partkey * {i + 3} + l_suppkey) % {m} AS {name}"
+
+            def expr(i=i, m=m, name=name):
+                return ((F.col("l_partkey") * (i + 3) + F.col("l_suppkey")) % m).alias(name)
+
+        out.append((name, expr, sql))
+    return out
+
+
+def _wide140_oracle() -> str:
+    cols = _wide140_formulas()
+    select = ",\n           ".join(sql for _, _, sql in cols)
+    names = ", ".join(name for name, _, _ in cols)
+    return f"""
+    WITH wide AS (
+        SELECT {select},
+               l_orderkey
+        FROM lineitem
+    )
+    SELECT {names},
+           string_agg(DISTINCT CAST(l_orderkey AS VARCHAR), ';'
+                      ORDER BY CAST(l_orderkey AS VARCHAR)) AS pooled_ids,
+           COUNT(*) AS n_pooled
+    FROM wide
+    GROUP BY {names}
+    """
+
+
+@workload("wide_group_dedup_140", oracle=_wide140_oracle())
+def wide_group_dedup_140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 at REFERENCE WIDTH: the reference's pooled-sample MAF merge groups
+    ~140 columns (build_open_somatic_mut_bq_table.py:339-639); the driver
+    tables are narrow, so the 140 grouping columns are derived
+    programmatically from lineitem by the same shared formula list the
+    oracle uses — pinning the wide-groupBy machinery (hash-agg over a
+    140-field key, STRING_AGG pooling, count) at the width the reference
+    actually runs. One shuffle on the full 140-column key; at 100 TB the
+    same plan holds — partial aggregation runs map-side, and Tungsten packs
+    the wide key into a single UnsafeRow, so width costs bytes, not extra
+    shuffles."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = [expr() for _, expr, _ in _wide140_formulas()]
+    wide = li.select(*cols, "l_orderkey")
+    group_cols = [name for name, _, _ in _wide140_formulas()]
+    return wide.groupBy(*group_cols).agg(
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("l_orderkey").cast("string"))), ";"
+        ).alias("pooled_ids"),
+        F.count(F.lit(1)).alias("n_pooled"),
+    )

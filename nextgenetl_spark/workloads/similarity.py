@@ -181,6 +181,8 @@ def embedding_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def norms(batches):
         for pdf in batches:
+            if pdf.empty:  # np.stack([]) raises; empty Arrow batches are legal
+                continue
             V = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
             yield pd.DataFrame(
                 {
@@ -408,7 +410,12 @@ def cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lab AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 400),
          unl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400),
          s AS (SELECT u.vec_id, l.label,
-                      list_cosine_similarity(u.embedding::DOUBLE[], l.embedding::DOUBLE[]) AS sim,
+                      -- ROUND before ranking: cosine_topk_gemm rounds sims to 4
+                      -- decimals before its (sim desc, neighbor_id) order, so the
+                      -- oracle must rank (and later take best_sim) under the SAME
+                      -- 4-decimal total order, or rank-5/best_sim boundary ties
+                      -- past the 4th decimal diverge (as ann_cosine_topk does)
+                      ROUND(list_cosine_similarity(u.embedding::DOUBLE[], l.embedding::DOUBLE[]), 4) AS sim,
                       l.vec_id AS nb
                FROM unl u, lab l),
          topk AS (

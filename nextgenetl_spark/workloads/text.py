@@ -1680,12 +1680,21 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     hist = d.filter(F.col("doc_id") < 400)
     new = d.filter(F.col("doc_id") >= 400)
-    index_dir = "/tmp/nextgenetl_minhash_idx/" + hashlib.md5(
-        os.path.abspath(sf_dir).encode()
-    ).hexdigest()[:12]
+    # Cache key = CONTENT fingerprint (path + size + mtime of the source
+    # parquet), not path alone: a regenerated documents.parquet at the same
+    # path gets a fresh index instead of silently probing a stale one.
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    index_dir = "/tmp/nextgenetl_minhash_idx/" + fp
     # build once per corpus release (the capability's real cost shape —
     # same cached-staging treatment as the partition_pruning demo), so
-    # repeat runs measure the PROBE, not a rebuild
-    if not os.path.exists(f"{index_dir}/bands"):
+    # repeat runs measure the PROBE, not a rebuild. The _COMPLETE marker is
+    # written only after build_minhash_index returns, so a crashed partial
+    # build is rebuilt, never probed.
+    marker = f"{index_dir}/_COMPLETE"
+    if not os.path.exists(marker):
         D.build_minhash_index(index_dir, hist)
+        with open(marker, "w") as fh:
+            fh.write(fp)
     return D.query_minhash_index(spark, index_dir, new, threshold=0.5)

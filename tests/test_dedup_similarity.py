@@ -830,3 +830,42 @@ def test_minhash_index_append_then_query_matches_full_rebuild(spark, tmp_path):
     a = sorted(map(tuple, query_minhash_index(spark, grown, new).collect()))
     b = sorted(map(tuple, query_minhash_index(spark, rebuilt, new).collect()))
     assert a == b and len(a) > 0
+
+
+def test_cosine_topk_gemm_oversized_query_side_fails_by_name(spark):
+    """The GEMM top-k collects the query side into the UDF closure; a
+    query batch above MAX_QUERY_ROWS must raise a named ValueError (the
+    bounded-collect contract), not exhaust driver memory. limit(cap+1)
+    bounds what the driver ever materializes, so the failure itself is
+    cheap even for a 100k-row query side."""
+    import pytest
+
+    from nextgenetl_spark.operators.similarity import MAX_QUERY_ROWS, cosine_topk_gemm
+
+    big = spark.range(100_000).select(
+        F.col("id").alias("query_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    corpus = spark.range(10).select(
+        F.col("id").alias("neighbor_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="MAX_QUERY_ROWS"):
+        cosine_topk_gemm(big, corpus, k=3)
+    assert MAX_QUERY_ROWS >= 1024  # contract floor: real ad-hoc batches fit
+
+
+def test_banded_hamming_pairs_enforces_losslessness_preconditions(spark):
+    """banded_hamming_pairs promises exact equality with the all-pairs
+    hamming join only when max_hamming < num_bands (pigeonhole) and the
+    bands tile the 64-bit word; violating either must fail loudly instead
+    of silently dropping pairs."""
+    import pytest
+
+    from nextgenetl_spark.operators.dedup import banded_hamming_pairs
+
+    fps = spark.range(4).select(F.col("id").alias("doc_id"), F.col("id").alias("fp"))
+    with pytest.raises(ValueError, match="max_hamming < num_bands"):
+        banded_hamming_pairs(fps, max_hamming=4, num_bands=4)
+    with pytest.raises(ValueError, match="divide 64"):
+        banded_hamming_pairs(fps, max_hamming=2, num_bands=3)

@@ -42,10 +42,11 @@ def test_sample_frames_expands_rows(spark):
     assert all(r["n_frames"] == 10 for r in out)
 
 
-def test_decode_image_is_gated(spark):
-    blobs = M.attach_blob(load(spark, SF_SMOKE, "documents"))
-    with pytest.raises(NotImplementedError):
-        M.decode_image(blobs)
+def test_decode_unsupported_container_fails_by_name():
+    """Raw text bytes are not a decodable image: the decoder must name the
+    problem (and the pillow swap-in) instead of mis-parsing."""
+    with pytest.raises(ValueError, match="pillow"):
+        M.decode_blob_to_array(b"just some text, not an image")
 
 
 def test_blocked_near_dup_stays_in_block(spark):
@@ -90,16 +91,23 @@ def test_extract_features_deterministic_and_bounded(spark):
             assert 0.0 <= f < 1.0
 
 
-def test_resize_image_raises_without_codec(spark):
-    import pytest
-
+def test_resize_accepts_synthesized_image_blobs(spark):
+    """attach_image_blob output is genuinely decodable: resize runs on it
+    end to end (the old NotImplementedError gate is gone — round-2 verdict
+    #6) and yields PPMs of the requested dimensions."""
     from nextgenetl_spark.catalog import load
-    from nextgenetl_spark.operators.multimodal import attach_blob, resize_image
+    from nextgenetl_spark.operators.multimodal import (
+        attach_image_blob,
+        decode_blob_to_array,
+        resize_image,
+    )
     from tests.conftest import SF_SMOKE
 
-    blobs = attach_blob(load(spark, SF_SMOKE, "documents").limit(1))
-    with pytest.raises(NotImplementedError, match="resize requires PIL"):
-        resize_image(blobs, 32, 32)
+    blobs = attach_image_blob(load(spark, SF_SMOKE, "documents").limit(3))
+    out = resize_image(blobs, 6, 4).collect()
+    assert len(out) == 3
+    for r in out:
+        assert decode_blob_to_array(bytes(r["blob"])).shape == (4, 6, 3)
 
 
 def test_phash_finds_planted_reencodes(spark):
@@ -132,3 +140,76 @@ def test_perceptual_hash_is_permutation_invariant(spark):
     df = spark.createDataFrame([(1, "abcza"), (2, "zacba")], ["doc_id", "text"])
     fps = {r["doc_id"]: r["fp"] for r in perceptual_hash(attach_blob(df)).collect()}
     assert fps[1] == fps[2]
+
+
+def test_pure_python_decoders_ppm_bmp_agree(spark):
+    """decode_image must run in THIS container (no PIL): a planted pixel
+    array round-trips through the PPM encoder and a hand-built 24-bit BMP,
+    and both containers decode to the identical RGB array."""
+    import struct
+
+    import numpy as np
+
+    from nextgenetl_spark.operators.multimodal import decode_image, encode_ppm
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(5, 3, 3), dtype=np.uint8)
+
+    # hand-build the BMP: 24bpp BI_RGB, bottom-up, BGR, rows padded to 4B
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for r in range(h - 1, -1, -1):
+        row = arr[r, :, ::-1].tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(arr))), (2, bytearray(header + body))],
+        "doc_id long, blob binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_image(df).collect()}
+    for i in (1, 2):
+        assert (rows[i]["width"], rows[i]["height"]) == (w, h)
+        got = np.frombuffer(bytes(rows[i]["pixels"]), dtype=np.uint8).reshape(h, w, 3)
+        assert (got == arr).all()
+
+
+def test_resize_image_nearest_is_deterministic(spark):
+    """resize_image: floor-index nearest-neighbor, replayed bit-exactly in
+    numpy; output blobs are themselves decodable PPMs."""
+    import numpy as np
+
+    from nextgenetl_spark.operators.multimodal import (
+        _resize_nearest,
+        decode_blob_to_array,
+        encode_ppm,
+        resize_image,
+    )
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    df = spark.createDataFrame([(1, bytearray(encode_ppm(arr)))], "doc_id long, blob binary")
+    out = resize_image(df, width=7, height=5).collect()[0]
+    got = decode_blob_to_array(bytes(out["blob"]))
+    assert (got == _resize_nearest(arr, 7, 5)).all()
+
+
+def test_perceptual_hash_pixels_local_edit_small_hamming(spark):
+    """A pixel-local 2-byte splice must move the decoded-pixel pHash by a
+    small hamming distance, while an unrelated text lands far away."""
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.multimodal import attach_image_blob, perceptual_hash_pixels
+
+    base = "The quick brown fox jumps over the lazy dog. " * 8
+    edit = base[:10] + "zq" + base[12:]
+    other = "Completely different content with other bytes 0123456789! " * 6
+    df = spark.createDataFrame(
+        [(1, base), (2, edit), (3, other)], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: r["fp"] for r in perceptual_hash_pixels(attach_image_blob(df)).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(fps[1], fps[2]) <= 6
+    assert ham(fps[1], fps[3]) > 6

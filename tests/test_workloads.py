@@ -422,3 +422,56 @@ def test_value_outliers_are_true_tail(spark):
                 assert r["event_id"] in flagged, (t, r["event_id"], z)
             elif abs(z) < 1.999:
                 assert r["event_id"] not in flagged, (t, r["event_id"], z)
+
+
+def test_events_nanos_parquet_reads_without_session_conf(spark, tmp_path):
+    """A TIMESTAMP(NANOS) events file must load through catalog.load with
+    NO reliance on spark.sql.legacy.parquet.nanosAsLong (the explicit
+    LongType read schema replaces the conf — round-2 verdict asked for
+    zero session-conf writes outside session.py). Prove it on a session
+    where the legacy conf is explicitly OFF."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.catalog import load
+
+    wall = [dt.datetime(2024, 1, 1, 12, 0, 0), dt.datetime(2024, 1, 2, 3, 4, 5)]
+    t = pa.table(
+        {
+            "ts": pa.array(wall, type=pa.timestamp("ns")),
+            "user_id": pa.array([1, 2], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    df = load(ns, str(tmp_path), "events")
+    from pyspark.sql import types as T
+
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    got = sorted(r["us"] for r in df.select(F.unix_micros("ts").alias("us")).collect())
+    want = sorted(int(w.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) for w in wall)
+    assert got == want
+
+
+def test_catalog_load_never_writes_session_conf(spark):
+    """load() must be conf-pure: reading every table leaves the caller's
+    runtime SQL conf byte-identical (round-1 ask #8 / round-2 verdict #3)."""
+    from nextgenetl_spark.catalog import TABLES, load
+
+    probes = [
+        "spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    ]
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "America/New_York")
+    ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    before = {k: ns.conf.get(k, None) for k in probes}
+    for name in TABLES:
+        load(ns, SF_SMOKE, name)
+    after = {k: ns.conf.get(k, None) for k in probes}
+    assert before == after

@@ -33,8 +33,11 @@ def h(rows, cols):
     return hashlib.md5("\n".join(hs).encode()).hexdigest()
 
 qs = E.queries(); os_ = E.oracle_sql()
+only = set(sys.argv[1:])
 npass = nfail = 0
 for name, fn in qs.items():
+    if only and name not in only:
+        continue
     t0 = time.time()
     try:
         sdf = fn(spark, SF)
