@@ -104,6 +104,105 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def sql_type_name(dt: T.DataType) -> str:
+    """Map a Spark type to its ANSI/INFORMATION_SCHEMA spelling (the
+    vocabulary BigQuery's and DuckDB's INFORMATION_SCHEMA.COLUMNS share for
+    the types this engine uses). Timestamps collapse to plain TIMESTAMP —
+    physical resolution (us/ns) and NTZ-ness are storage details the scan
+    edge already normalizes away (see load())."""
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "TIMESTAMP"
+    if isinstance(dt, T.ArrayType):
+        return sql_type_name(dt.elementType) + "[]"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.MapType):
+        return f"MAP({sql_type_name(dt.keyType)}, {sql_type_name(dt.valueType)})"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(f"{f.name} {sql_type_name(f.dataType)}" for f in dt.fields)
+        return f"STRUCT({inner})"
+    simple = {
+        "long": "BIGINT",
+        "int": "INTEGER",
+        "short": "SMALLINT",
+        "tinyint": "TINYINT",
+        "byte": "TINYINT",
+        "double": "DOUBLE",
+        "float": "FLOAT",
+        "string": "VARCHAR",
+        "boolean": "BOOLEAN",
+        "date": "DATE",
+        "binary": "BLOB",
+    }
+    return simple.get(dt.simpleString(), dt.simpleString().upper())
+
+
+def information_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFORMATION_SCHEMA.COLUMNS over the lake tables (reference:
+    compare_clinical_gdc_api_releases.py:79-136 drives release diffs off
+    `INFORMATION_SCHEMA.COLUMNS`; utils.py:271-306 table ids). Schema comes
+    from parquet FOOTERS via the planned read — no table scan, no Spark job;
+    the result is a queryable DataFrame so users can join/filter it like any
+    table (e.g. release-over-release column diffs)."""
+    rows = []
+    for name in TABLES:
+        for pos, f in enumerate(load(spark, sf_dir, name).schema.fields, start=1):
+            rows.append((name, pos, f.name, sql_type_name(f.dataType),
+                         "YES" if f.nullable else "NO"))
+    schema = T.StructType([
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("ordinal_position", T.IntegerType(), False),
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("data_type", T.StringType(), False),
+        T.StructField("is_nullable", T.StringType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def information_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """__TABLES__-style table inventory (reference support.py list_tables /
+    BigQuery __TABLES__ row_count probes): name, column count, and row count
+    — row counts from parquet footer METADATA (sum of row-group counts), the
+    same O(footers) cost BigQuery's table metadata lookup has; never a scan.
+    At 100 TB this is thousands of footer reads, not a data pass."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for name in TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+        n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+        n_cols = len(load(spark, sf_dir, name).schema.fields)
+        rows.append((name, n_cols, n_rows))
+    schema = T.StructType([
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("n_columns", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def catalog_columns(spark: SparkSession) -> DataFrame:
+    """Ad-hoc session-catalog surface: every table/view currently visible in
+    the Spark catalog as a queryable DataFrame (table_name, column_name,
+    data_type, is_temporary). The generic counterpart of
+    information_schema_columns for sessions where views were registered from
+    arbitrary sources rather than the lake directory."""
+    rows = []
+    for t in spark.catalog.listTables():
+        for c in spark.catalog.listColumns(t.name, t.database):
+            rows.append((t.name, c.name, c.dataType, bool(t.isTemporary)))
+    schema = T.StructType([
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("data_type", T.StringType(), False),
+        T.StructField("is_temporary", T.BooleanType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
 def _views_dir(root: str) -> str:
     return os.path.join(root, "_views")
 

@@ -402,6 +402,62 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "info_schema_columns",
+    oracle="""
+    SELECT table_name,
+           CAST(ordinal_position AS INTEGER) AS ordinal_position,
+           column_name,
+           CASE WHEN data_type LIKE 'TIMESTAMP%' THEN 'TIMESTAMP'
+                ELSE data_type END AS data_type,
+           is_nullable
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+    """,
+)
+def info_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N10 INFORMATION_SCHEMA.COLUMNS as a queryable table (reference:
+    compare_clinical_gdc_api_releases.py:79-136 joins two releases'
+    INFORMATION_SCHEMA.COLUMNS to report added/removed/retyped columns).
+    The oracle is DuckDB's OWN information_schema over the same views, so
+    the type-name vocabulary (BIGINT/INTEGER/DOUBLE/VARCHAR/FLOAT[]/
+    TIMESTAMP) is pinned engine-to-engine, not self-referentially."""
+    from nextgenetl_spark.catalog import information_schema_columns
+
+    return information_schema_columns(spark, sf_dir)
+
+
+@workload(
+    "info_schema_tables",
+    oracle="""
+    SELECT c.table_name, CAST(COUNT(*) AS INTEGER) AS n_columns, r.n_rows
+    FROM information_schema.columns c
+    JOIN (
+        SELECT 'region' AS t, COUNT(*) AS n_rows FROM region
+        UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        UNION ALL SELECT 'part', COUNT(*) FROM part
+        UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        UNION ALL SELECT 'events', COUNT(*) FROM events
+        UNION ALL SELECT 'documents', COUNT(*) FROM documents
+        UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    ) r ON c.table_name = r.t
+    GROUP BY c.table_name, r.n_rows
+    """,
+)
+def info_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """__TABLES__-style inventory (reference support.py table listings +
+    BigQuery __TABLES__ row_count): column counts from footers, row counts
+    from parquet row-group METADATA — the oracle recomputes row counts the
+    hard way (COUNT(*) scans), proving the footer metadata path is exact."""
+    from nextgenetl_spark.catalog import information_schema_tables
+
+    return information_schema_tables(spark, sf_dir)
+
+
+@workload(
     "tsv_export_roundtrip",
     oracle="""
     SELECT c_custkey AS cust_id, c_name AS name, n_name AS nation,

@@ -1,0 +1,111 @@
+"""Catalog/INFORMATION_SCHEMA surface (SURVEY N10) + TIME-type ingest parity.
+
+The reference drives release-over-release schema diffs off
+INFORMATION_SCHEMA.COLUMNS (compare_clinical_gdc_api_releases.py:79-136);
+here that surface is a queryable DataFrame built from parquet footers —
+no scan, no Spark job for the metadata itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nextgenetl_spark.catalog import (
+    TABLES,
+    catalog_columns,
+    information_schema_columns,
+    information_schema_tables,
+    register_views,
+    sql_type_name,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_sql_type_name_vocabulary():
+    assert sql_type_name(T.LongType()) == "BIGINT"
+    assert sql_type_name(T.IntegerType()) == "INTEGER"
+    assert sql_type_name(T.DoubleType()) == "DOUBLE"
+    assert sql_type_name(T.FloatType()) == "FLOAT"
+    assert sql_type_name(T.StringType()) == "VARCHAR"
+    assert sql_type_name(T.BooleanType()) == "BOOLEAN"
+    assert sql_type_name(T.DateType()) == "DATE"
+    assert sql_type_name(T.BinaryType()) == "BLOB"
+    # timestamps collapse: physical resolution / NTZ-ness is a storage detail
+    assert sql_type_name(T.TimestampType()) == "TIMESTAMP"
+    assert sql_type_name(T.TimestampNTZType()) == "TIMESTAMP"
+    assert sql_type_name(T.ArrayType(T.FloatType())) == "FLOAT[]"
+    assert sql_type_name(T.DecimalType(38, 9)) == "DECIMAL(38,9)"
+    assert (
+        sql_type_name(T.StructType([T.StructField("a", T.LongType())]))
+        == "STRUCT(a BIGINT)"
+    )
+
+
+def test_information_schema_columns_queryable(spark):
+    df = information_schema_columns(spark, SF_SMOKE)
+    assert df.columns == [
+        "table_name", "ordinal_position", "column_name", "data_type", "is_nullable",
+    ]
+    # it is a real DataFrame: filter/join/agg like any table
+    emb = {r["column_name"]: r["data_type"] for r in df.filter(F.col("table_name") == "embeddings").collect()}
+    assert emb["embedding"] == "FLOAT[]"
+    assert emb["vec_id"] == "BIGINT"
+    # events.ts reports TIMESTAMP regardless of the file's physical unit
+    ts = df.filter((F.col("table_name") == "events") & (F.col("column_name") == "ts")).collect()
+    assert ts[0]["data_type"] == "TIMESTAMP"
+    # every lake table is present with 1..n ordinal positions
+    per_table = {
+        r["table_name"]: r["n"]
+        for r in df.groupBy("table_name").agg(F.count("*").alias("n"), F.min("ordinal_position").alias("lo"), F.max("ordinal_position").alias("hi")).withColumn("n", F.col("n")).collect()
+    }
+    assert set(per_table) == set(TABLES)
+
+
+def test_information_schema_tables_row_counts_are_exact(spark):
+    meta = {r["table_name"]: r for r in information_schema_tables(spark, SF_SMOKE).collect()}
+    assert set(meta) == set(TABLES)
+    # footer metadata must equal a real scan's count
+    for t in ("region", "documents"):
+        real = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").count()
+        assert meta[t]["n_rows"] == real
+        assert meta[t]["n_columns"] >= 2
+
+
+def test_catalog_columns_sees_registered_views(spark):
+    register_views(spark, SF_SMOKE)
+    df = catalog_columns(spark)
+    got = {(r["table_name"], r["column_name"]) for r in df.collect()}
+    assert ("documents", "doc_id") in got
+    assert ("embeddings", "embedding") in got
+    # schema-diff use case: columns in lineitem but not orders
+    li = df.filter(F.col("table_name") == "lineitem").select("column_name")
+    od = df.filter(F.col("table_name") == "orders").select("column_name")
+    only_li = {r["column_name"] for r in li.exceptAll(od).collect()}
+    assert "l_orderkey" in only_li
+
+
+def test_tsv_time_column_roundtrip(spark, tmp_path):
+    """TIME ingest at reference parity (SURVEY §1.2 documented divergence):
+    BigQuery has a TIME type, Spark does not — the lattice maps TIME →
+    StringType and the VALUES must survive the ingest verbatim (no cast
+    mangling, no null-out), so a downstream user can reparse. Mixing TIME
+    with DATE/TIMESTAMP values in one column resolves to STRING too."""
+    p = tmp_path / "shifts.tsv"
+    p.write_text(
+        "shift_id\tstart_time\tmixed\n"
+        "1\t09:03:22\t09:03:22\n"
+        "2\t23:59:59.123456\t2020-01-02\n"
+        "3\t9:3:22\t2020-01-02 13:44:50\n"
+    )
+    from nextgenetl_spark.sources.tsv import read_tsv
+
+    df = read_tsv(spark, str(p))
+    types = dict(df.dtypes)
+    assert types["start_time"] == "string"  # TIME → STRING, documented divergence
+    assert types["mixed"] == "string"  # TIME in a datetime mix → STRING
+    rows = {str(r["shift_id"]): r for r in df.collect()}
+    assert rows["1"]["start_time"] == "09:03:22"
+    assert rows["2"]["start_time"] == "23:59:59.123456"
+    assert rows["3"]["start_time"] == "9:3:22"  # verbatim, not re-rendered
+    assert rows["2"]["mixed"] == "2020-01-02"

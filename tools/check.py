@@ -30,7 +30,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
+        # abs() guard FIRST: int(inf) raises OverflowError (found by the
+        # hypothesis fuzz in tests/test_tools_check.py); inf falls through
+        # to repr ('inf'/'-inf'), stable on both engines.
+        if abs(v) < 1e15 and v == int(v):
             return str(int(v))
         return repr(v)
     return str(v)
