@@ -122,6 +122,9 @@ HEADLINE = {
     "flatten_merged_single": "count",
     "wide_group_dedup_140": "count",
     "phash_pixels_near_dup": "count",
+    "info_schema_columns": "collect",
+    "info_schema_tables": "collect",
+    "persisted_view_roundtrip": "collect",
 }
 
 

@@ -82,6 +82,48 @@ def pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "persisted_view_roundtrip",
+    oracle="""
+    SELECT n_name AS nation, COUNT(*) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def persisted_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 persisted views through the driver gate (reference:
+    common_etl/utils.py:716-741 create_view_from_query — a view whose
+    DEFINITION outlives the session): the view is created (JSON definition
+    persisted under {root}/_views/ + session instantiation), then DROPPED
+    from the session catalog to simulate session loss, re-instantiated by
+    load_views() from the persisted definition alone, and finally queried
+    THROUGH the reloaded view. Views are metadata-only at any scale — the
+    round-trip costs two catalog ops and one file write."""
+    from nextgenetl_spark.catalog import create_view_from_query, load_views
+
+    root = tempfile.mkdtemp(prefix="ngetl_views_")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    create_view_from_query(
+        spark,
+        root,
+        "supplier_by_nation",
+        """
+        SELECT n_name AS nation, COUNT(*) AS n_suppliers,
+               ROUND(SUM(s_acctbal), 2) AS total_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+        description="per-nation supplier rollup",
+    )
+    spark.catalog.dropTempView("supplier_by_nation")  # simulate session loss
+    created = load_views(spark, root)
+    if "supplier_by_nation" not in created:
+        raise AssertionError(f"load_views did not restore the view: {created}")
+    return spark.sql("SELECT * FROM supplier_by_nation")
+
+
+@workload(
     "publish_current",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
