@@ -376,12 +376,24 @@ def md5_simhash_fingerprints(
     masks = [(1 << b) if b < 63 else -(2**63) for b in range(64)]
     base = df.select(F.col(id_col), F.explode_outer(F.array_distinct(tokens(text_col))).alias("t"))
     base = base.select(id_col, F.md5("t").alias("h"))
-    # hex-char values 0..15, one per nibble of the 64-bit prefix
-    hv = [F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"hv{i}") for i in range(16)]
-    base = base.select(id_col, *hv)
+    # Two 32-bit halves instead of 16 per-nibble substring+conv calls: hex
+    # chars 1-8 big-endian → n1, 9-16 → n2. Bit b of the layout (bit 3-b%4
+    # of hex char b//4) is bit (31-b) of n1 for b<32, bit (63-b) of n2
+    # otherwise — identical fingerprint values, an eighth of the per-row
+    # string work (this path was the slowest verification pin in BENCH_r02).
+    base = base.select(
+        id_col,
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("n1"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("n2"),
+    )
     aggs = [
         F.sum(
-            F.when(F.col(f"hv{b // 4}").bitwiseAND(F.lit(2 ** (3 - b % 4))) != 0, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("n1" if b < 32 else "n2"), (31 - b) if b < 32 else (63 - b))
+                .bitwiseAND(F.lit(1))
+                != 0,
+                1,
+            ).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(64)
     ]
