@@ -31,18 +31,16 @@ def exactly_once_parquet_sink(out_dir: str, partition_cols: list[str] | None = N
     extra = partition_cols or []
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id", *extra)
-                .parquet(out_dir)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # partitionOverwriteMode as a WRITER OPTION, not a session conf —
+        # per-write scoped by construction, nothing to save/restore and no
+        # concurrent query ever observes it.
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id", *extra)
+            .parquet(out_dir)
+        )
 
     return write_batch
 

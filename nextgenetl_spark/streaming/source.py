@@ -64,18 +64,8 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     import hashlib
     import os
 
-    from nextgenetl_spark.catalog import _parquet_ts_unit
+    import pyarrow.parquet as pq
 
-    if _parquet_ts_unit(f"{sf_dir}/events.parquet") == "ns":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Stateful streaming sizes its state store by shuffle partitions AT
-    # QUERY START and AQE cannot coalesce them; under a default session
-    # (200) a small replay pays 200 state-store partitions of overhead
-    # (~3-5x wall on the driver's gate). Cap to the core count. A real
-    # deployment sizes this to its state volume instead.
-    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
-        cores = spark.sparkContext.defaultParallelism
-        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, min(64, cores))))
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     stage = f"/tmp/nextgenetl_streams/{hashlib.md5(src.encode()).hexdigest()[:12]}"
     os.makedirs(stage, exist_ok=True)
@@ -83,9 +73,18 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     if not os.path.exists(link):
         os.symlink(src, link)
 
-    # Probe the footer once (planning-time only, no data read) so the stream
-    # schema matches whatever resolution this file actually stores.
-    ts_type = spark.read.parquet(stage).schema["ts"].dataType
+    # Footer-only probe (pyarrow, no Spark job, NO session conf) decides
+    # the read type for ts: nanos → request LongType in the EXPLICIT stream
+    # schema (the parquet reader accepts INT64 TIMESTAMP(NANOS) → LongType
+    # without spark.sql.legacy.parquet.nanosAsLong), tz-less micros → NTZ,
+    # tz-aware → TimestampType. Same conf-pure discipline as catalog.load.
+    arrow_ts = pq.read_schema(src).field("ts").type
+    if getattr(arrow_ts, "unit", None) == "ns":
+        ts_type: T.DataType = T.LongType()
+    elif getattr(arrow_ts, "tz", None) is None:
+        ts_type = T.TimestampNTZType()
+    else:
+        ts_type = T.TimestampType()
     reader = spark.readStream.schema(_events_raw_schema(ts_type))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -93,14 +92,78 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(ts_type, T.TimestampNTZType):
-        # Cast NTZ -> TIMESTAMP for schema parity with catalog.load (same
-        # column type in batch and streaming plans, and stable state-store
-        # schemas across runs). The cast reinterprets the wall-clock value
-        # in the session zone, so pin UTC first — under a caller session in
-        # any other zone every timestamp would silently shift by the offset.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        # NTZ → TIMESTAMP for schema parity with catalog.load (same column
+        # type in batch and streaming plans, stable state-store schemas).
+        # make_timestamp with an EXPLICIT zone interprets the wall-clock
+        # components directly — value-preserving under ANY caller session
+        # zone, no session-timeZone write (a plain cast would shift by the
+        # session offset).
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "make_timestamp(year(ts), month(ts), day(ts), "
+                "hour(ts), minute(ts), date_part('SECOND', ts), 'UTC')"
+            ),
+        )
     return df
+
+
+def replay_shuffle_cap(spark: SparkSession, cap: int = 64):
+    """Scoped shuffle-partition cap for bounded stateful replays.
+
+    Stateful streaming sizes its state store by ``spark.sql.shuffle.
+    partitions`` AT QUERY START and AQE cannot coalesce them: under a
+    default session (200) a small availableNow replay pays 200 state-store
+    partitions of per-partition fixed cost (~3-5× wall on the driver's
+    gate). There is no per-query override in Spark, so the cap must be a
+    session conf — this context manager makes the write SCOPED: set before
+    ``.start()``, restored in ``finally`` after the replay, so no lasting
+    session mutation escapes (a concurrent query in the same session during
+    the replay window would still observe the cap — the documented limit of
+    Spark's conf model). A real deployment sizes the conf to its state
+    volume at session build instead."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key, "200")
+        capped = max(4, min(cap, spark.sparkContext.defaultParallelism))
+        changed = int(prev) > capped
+        if changed:
+            spark.conf.set(key, str(capped))
+        try:
+            yield
+        finally:
+            if changed:
+                spark.conf.set(key, prev)
+
+    return _scope()
+
+
+def run_memory_replay(
+    spark: SparkSession,
+    out: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    cap: int = 64,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Run a bounded availableNow replay of ``out`` into a memory sink named
+    ``name`` under a scoped state-store partition cap (``replay_shuffle_cap``)
+    and return the sink table. The shared tail of every stream_* workload —
+    one place owns the start/await/stop/restore discipline."""
+    with replay_shuffle_cap(spark, cap):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        q.stop()
+    return spark.table(name)
 
 
 def embeddings_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:

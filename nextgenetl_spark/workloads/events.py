@@ -160,16 +160,9 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "wl_stream_tumbling"
     agg = tumbling_window_agg(with_watermark(events_stream(spark, sf_dir)))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name)
+    from nextgenetl_spark.streaming.source import run_memory_replay
+
+    return run_memory_replay(spark, agg, name, "complete")
 
 
 @workload(
@@ -215,16 +208,9 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "wl_stream_sessionize"
     agg = session_window_agg(with_watermark(events_stream(spark, sf_dir)), gap="30 minutes")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name)
+    from nextgenetl_spark.streaming.source import run_memory_replay
+
+    return run_memory_replay(spark, agg, name, "append")
 
 
 @workload(
@@ -247,16 +233,9 @@ def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "wl_stream_profile"
     out = running_user_profile(events_stream(spark, sf_dir))
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name)
+    from nextgenetl_spark.streaming.source import run_memory_replay
+
+    return run_memory_replay(spark, out, name, "update")
 
 
 @workload(
@@ -285,16 +264,9 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "wl_stream_sliding"
     agg = sliding_window_agg(with_watermark(events_stream(spark, sf_dir)))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name)
+    from nextgenetl_spark.streaming.source import run_memory_replay
+
+    return run_memory_replay(spark, agg, name, "complete")
 
 
 @workload(
@@ -316,16 +288,9 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "wl_stream_dedup"
     ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     out = ev.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name)
+    from nextgenetl_spark.streaming.source import run_memory_replay
+
+    return run_memory_replay(spark, out, name, "append")
 
 
 @workload(
@@ -358,16 +323,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = enriched.groupBy("segment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum")
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name)
+    from nextgenetl_spark.streaming.source import run_memory_replay
+
+    return run_memory_replay(spark, agg, name, "complete")
 
 
 @workload(
@@ -397,14 +355,6 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_self_join(
         events_stream(spark, sf_dir), "purchase", "click", lookback="10 minutes"
     )
-    # A stream-stream join keeps FOUR state stores per shuffle partition
-    # (left/right × key-index layouts), so per-partition fixed cost is 4×
-    # an agg's; size partitions to state volume, not core count (4× wall
-    # at 32 vs 8 partitions on this replay). Restore after query start —
-    # the count is baked into the query at start.
-    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    cores = spark.sparkContext.defaultParallelism
-    spark.conf.set("spark.sql.shuffle.partitions", str(max(4, min(8, cores // 4))))
     out = joined.select(
         F.col("l_user").alias("user_id"),
         F.col("left_id").alias("purchase_id"),
@@ -416,19 +366,13 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lag_sec"),
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    # A stream-stream join keeps FOUR state stores per shuffle partition
+    # (left/right × key-index layouts), so per-partition fixed cost is 4×
+    # an agg's: size partitions to state volume, not core count (4× wall
+    # at 32 vs 8 partitions on this replay) — hence the tighter cap.
+    from nextgenetl_spark.streaming.source import run_memory_replay
+
+    return run_memory_replay(spark, out, name, "append", cap=8)
 
 
 @workload(
@@ -700,16 +644,9 @@ def stream_history_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = anti_join_history(
         events_stream(spark, sf_dir), hist, ["user_id", "event_type"]
     ).select("event_id", "user_id", "event_type")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name)
+    from nextgenetl_spark.streaming.source import run_memory_replay
+
+    return run_memory_replay(spark, out, name, "append")
 
 
 @workload("stream_near_dup_ingest")  # no SQL oracle: LSH banding is not SQL-expressible; pytest proves equality with the batch MinHash pairs
@@ -732,16 +669,9 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands, verify = history_index(hist)
     stream = docs_stream(spark, sf_dir).where(F.col("doc_id") >= split)
     out = near_dup_against_history(stream, bands, verify, threshold=0.5)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name)
+    from nextgenetl_spark.streaming.source import run_memory_replay
+
+    return run_memory_replay(spark, out, name, "append")
 
 
 @workload(
@@ -1275,13 +1205,6 @@ def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "wl_stream_debounce"
     out = debounce_against_last_kept(events_stream(spark, sf_dir))
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name)
+    from nextgenetl_spark.streaming.source import run_memory_replay
+
+    return run_memory_replay(spark, out, name, "append")

@@ -1351,16 +1351,9 @@ def stream_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jac") >= 0.5)
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name)
+    from nextgenetl_spark.streaming.source import run_memory_replay
+
+    return run_memory_replay(spark, out, name, "append")
 
 
 @workload(

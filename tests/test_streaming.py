@@ -317,3 +317,47 @@ def test_stateful_debounce_differs_from_lag_gap_on_bursts(spark):
     # 0s kept; 200s dropped (200 <= 300 from last kept); 400s KEPT (400 > 300
     # from last kept, though only 200s after the dropped event)
     assert list(out["event_id"]) == [1, 3]
+
+
+def test_stream_replay_leaves_session_conf_untouched(spark):
+    """Conf purity (round-2 verdict #3 extended to streaming): a stream
+    workload's replay must not leave ANY session conf changed — the
+    state-store partition cap is scoped (set before start, restored in
+    finally), and the source layer does its ns/NTZ normalization with
+    explicit schemas + zone-explicit expressions, never conf writes."""
+    from nextgenetl_spark.workloads import load_all
+
+    reg = load_all()
+    watched = {
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "spark.sql.session.timeZone": spark.conf.get("spark.sql.session.timeZone"),
+        "spark.sql.legacy.parquet.nanosAsLong": spark.conf.get(
+            "spark.sql.legacy.parquet.nanosAsLong", "false"
+        ),
+        "spark.sql.sources.partitionOverwriteMode": spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        ),
+    }
+    reg["stream_tumbling_window"].fn(spark, "/root/testdata/sf0.001").count()
+    reg["stream_interval_join"].fn(spark, "/root/testdata/sf0.001").count()
+    defaults = {
+        "spark.sql.legacy.parquet.nanosAsLong": "false",
+        "spark.sql.sources.partitionOverwriteMode": "static",
+    }
+    for k, v in watched.items():
+        assert spark.conf.get(k, defaults.get(k)) == v, k
+
+
+def test_replay_shuffle_cap_restores_on_error(spark):
+    from nextgenetl_spark.streaming.source import replay_shuffle_cap
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        with replay_shuffle_cap(spark, cap=8):
+            assert int(spark.conf.get("spark.sql.shuffle.partitions")) <= 8
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
