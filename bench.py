@@ -125,6 +125,7 @@ HEADLINE = {
     "info_schema_columns": "collect",
     "info_schema_tables": "collect",
     "persisted_view_roundtrip": "collect",
+    "shard_shuffle": "count",
 }
 
 

@@ -86,3 +86,35 @@ def token_budget_sample(
         df.withColumn("cum_tokens", F.sum(weight_col).over(w))
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle into N output shards — the final step of
+    training-data prep: every row gets a stable ``shard`` (md5-hash bucket
+    of its id, so shards are balanced and assignment survives reruns,
+    engine swaps, and corpus growth) and a ``shuffle_rank`` (1-based
+    position within its shard in md5 order, salted so a different ``salt``
+    yields an independent permutation — reproducible epoch reshuffles
+    without RNG state).
+
+    Scale shape: shard assignment is a scan-stage expression; the rank is
+    ONE window shuffle partitioned by shard — each shard's rows land on one
+    reducer exactly as the downstream per-shard writer needs them, so the
+    rank window and the partitioned write share the same exchange. At
+    100 TB pick n_shards so a shard fits a writer task (~1-4 GB), the same
+    sizing rule as any partitioned sink."""
+    sid = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    shard = (F.conv(F.substring(sid, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+    order_key = F.substring(sid, 9, 24)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy(order_key, F.col(id_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("shuffle_rank", F.row_number().over(w))
+    )

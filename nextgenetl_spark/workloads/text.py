@@ -334,6 +334,33 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "shard_shuffle",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sid FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(CONCAT('0x', substr(sid, 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+                    PARTITION BY CAST(CONCAT('0x', substr(sid, 1, 8)) AS BIGINT) % 8
+                    ORDER BY substr(sid, 9, 24), doc_id) AS INT) AS shuffle_rank
+    FROM s
+    """,
+)
+def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards
+    (operators/sampling.py shard_shuffle): md5-bucket shard assignment +
+    salted md5-order rank within each shard — the reproducible form of the
+    'shuffle the corpus and split into N files' step every pretraining run
+    needs, with no RNG state to checkpoint. One window shuffle on the shard
+    key, shared with the per-shard partitioned write at scale."""
+    from nextgenetl_spark.operators.sampling import shard_shuffle as op
+
+    d = load(spark, sf_dir, "documents")
+    return op(d, n_shards=8).select("doc_id", "shard", "shuffle_rank")
+
+
+@workload(
     "doc_length_quantiles",
     oracle="""
     SELECT source,

@@ -869,3 +869,30 @@ def test_banded_hamming_pairs_enforces_losslessness_preconditions(spark):
         banded_hamming_pairs(fps, max_hamming=4, num_bands=4)
     with pytest.raises(ValueError, match="divide 64"):
         banded_hamming_pairs(fps, max_hamming=2, num_bands=3)
+
+
+def test_shard_shuffle_is_balanced_deterministic_permutation(spark):
+    from nextgenetl_spark.operators.sampling import shard_shuffle
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = d.count()
+    out = shard_shuffle(d, n_shards=4).select("doc_id", "shard", "shuffle_rank")
+    rows = out.collect()
+    assert len(rows) == n
+    # within each shard, ranks are exactly 1..len(shard)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shuffle_rank"])
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for ranks in by_shard.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # roughly balanced (md5 buckets): no shard more than 2x the mean
+    assert max(len(v) for v in by_shard.values()) <= 2 * (n / 4)
+    # deterministic across invocations
+    again = {(r["doc_id"], r["shard"], r["shuffle_rank"])
+             for r in shard_shuffle(d, n_shards=4).select("doc_id", "shard", "shuffle_rank").collect()}
+    assert again == {(r["doc_id"], r["shard"], r["shuffle_rank"]) for r in rows}
+    # a different salt yields a different permutation (epoch reshuffle)
+    salted = {(r["doc_id"], r["shard"], r["shuffle_rank"])
+              for r in shard_shuffle(d, n_shards=4, salt="epoch1").select("doc_id", "shard", "shuffle_rank").collect()}
+    assert salted != again
