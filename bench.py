@@ -126,6 +126,7 @@ HEADLINE = {
     "info_schema_tables": "collect",
     "persisted_view_roundtrip": "collect",
     "shard_shuffle": "count",
+    "term_cms_counts": "collect",
 }
 
 

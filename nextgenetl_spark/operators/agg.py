@@ -73,3 +73,66 @@ def analytic_max(df: DataFrame, partition_by: Sequence[str], col: str, out_col: 
     (build_gdc_file_clinical_tables_TCGA.py:627-631)."""
     w = Window.partitionBy(*partition_by)
     return df.withColumn(out_col, F.max(col).over(w))
+
+
+def _cms_bucket(item: F.Column, row: int, width: int) -> F.Column:
+    """Row-``row``'s bucket for ``item``: 32-bit md5 prefix of (row || item),
+    mod width. md5 + hex arithmetic exist verbatim in ANSI-ish SQL, so a
+    DuckDB oracle replays the sketch bit-for-bit (same portability contract
+    as the md5 MinHash/SimHash families in operators/dedup.py)."""
+    h = F.md5(F.concat(F.lit(str(row) + "|"), item))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+
+
+def cms_build(df: DataFrame, item_col: str, depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-min sketch as a TABLE: (d, bucket, cnt) with depth×width rows.
+
+    Each input row increments one bucket per hash row; the sketch is the
+    per-(d, bucket) count. Stored this way the sketch is MERGEABLE BY SQL —
+    summing cnt across per-shard/per-day sketch tables union-merges them
+    (the count analogue of the HLL rollup architecture in hll_user_rollup):
+    a daily pipeline keeps depth×width rows per cell and answers frequency
+    queries at any coarser grain without re-scanning the corpus. One hash
+    aggregate over an in-row depth-way expansion; the shuffle carries at
+    most depth×width partial rows per task regardless of corpus size."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("d"),
+                _cms_bucket(F.col(item_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, items: DataFrame, item_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-query the sketch table: est(item) = min over hash rows of the
+    item's bucket count (0 if a bucket row is absent). Never underestimates;
+    overestimates by at most the collision mass of the busiest probed
+    bucket. Cost: depth lookup rows per queried item against a depth×width
+    table — independent of corpus size."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("d"),
+                _cms_bucket(F.col(item_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    q = items.select(F.col(item_col), F.explode(probes).alias("p")).select(
+        item_col, F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket")
+    )
+    return (
+        q.join(cms, ["d", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

@@ -334,6 +334,60 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "term_cms_counts",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+    ),
+    probes AS (
+        SELECT term, g.d,
+               CAST(CONCAT('0x', substr(md5(CAST(g.d AS VARCHAR) || '|' || term), 1, 8)) AS BIGINT) % 1024 AS bucket
+        FROM toks, generate_series(0, 3) AS g(d)
+    ),
+    cms AS (
+        SELECT d, bucket, COUNT(*) AS cnt FROM probes GROUP BY d, bucket
+    ),
+    top20 AS (
+        SELECT term FROM (SELECT term, COUNT(*) AS true_count FROM toks GROUP BY term
+                          ORDER BY true_count DESC, term LIMIT 20)
+    ),
+    q AS (
+        SELECT t.term, g.d,
+               CAST(CONCAT('0x', substr(md5(CAST(g.d AS VARCHAR) || '|' || t.term), 1, 8)) AS BIGINT) % 1024 AS bucket
+        FROM top20 t, generate_series(0, 3) AS g(d)
+    )
+    SELECT q.term, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+    FROM q LEFT JOIN cms c ON q.d = c.d AND q.bucket = c.bucket
+    GROUP BY q.term
+    """,
+)
+def term_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch term frequencies with a FULL value-hash oracle
+    (operators/agg.py cms_build/cms_estimate): the sketch is a depth×width
+    COUNT TABLE built from md5 bucket hashes, so — unlike the DataSketches
+    HLL rollup, whose binary sketches no SQL engine can replay — DuckDB
+    reconstructs the identical sketch and the identical estimates. The
+    corpus's exact top-20 terms are probed; collisions (est > true) land
+    identically on both engines because the hash family is shared. Completes
+    the mergeable-sketch family: HLL for distincts (hll_user_rollup), CMS
+    for frequencies — per-shard sketch tables union-merge by summing cnt,
+    answering frequency queries at any grain without re-scanning text."""
+    from nextgenetl_spark.operators.agg import cms_build, cms_estimate
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TS.tokens("text")).alias("term"))
+    top20 = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "term")
+        .limit(20)
+        .select("term")
+    )
+    cms = cms_build(toks, "term", depth=4, width=1024)
+    return cms_estimate(cms, top20, "term", depth=4, width=1024)
+
+
+@workload(
     "shard_shuffle",
     oracle="""
     WITH s AS (

@@ -896,3 +896,33 @@ def test_shard_shuffle_is_balanced_deterministic_permutation(spark):
     salted = {(r["doc_id"], r["shard"], r["shuffle_rank"])
               for r in shard_shuffle(d, n_shards=4, salt="epoch1").select("doc_id", "shard", "shuffle_rank").collect()}
     assert salted != again
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.agg import cms_build, cms_estimate
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    true_counts = {r["term"]: r["n"] for r in toks.groupBy("term").agg(F.count("*").alias("n")).collect()}
+    terms = toks.select("term").distinct()
+    est = {r["term"]: r["est_count"] for r in cms_estimate(cms_build(toks, "term"), terms, "term").collect()}
+    assert set(est) == set(true_counts)
+    overs = 0
+    for t, n in true_counts.items():
+        assert est[t] >= n, t  # CMS never underestimates
+        overs += est[t] > n
+    # width=1024 >> distinct terms here: collisions must be rare
+    assert overs <= max(2, len(true_counts) // 20)
+
+    # mergeability: summing two halves' sketch TABLES == whole-corpus sketch
+    half_a = d.filter(F.col("doc_id") % 2 == 0).select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    half_b = d.filter(F.col("doc_id") % 2 == 1).select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    merged = (
+        cms_build(half_a, "term").unionByName(cms_build(half_b, "term"))
+        .groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(toks, "term")
+    sym_diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert sym_diff == 0
