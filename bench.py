@@ -127,6 +127,7 @@ HEADLINE = {
     "persisted_view_roundtrip": "collect",
     "shard_shuffle": "count",
     "term_cms_counts": "collect",
+    "fixed_width_load": "count",
 }
 
 

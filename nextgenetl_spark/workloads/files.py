@@ -401,6 +401,49 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(stage)
 
 
+def _fixed_width_path(sf_dir: str) -> str:
+    """customer rendered as a COBOL-style fixed-width export: custkey
+    right-aligned in 8, name left-padded to 20, acctbal %12.2f, segment
+    left-padded to 12 — with a header line sliced the same way."""
+    path = os.path.join(_fixture_dir(sf_dir), "customer.fw")
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM '{sf_dir}/customer.parquet' ORDER BY c_custkey"
+    ).fetchall()
+    lines = [f"{'custkey':>8s}{'name':<20s}{'bal':>12s}{'seg':<12s}"]
+    for key, name, bal, seg in rows:
+        lines.append(f"{key:>8d}{name:<20s}{bal:>12.2f}{seg:<12s}")
+    _atomic_write(path, "\n".join(lines) + "\n")
+    return path
+
+
+@workload(
+    "fixed_width_load",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name,
+           ROUND(c_acctbal, 2) AS bal, c_mktsegment AS seg
+    FROM customer
+    """,
+)
+def fixed_width_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (copybook-style) source through the driver gate
+    (sources/fixed_width.py): positional substring slicing as scan-stage
+    expressions over spark.read.text, header dropped BY VALUE, then the
+    same normalize→infer→cast pipeline as TSV — proving a fixed-width
+    export of customer loads to the identical typed DataFrame the clean
+    table yields (custkey re-infers INT64, bal FLOAT64 through the
+    trivial-float normalization, text columns trimmed of pad spaces)."""
+    from nextgenetl_spark.sources.fixed_width import read_fixed_width
+
+    df = read_fixed_width(
+        spark,
+        _fixed_width_path(sf_dir),
+        fields=[("custkey", 1, 8), ("name", 9, 20), ("bal", 29, 12), ("seg", 41, 12)],
+        skip_leading_rows=1,
+    )
+    return df.select("custkey", "name", F.round("bal", 2).alias("bal"), "seg")
+
+
 @workload(
     "info_schema_columns",
     oracle="""

@@ -178,3 +178,39 @@ def test_jsonl_corrupt_mode_policies(spark, tmp_path):
 
     with pytest.raises(Exception):
         read_jsonl(spark, str(p), corrupt_mode="fail").collect()
+
+
+def test_read_fixed_width_infer_normalize(spark, tmp_path):
+    from nextgenetl_spark.sources.fixed_width import read_fixed_width
+
+    p = tmp_path / "data.fw"
+    #      name(8)    age(4) score(8) flag(4)
+    p.write_text(
+        "name    age score   flag\n"
+        "alice    42 1.5     Yes \n"
+        "bob      -- 2.0     no  \n"
+        "carol     7 NaN     true\n"
+    )
+    df = read_fixed_width(
+        spark, str(p),
+        fields=[("name", 1, 8), ("age", 9, 4), ("score", 13, 8), ("flag", 21, 4)],
+        skip_leading_rows=1,
+    )
+    types = dict(df.dtypes)
+    assert types == {"name": "string", "age": "bigint", "score": "double", "flag": "boolean"}
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["alice"]["age"] == 42 and rows["alice"]["flag"] is True
+    assert rows["bob"]["age"] is None and rows["bob"]["flag"] is False
+    import math
+
+    assert math.isnan(rows["carol"]["score"])  # 'NaN' casts to NaN, same as the TSV path
+    assert df.count() == 3  # header dropped by value, rows intact
+
+
+def test_read_fixed_width_duplicate_names(spark, tmp_path):
+    from nextgenetl_spark.sources.fixed_width import read_fixed_width
+
+    p = tmp_path / "dup.fw"
+    p.write_text("1  2  x \n")
+    df = read_fixed_width(spark, str(p), fields=[("a", 1, 3), ("a", 4, 3), ("b", 7, 3)])
+    assert df.columns == ["a", "a_1", "b"]
