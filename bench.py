@@ -128,6 +128,7 @@ HEADLINE = {
     "shard_shuffle": "count",
     "term_cms_counts": "collect",
     "fixed_width_load": "count",
+    "doc_chunk_overlap": "count",
 }
 
 

@@ -334,6 +334,49 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "doc_chunk_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t, unnest(range(0, GREATEST(len(t) - 16, 0) + 1, 16)) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(s / 16 AS INT) AS chunk_idx,
+           array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk,
+           CAST(LEAST(CAST(len(t) AS BIGINT) - s, 32) AS INT) AS n_tokens
+    FROM starts
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking for retrieval ingestion (the RAG
+    analogue of audio_windows): 32-token windows every 16 tokens, each
+    chunk re-joined to text with its ordinal and token count — one
+    tokenize scan, starts generated by `sequence`, chunks sliced in-row
+    (`slice` + `array_join`), explode at the end. Zero shuffles, zero
+    UDFs; text leaves the scan stage only as its own chunks. The trailing
+    partial window is kept (n_tokens < 32), matching how an embedding
+    pipeline wants remainder text."""
+    d = load(spark, sf_dir, "documents")
+    t = TS.tokens("text")
+    window, hop = 32, 16
+    # last start = the hop-grid point ≤ len-hop: every token lands in some
+    # chunk (full tail coverage) and every chunk carries ≥ hop fresh tokens
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(t) - hop, F.lit(0)), F.lit(hop)
+    )
+    e = d.select("doc_id", t.alias("t"), F.explode(starts).alias("s"))
+    return e.select(
+        "doc_id",
+        (F.col("s") / hop).cast("int").alias("chunk_idx"),
+        F.array_join(F.slice("t", F.col("s") + 1, window), " ").alias("chunk"),
+        F.least(F.size("t") - F.col("s"), F.lit(window)).cast("int").alias("n_tokens"),
+    )
+
+
+@workload(
     "term_cms_counts",
     oracle="""
     WITH toks AS (
