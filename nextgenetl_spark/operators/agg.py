@@ -84,7 +84,10 @@ def _cms_bucket(item: F.Column, row: int, width: int) -> F.Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
 
 
-def cms_build(df: DataFrame, item_col: str, depth: int = 4, width: int = 1024) -> DataFrame:
+def cms_build(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
     """Count-min sketch as a TABLE: (d, bucket, cnt) with depth×width rows.
 
     Each input row increments one bucket per hash row; the sketch is the
@@ -94,7 +97,13 @@ def cms_build(df: DataFrame, item_col: str, depth: int = 4, width: int = 1024) -
     a daily pipeline keeps depth×width rows per cell and answers frequency
     queries at any coarser grain without re-scanning the corpus. One hash
     aggregate over an in-row depth-way expansion; the shuffle carries at
-    most depth×width partial rows per task regardless of corpus size."""
+    most depth×width partial rows per task regardless of corpus size.
+
+    ``weight_col``: build from PRE-AGGREGATED (item, count) rows instead of
+    a raw item stream — each row adds ``weight_col`` to its buckets. The
+    sketch is identical to the raw-stream build, but the hash/shuffle input
+    shrinks from |stream| to |distinct items| — the right shape when a
+    term-count table already exists from the same scan."""
     probes = F.array(
         *[
             F.struct(
@@ -104,10 +113,11 @@ def cms_build(df: DataFrame, item_col: str, depth: int = 4, width: int = 1024) -
             for r in range(depth)
         ]
     )
+    w = F.col(weight_col) if weight_col else F.lit(1)
     return (
-        df.select(F.explode(probes).alias("p"))
+        df.select(F.explode(probes).alias("p"), w.alias("w"))
         .groupBy(F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("w").alias("cnt"))
     )
 
 

@@ -18,7 +18,29 @@ each partition holds the bucket fan-out).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _clear_residual_location(spark: SparkSession, table: str) -> None:
+    """Remove a managed-table directory left behind by a crashed run.
+
+    A killed write can leave ``spark-warehouse/<table>/`` on disk while the
+    (fresh or re-created) metastore has no such table: ``DROP TABLE IF
+    EXISTS`` is then a no-op and every later ``saveAsTable`` fails with
+    LOCATION_ALREADY_EXISTS — permanently, until someone hand-deletes the
+    dir. Only fires when the metastore does NOT know the table (a registered
+    table's location is owned by the DROP path, not us)."""
+    if spark.catalog.tableExists(table):
+        return
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    loc = os.path.join(warehouse, table.split(".")[-1].lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(
@@ -31,8 +53,14 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed (and optionally sort-within-bucket) managed
     table. Sorting within buckets additionally enables sort-merge joins with
-    no sort step (the reference's CLUSTER BY analogue, but join-exploiting)."""
+    no sort step (the reference's CLUSTER BY analogue, but join-exploiting).
+
+    Idempotent against crash residue: an orphaned warehouse directory with
+    no metastore entry (interrupted earlier run) is cleared before writing
+    instead of failing LOCATION_ALREADY_EXISTS forever."""
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    if mode == "overwrite":
+        _clear_residual_location(df.sparkSession, table)
     writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)

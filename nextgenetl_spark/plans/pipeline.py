@@ -167,11 +167,23 @@ class Pipeline:
             # support.py:434-469), header/sep per step config.
             if not self.warehouse:
                 raise ValueError(f"step '{name}': export_csv requires a warehouse dir")
+            export_dir = os.path.join(self.warehouse, step["export_csv"])
             (
                 df.write.mode(step.get("mode", "overwrite"))
                 .options(header=str(step.get("header", True)).lower(), sep=step.get("sep", "\t"))
-                .csv(os.path.join(self.warehouse, step["export_csv"]))
+                .csv(export_dir)
             )
+            # Persist the exact writer schema as a _schema.json sidecar (the
+            # reference's persisted-schema discipline, cda_bq_etl/bq_helpers/
+            # schema.py:85-187): a read-back can pin types to the writer's
+            # instead of re-inferring from whichever part file happens to
+            # sort first — inference on a degenerate first file (empty, or a
+            # double column whose sampled values are all integral) would
+            # silently re-type a column and NULL every non-conforming value.
+            # Underscore-prefixed so Spark's CSV reader treats it as metadata.
+            from nextgenetl_spark.schemas import save_schema
+
+            save_schema(os.path.join(export_dir, "_schema.json"), df.schema)
         self.register(dest, df)
         return df
 

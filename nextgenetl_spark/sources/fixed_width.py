@@ -60,8 +60,15 @@ def read_fixed_width(
         # a header line is one whose sliced fields equal the field names'
         # raw spelling — callers with data rows that collide should pass
         # headerless files, same contract as read_tsv
+        from itertools import islice
+
         with open(_first_file_local(path), encoding="utf-8") as fh:
-            header_lines = [next(fh).rstrip("\n") for _ in range(skip_leading_rows)]
+            header_lines = [ln.rstrip("\n") for ln in islice(fh, skip_leading_rows)]
+        if len(header_lines) < skip_leading_rows:
+            raise ValueError(
+                f"{path}: cannot read {skip_leading_rows} header line(s) — "
+                f"first file has only {len(header_lines)} line(s)"
+            )
         pred = F.col("value").isin(header_lines)
         lines = lines.filter(~pred)
 

@@ -160,6 +160,16 @@ def read_tsv(
         )
         return df
 
+    if schema_path is None and os.path.isdir(path):
+        # Auto-pin to an engine-written export sidecar (Pipeline export_csv
+        # writes one): the writer's types beat head-of-first-file inference,
+        # which is partitioning-sensitive — a degenerate first part file
+        # (empty, or an all-integral double sample) would re-type a column
+        # and cast every non-conforming value to NULL.
+        sidecar = os.path.join(path, "_schema.json")
+        if os.path.exists(sidecar):
+            schema_path = sidecar
+
     if schema_path and os.path.exists(schema_path):
         from nextgenetl_spark.schemas import load_schema_types
 

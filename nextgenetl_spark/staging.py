@@ -1,0 +1,63 @@
+"""Content-fingerprinted staging caches for derived lake artifacts.
+
+Several workloads stage a one-time derived layout next to the source data
+(a partitioned orders lake, an IVF cell index, a MinHash band index) and
+reuse it across runs — the real cost shape of a 100-TB lake, where the
+layout/index exists before the query does. A cache keyed by *path alone*
+is stale-unsafe: regenerate the source parquet in place and the old
+artifact is silently served. The fix (applied first to the MinHash index,
+round-2 advisory) is a CONTENT fingerprint — path + size + mtime of every
+data file — plus a ``_COMPLETE`` marker written only after the build
+returns, so a crashed partial build is rebuilt, never probed.
+
+This module is that pattern, shared: ``staged_dir`` hands back a
+fingerprint-keyed directory and whether it is complete; the caller builds
+into it and calls ``mark_complete``.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import tempfile
+
+_MARKER = "_COMPLETE"
+
+
+def content_fingerprint(src_path: str) -> str:
+    """Fingerprint of a source file or directory-shaped parquet table:
+    md5 over (relative name, size, mtime_ns) of every data file, in sorted
+    order. Any in-place regeneration — same path, new bytes — changes it."""
+    src = os.path.abspath(src_path)
+    parts: list[str] = [src]
+    if os.path.isdir(src):
+        files = sorted(
+            p
+            for p in glob.glob(os.path.join(src, "**", "*"), recursive=True)
+            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
+        )
+    else:
+        files = [src]
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.relpath(p, src)}|{st.st_size}|{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:12]
+
+
+def staged_dir(prefix: str, src_path: str) -> tuple[str, bool]:
+    """(cache_dir, complete) for a derived artifact of ``src_path``.
+
+    ``complete`` is True only when a prior build of the SAME source content
+    finished (marker present); on False the caller must build into the dir
+    and then call ``mark_complete``."""
+    d = os.path.join(tempfile.gettempdir(), f"{prefix}_{content_fingerprint(src_path)}")
+    return d, os.path.exists(os.path.join(d, _MARKER))
+
+
+def mark_complete(cache_dir: str) -> None:
+    """Stamp a finished build. Written last, so a crash mid-build leaves an
+    incomplete (rebuilt-next-run) dir, never a half-index that gets probed."""
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(os.path.join(cache_dir, _MARKER), "w", encoding="utf-8") as fh:
+        fh.write(os.path.basename(cache_dir))

@@ -64,8 +64,6 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     import hashlib
     import os
 
-    import pyarrow.parquet as pq
-
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     stage = f"/tmp/nextgenetl_streams/{hashlib.md5(src.encode()).hexdigest()[:12]}"
     os.makedirs(stage, exist_ok=True)
@@ -77,8 +75,14 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     # the read type for ts: nanos → request LongType in the EXPLICIT stream
     # schema (the parquet reader accepts INT64 TIMESTAMP(NANOS) → LongType
     # without spark.sql.legacy.parquet.nanosAsLong), tz-less micros → NTZ,
-    # tz-aware → TimestampType. Same conf-pure discipline as catalog.load.
-    arrow_ts = pq.read_schema(src).field("ts").type
+    # tz-aware → TimestampType. Same conf-pure discipline — and the same
+    # footer reader — as catalog.load: _footer_schema handles a
+    # directory-shaped events.parquet (multi-file table), where a raw
+    # pq.read_schema on the table path would raise, diverging batch from
+    # streaming on the same lake layout.
+    from nextgenetl_spark.catalog import _footer_schema
+
+    arrow_ts = _footer_schema(sf_dir, "events").field("ts").type
     if getattr(arrow_ts, "unit", None) == "ns":
         ts_type: T.DataType = T.LongType()
     elif getattr(arrow_ts, "tz", None) is None:
@@ -164,8 +168,14 @@ def run_memory_replay(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
-        q.stop()
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            # stop() in finally: if awaitTermination raises (e.g.
+            # StreamingQueryException) the query must not be left running
+            # with the memory sink name claimed — the next replay under the
+            # same name would fail forever.
+            q.stop()
     return spark.table(name)
 
 

@@ -82,24 +82,33 @@ DEBOUNCE_GAP_US = 300_000_000  # 5 minutes
 def _debounce_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    # Groups are typically tiny (tens of rows), so per-group fixed cost is
+    # the hot path: avoid pd.concat for the single-chunk case and sort via
+    # numpy lexsort instead of DataFrame.sort_values (no index machinery).
+    import numpy as np
+
     user_id, event_type = key
     last = state.get[0] if state.exists else None
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows.sort_values(["ts_us", "event_id"])
-    keep_ids, keep_ts = [], []
-    for ev, ts in zip(rows["event_id"], rows["ts_us"]):
-        ts = int(ts)
-        if last is None or ts - last > DEBOUNCE_GAP_US:
-            keep_ids.append(int(ev))
-            keep_ts.append(ts)
-            last = ts
+    chunks = list(pdfs)
+    rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    ev = rows["event_id"].to_numpy()
+    ts = rows["ts_us"].to_numpy()
+    order = np.lexsort((ev, ts))
+    keep: list[int] = []
+    for i in order:
+        t = int(ts[i])
+        if last is None or t - last > DEBOUNCE_GAP_US:
+            keep.append(i)
+            last = t
     state.update((last,))
+    idx = np.asarray(keep, dtype="int64")
+    n = len(idx)
     yield pd.DataFrame(
         {
-            "event_id": pd.Series(keep_ids, dtype="int64"),
-            "user_id": pd.Series([user_id] * len(keep_ids), dtype="int64"),
-            "event_type": pd.Series([event_type] * len(keep_ids), dtype="object"),
-            "ts_us": pd.Series(keep_ts, dtype="int64"),
+            "event_id": ev[idx].astype("int64", copy=False),
+            "user_id": np.full(n, user_id, dtype="int64"),
+            "event_type": pd.Series([event_type] * n, dtype="object"),
+            "ts_us": ts[idx].astype("int64", copy=False),
         }
     )
 

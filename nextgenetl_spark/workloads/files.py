@@ -23,7 +23,13 @@ CALLER_SETS = ["muse", "muse;mutect2", "mutect2;varscan2*", "muse;mutect2;pindel
 
 
 def _fixture_dir(sf_dir: str) -> str:
-    d = f"/tmp/nextgenetl_fixtures/{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    # Keyed by CONTENT fingerprint of part.parquet (the table every text
+    # fixture derives from), not by path: regenerating testdata in place
+    # gets fresh fixtures instead of silently reusing the old corpus.
+    from nextgenetl_spark.staging import content_fingerprint
+
+    fp = content_fingerprint(os.path.join(sf_dir, "part.parquet"))
+    d = f"/tmp/nextgenetl_fixtures/{fp}"
     os.makedirs(d, exist_ok=True)
     return d
 
@@ -339,12 +345,15 @@ def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality filter resolves against partition metadata only.
 
     The partitioned staging is a ONE-TIME lake-layout step, not part of the
-    query — it is cached per source dir (keyed by path hash, _SUCCESS
-    checked) so repeated runs measure the pruned read, exactly like a real
-    lake where the layout already exists."""
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"ngetl_part_{key}")
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+    query — cached per source CONTENT (fingerprint over size+mtime of every
+    orders data file, _COMPLETE-markered) so repeated runs measure the
+    pruned read, exactly like a real lake where the layout already exists,
+    while an in-place regeneration of orders.parquet restages instead of
+    silently serving the old lake."""
+    from nextgenetl_spark.staging import mark_complete, staged_dir
+
+    stage, complete = staged_dir("ngetl_part", os.path.join(sf_dir, "orders.parquet"))
+    if not complete:
         o = spark.read.parquet(f"{sf_dir}/orders.parquet")
         (
             o.withColumn("o_year", F.year("o_orderdate"))
@@ -352,6 +361,7 @@ def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("o_year")
             .parquet(stage)
         )
+        mark_complete(stage)
     po = spark.read.parquet(stage)
     return (
         po.filter(F.col("o_year") == 1996)

@@ -273,18 +273,22 @@ def stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cells hive-partitioned by cell_id, _SUCCESS-checked cache) — the
     stream never rescans the corpus. Probing ALL cells makes the streamed
     result exactly brute force, so the whole serving path shares the
-    brute-force oracle."""
-    import hashlib
+    brute-force oracle.
+
+    The index cache is keyed by CONTENT fingerprint (size+mtime of every
+    source data file) with a _COMPLETE marker, not by path: regenerating
+    embeddings.parquet in place gets a fresh index, and a crashed partial
+    build is rebuilt, never probed."""
     import os
-    import tempfile
 
     from nextgenetl_spark.operators.similarity import build_ivf_index, ivf_query_index
+    from nextgenetl_spark.staging import mark_complete, staged_dir
     from nextgenetl_spark.streaming.source import embeddings_stream
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    idx = os.path.join(tempfile.gettempdir(), f"ngetl_ivf_{key}")
-    if not os.path.exists(os.path.join(idx, "centroids", "_SUCCESS")):
+    idx, complete = staged_dir("ngetl_ivf", os.path.join(sf_dir, "embeddings.parquet"))
+    if not complete:
         build_ivf_index(load(spark, sf_dir, "embeddings"), idx, k_centroids=16, refine_iters=1)
+        mark_complete(idx)
 
     results: list = []
 

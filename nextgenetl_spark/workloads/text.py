@@ -414,19 +414,27 @@ def term_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both engines because the hash family is shared. Completes
     the mergeable-sketch family: HLL for distincts (hll_user_rollup), CMS
     for frequencies — per-shard sketch tables union-merge by summing cnt,
-    answering frequency queries at any grain without re-scanning text."""
+    answering frequency queries at any grain without re-scanning text.
+
+    ONE tokenize scan: the (term, count) aggregate is lazily checkpointed
+    and feeds BOTH the exact-top-20 pass and the weighted sketch build
+    (cms_build weight_col — bit-identical to the raw-stream sketch, but
+    hashing |vocab| rows instead of |tokens|)."""
     from nextgenetl_spark.operators.agg import cms_build, cms_estimate
 
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(TS.tokens("text")).alias("term"))
-    top20 = (
+    term_counts = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("true_count"))
-        .orderBy(F.desc("true_count"), "term")
+        .localCheckpoint(eager=False)
+    )
+    top20 = (
+        term_counts.orderBy(F.desc("true_count"), "term")
         .limit(20)
         .select("term")
     )
-    cms = cms_build(toks, "term", depth=4, width=1024)
+    cms = cms_build(term_counts, "term", depth=4, width=1024, weight_col="true_count")
     return cms_estimate(cms, top20, "term", depth=4, width=1024)
 
 
@@ -1791,27 +1799,24 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract. At 100 TB: the index is a one-time cost per release; each
     daily batch's probe shuffles band hashes only, and the verify join
     touches only candidates."""
-    import hashlib
     import os
+
+    from nextgenetl_spark.staging import mark_complete, staged_dir
 
     d = load(spark, sf_dir, "documents")
     hist = d.filter(F.col("doc_id") < 400)
     new = d.filter(F.col("doc_id") >= 400)
-    # Cache key = CONTENT fingerprint (path + size + mtime of the source
-    # parquet), not path alone: a regenerated documents.parquet at the same
-    # path gets a fresh index instead of silently probing a stale one.
-    src = os.path.abspath(f"{sf_dir}/documents.parquet")
-    st = os.stat(src)
-    fp = hashlib.md5(f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:12]
-    index_dir = "/tmp/nextgenetl_minhash_idx/" + fp
-    # build once per corpus release (the capability's real cost shape —
-    # same cached-staging treatment as the partition_pruning demo), so
-    # repeat runs measure the PROBE, not a rebuild. The _COMPLETE marker is
-    # written only after build_minhash_index returns, so a crashed partial
-    # build is rebuilt, never probed.
-    marker = f"{index_dir}/_COMPLETE"
-    if not os.path.exists(marker):
+    # Cache key = CONTENT fingerprint (size + mtime of every source data
+    # file — staging.content_fingerprint), not path alone: a regenerated
+    # documents.parquet at the same path gets a fresh index instead of
+    # silently probing a stale one. Build once per corpus release (the
+    # capability's real cost shape — same cached-staging treatment as the
+    # partition_pruning demo), so repeat runs measure the PROBE, not a
+    # rebuild. The _COMPLETE marker is written only after
+    # build_minhash_index returns, so a crashed partial build is rebuilt,
+    # never probed.
+    index_dir, complete = staged_dir("ngetl_minhash_idx", os.path.join(sf_dir, "documents.parquet"))
+    if not complete:
         D.build_minhash_index(index_dir, hist)
-        with open(marker, "w") as fh:
-            fh.write(fp)
+        mark_complete(index_dir)
     return D.query_minhash_index(spark, index_dir, new, threshold=0.5)

@@ -1,0 +1,145 @@
+"""Round-4 hardening regressions: schema-pinned TSV export round-trip,
+write_bucketed crash-residue idempotency, content-fingerprinted staging
+caches, fixed-width short-file error."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_export_csv_writes_schema_sidecar(spark, tmp_path):
+    """Pipeline export_csv persists the writer schema as _schema.json."""
+    from nextgenetl_spark.plans.pipeline import Pipeline
+    from nextgenetl_spark.schemas import load_schema_types
+
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.5)], "k long, v string, bal double")
+    pipe = Pipeline(spark, warehouse=str(tmp_path))
+    pipe.register("t", df)
+    pipe.run_step(
+        {"name": "e", "dest": "out", "sql": "SELECT * FROM t", "export_csv": "out_tsv"}
+    )
+    sidecar = tmp_path / "out_tsv" / "_schema.json"
+    assert sidecar.exists()
+    types = load_schema_types(str(sidecar))
+    assert types == {"k": "INT64", "v": "STRING", "bal": "FLOAT64"}
+
+
+def test_read_tsv_sidecar_pins_types_over_degenerate_first_file(spark, tmp_path):
+    """The S9 hash-mismatch mechanism, forced: the lexicographically-first
+    part file samples a double column as all-integral (head-of-first-file
+    inference would re-type it INT64 and truncate every fractional value in
+    OTHER files); the _schema.json sidecar pins FLOAT64 so the read-back is
+    partitioning-insensitive."""
+    from nextgenetl_spark.schemas import save_schema
+    from nextgenetl_spark.sources.tsv import read_tsv
+
+    d = tmp_path / "exp"
+    d.mkdir()
+    (d / "part-00000.csv").write_text("k\tbal\n1\t10.0\n2\t20.0\n")
+    (d / "part-00001.csv").write_text("k\tbal\n3\t2.5\n")
+
+    # without the sidecar: first-file inference re-types bal to INT64
+    plain = read_tsv(spark, str(d), sep="\t")
+    assert dict(plain.dtypes)["bal"] == "bigint"
+
+    save_schema(str(d / "_schema.json"), {"k": "INT64", "bal": "FLOAT64"})
+    pinned = read_tsv(spark, str(d), sep="\t")
+    assert dict(pinned.dtypes)["bal"] == "double"
+    vals = {r["k"]: r["bal"] for r in pinned.collect()}
+    assert vals == {1: 10.0, 2: 20.0, 3: 2.5}
+
+
+def test_tsv_export_roundtrip_under_varied_partitioning(spark, tmp_path):
+    """End-to-end S9 shape at adversarial partitioning: many small part
+    files, fractional values isolated away from the first file. The
+    sidecar-pinned read-back must reproduce the source exactly."""
+    from nextgenetl_spark.plans.pipeline import Pipeline
+    from nextgenetl_spark.sources.tsv import read_tsv
+
+    rows = [(i, float(i)) for i in range(1, 40)] + [(99, 0.25)]
+    df = spark.createDataFrame(rows, "k long, bal double").repartition(8)
+    pipe = Pipeline(spark, warehouse=str(tmp_path))
+    pipe.register("src", df)
+    pipe.run_step(
+        {"name": "e", "dest": "out", "sql": "SELECT * FROM src", "export_csv": "t", "sep": "\t"}
+    )
+    back = read_tsv(spark, str(tmp_path / "t"), sep="\t")
+    assert dict(back.dtypes)["bal"] == "double"
+    assert sorted(r["bal"] for r in back.collect()) == sorted(b for _, b in rows)
+
+
+def test_write_bucketed_survives_stale_warehouse_dir(spark):
+    """Crash residue: an orphaned spark-warehouse/<table> dir with no
+    metastore entry must not fail saveAsTable forever (round-3 verdict
+    What's-wrong #2)."""
+    from nextgenetl_spark.plans.bucketing import write_bucketed
+
+    table = "b_stale_regression"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    loc = os.path.join(warehouse, table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "orphan.parquet"), "w") as fh:
+        fh.write("residue")
+    try:
+        df = spark.range(100).withColumn("k", F.col("id") % 10)
+        write_bucketed(df, table, "k", num_buckets=4)
+        assert spark.table(table).count() == 100
+        # and a second overwrite (registered-table path) still works
+        write_bucketed(df, table, "k", num_buckets=4)
+        assert spark.table(table).count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_staging_fingerprint_tracks_content(tmp_path):
+    """Regenerating a source in place must change the cache key; an
+    incomplete build (no _COMPLETE marker) must report not-complete."""
+    from nextgenetl_spark.staging import content_fingerprint, mark_complete, staged_dir
+
+    src = tmp_path / "t.parquet"
+    src.write_bytes(b"v1")
+    fp1 = content_fingerprint(str(src))
+    d1, complete = staged_dir("ngetl_test_stage", str(src))
+    assert not complete
+    mark_complete(d1)
+    _, complete = staged_dir("ngetl_test_stage", str(src))
+    assert complete
+
+    src.write_bytes(b"v2-longer")  # in-place regeneration
+    fp2 = content_fingerprint(str(src))
+    assert fp1 != fp2
+    d2, complete = staged_dir("ngetl_test_stage", str(src))
+    assert d2 != d1 and not complete
+
+    # directory-shaped source: fingerprint covers every data file
+    dsrc = tmp_path / "dir.parquet"
+    dsrc.mkdir()
+    (dsrc / "part-0.parquet").write_bytes(b"a")
+    (dsrc / "_SUCCESS").write_bytes(b"")
+    fp3 = content_fingerprint(str(dsrc))
+    (dsrc / "part-1.parquet").write_bytes(b"b")
+    assert content_fingerprint(str(dsrc)) != fp3
+
+    shutil.rmtree(d1, ignore_errors=True)
+
+
+def test_fixed_width_short_first_file_raises(spark, tmp_path):
+    """A first file shorter than skip_leading_rows gets a clear error, not
+    a StopIteration surfacing as an opaque RuntimeError."""
+    from nextgenetl_spark.sources.fixed_width import read_fixed_width
+
+    f = tmp_path / "empty.txt"
+    f.write_text("")
+    with pytest.raises(ValueError, match="header"):
+        read_fixed_width(
+            spark, str(f), fields=[("k", 1, 4)], skip_leading_rows=1
+        )

@@ -59,6 +59,26 @@ QUERIES = [
 ]
 
 
+# Each replicated key column belongs to a key DOMAIN anchored at its PK
+# table: the stride is derived ONCE from the PK table's max and applied to
+# every column in the domain (PK and FKs alike). Per-column strides from
+# each column's own max only align FK pairs when the FK's max happens to
+# equal the PK's; on data where an FK under-covers its domain, copies would
+# silently mis-join and corrupt the scale ratios / plan-flip report.
+DOMAINS = {
+    "o_orderkey": ("orders", "o_orderkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "c_custkey": ("customer", "c_custkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),  # no PK table; its own max IS the domain max
+}
+
+
 def build_scaled(spark, mult: int) -> str:
     key = hashlib.md5(f"{os.path.abspath(SF_DIR)}|{mult}".encode()).hexdigest()[:12]
     out = os.path.join("/tmp", f"ngetl_scale_{mult}x_{key}")
@@ -67,14 +87,15 @@ def build_scaled(spark, mult: int) -> str:
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     copies = spark.range(mult).withColumnRenamed("id", "_copy")
+    domain_stride: dict[tuple[str, str], int] = {}
+    for table, pk in set(DOMAINS.values()):
+        df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+        domain_stride[(table, pk)] = int(df.agg(F.max(pk)).first()[0]) + 1
     for name, keys in REPLICATED.items():
         df = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
-        strides = {
-            k: int(df.agg(F.max(k)).first()[0]) + 1 for k in keys
-        }
         rep = df.crossJoin(F.broadcast(copies))
-        for k, stride in strides.items():
-            rep = rep.withColumn(k, F.col(k) + F.col("_copy") * F.lit(stride))
+        for k in keys:
+            rep = rep.withColumn(k, F.col(k) + F.col("_copy") * F.lit(domain_stride[DOMAINS[k]]))
         rep.drop("_copy").write.mode("overwrite").parquet(f"{out}/{name}.parquet")
     for name in COPIED:
         src = f"{SF_DIR}/{name}.parquet"
