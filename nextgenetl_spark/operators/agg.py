@@ -146,3 +146,49 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def _bloom_bit(item: F.Column, probe: int, m_bits: int) -> F.Column:
+    """Probe-``probe``'s bit index for ``item``: 32-bit md5 prefix of
+    (probe || item), mod m_bits — the same engine-portable hash family as
+    the CMS/MinHash/SimHash sketches, so a SQL oracle replays the filter
+    bit-for-bit."""
+    h = F.md5(F.concat(F.lit(f"b{probe}|"), item))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m_bits
+
+
+def bloom_build(
+    df: DataFrame, item_col: str, m_bits: int = 65536, k_hashes: int = 4
+) -> DataFrame:
+    """Bloom filter as a TABLE of set bit indices: (bit,) distinct.
+
+    Completes the mergeable-sketch family — HLL (distinct counts), CMS
+    (frequencies), Bloom (membership). The sparse set-bit representation is
+    MERGEABLE BY SQL: union+distinct of per-shard/per-day bloom tables is
+    the bloom of the union, so a pipeline keeps ≤m_bits rows per cell and
+    answers no-false-negative membership at any coarser grain. At 100 TB
+    the filter is tiny (m_bits rows max) and BROADCASTS to probe any fact
+    table without shuffling it — the classic semi-join reducer for 'was
+    this URL/doc ever seen in the historical corpus'. One hash aggregate
+    over an in-row k-way expansion; the shuffle carries at most m_bits
+    partial rows per task regardless of corpus size."""
+    probes = F.array(*[_bloom_bit(F.col(item_col), p, m_bits) for p in range(k_hashes)])
+    return df.select(F.explode(probes).alias("bit")).distinct()
+
+
+def bloom_might_contain(
+    bloom: DataFrame, items: DataFrame, item_col: str,
+    m_bits: int = 65536, k_hashes: int = 4,
+) -> DataFrame:
+    """Probe the bloom table: might_contain = all k probe bits set.
+    No false negatives ever; false-positive rate ~(1-e^{-kn/m})^k.
+    The bloom side is bounded by m_bits rows → broadcast hash join against
+    the probe stream; the big side never shuffles."""
+    probes = F.array(*[_bloom_bit(F.col(item_col), p, m_bits) for p in range(k_hashes)])
+    q = items.select(F.col(item_col), F.explode(probes).alias("bit"))
+    hit = F.broadcast(bloom.withColumn("_set", F.lit(1)))
+    return (
+        q.join(hit, "bit", "left")
+        .groupBy(item_col)
+        .agg((F.count(F.col("_set")) == k_hashes).alias("might_contain"))
+    )

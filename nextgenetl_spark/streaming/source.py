@@ -13,6 +13,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _stage_symlinks(src: str, stage: str) -> None:
+    """Stage a table into a file-source landing directory via symlinks.
+    Spark's file stream source lists FILES in the directory (no recursion),
+    so a directory-shaped table (multi-file parquet) is staged by linking
+    each inner data file; a single-file table links as itself. New part
+    files appearing in the source dir are linked on the next call — the
+    incremental-landing shape a real deployment has natively."""
+    import glob as _glob
+    import os
+
+    os.makedirs(stage, exist_ok=True)
+    if os.path.isdir(src):
+        parts = [
+            p
+            for p in sorted(_glob.glob(os.path.join(src, "*.parquet")))
+            if not os.path.basename(p).startswith(("_", "."))
+        ]
+    else:
+        parts = [src]
+    for p in parts:
+        link = os.path.join(stage, os.path.basename(p))
+        if not os.path.exists(link):
+            os.symlink(p, link)
+
+
 def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -35,10 +60,7 @@ def docs_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | N
 
     src = os.path.abspath(f"{sf_dir}/documents.parquet")
     stage = f"/tmp/nextgenetl_streams/{hashlib.md5(src.encode()).hexdigest()[:12]}"
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    _stage_symlinks(src, stage)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -66,10 +88,7 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
 
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     stage = f"/tmp/nextgenetl_streams/{hashlib.md5(src.encode()).hexdigest()[:12]}"
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    _stage_symlinks(src, stage)
 
     # Footer-only probe (pyarrow, no Spark job, NO session conf) decides
     # the read type for ts: nanos → request LongType in the EXPLICIT stream
@@ -188,10 +207,7 @@ def embeddings_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: i
 
     src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
     stage = f"/tmp/nextgenetl_streams/{hashlib.md5(src.encode()).hexdigest()[:12]}"
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "embeddings.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    _stage_symlinks(src, stage)
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),

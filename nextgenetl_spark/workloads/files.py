@@ -553,3 +553,59 @@ def tsv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = read_tsv(spark, os.path.join(wh, "cust_tsv"), sep="\t")
     return back.select("cust_id", "name", "nation", F.round("bal", 2).alias("bal"))
+
+
+def _time_tsv_path(sf_dir: str) -> str:
+    """TSV with the full temporal column family rendered from events:
+    DATE ('YYYY-MM-DD'), TIME ('HH:MM:SS' — the reference type Spark lacks),
+    TIMESTAMP ('YYYY-MM-DD HH:MM:SS', second precision)."""
+    path = os.path.join(_fixture_dir(sf_dir), "temporal.tsv")
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT event_id, strftime(ts, '%Y-%m-%d'), strftime(ts, '%H:%M:%S'),
+                   strftime(ts, '%Y-%m-%d %H:%M:%S')
+            FROM '{sf_dir}/events.parquet' ORDER BY event_id"""
+    ).fetchall()
+    lines = ["event_id\tev_date\tev_time\tev_ts"]
+    for eid, d, t, dt in rows:
+        lines.append(f"{eid}\t{d}\t{t}\t{dt}")
+    _atomic_write(path, "\n".join(lines) + "\n")
+    return path
+
+
+@workload(
+    "time_ingest",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS event_id,
+           CAST(ts AS DATE) AS ev_date,
+           strftime(ts, '%H:%M:%S') AS ev_time,
+           date_trunc('second', CAST(ts AS TIMESTAMP)) AS ev_ts
+    FROM events
+    """,
+)
+def time_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pin of the documented TIME divergence (SURVEY §1.2;
+    reference type detection cda_bq_etl/data_helpers.py:679-695): a TSV with
+    DATE / TIME / TIMESTAMP columns infers to DATE → DateType, TIMESTAMP →
+    TimestampType, and TIME → **StringType** (Spark has no TimeType — the
+    'HH:MM:SS' text round-trips verbatim, never a shifted timestamp). Also
+    pins the lattice's ``*_id → STRING`` override (data_helpers.py:318-320):
+    the all-digit event_id column stays STRING by name. The inferred types
+    are asserted in-workload, so a silent lattice change fails the gate,
+    and the oracle re-derives every column from the source events table —
+    proving the string-typed TIME column is value-exact."""
+    from nextgenetl_spark.schemas import load_schema_types
+    from nextgenetl_spark.sources.tsv import read_tsv
+
+    tsv = _time_tsv_path(sf_dir)
+    schema_json = os.path.join(_fixture_dir(sf_dir), "schema_temporal.json")
+    df = read_tsv(spark, tsv, schema_path=schema_json)
+    types = load_schema_types(schema_json)
+    assert types == {
+        "event_id": "STRING",  # *_id lattice override — never numeric
+        "ev_date": "DATE",
+        "ev_time": "TIME",
+        "ev_ts": "TIMESTAMP",
+    }, f"temporal inference drifted: {types}"
+    assert dict(df.dtypes)["ev_time"] == "string"  # the documented divergence
+    return df.select("event_id", "ev_date", "ev_time", "ev_ts")

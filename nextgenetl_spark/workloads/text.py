@@ -1820,3 +1820,115 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.build_minhash_index(index_dir, hist)
         mark_complete(index_dir)
     return D.query_minhash_index(spark, index_dir, new, threshold=0.5)
+
+
+@workload(
+    "bloom_membership",
+    oracle="""
+    WITH fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+    bits AS (
+        SELECT DISTINCT
+               CAST(CONCAT('0x', substr(md5('b' || g.p || '|' || f), 1, 8)) AS BIGINT) % 4096 AS bit
+        FROM fp, generate_series(0, 3) AS g(p) WHERE doc_id < 400
+    ),
+    probes AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', substr(md5('b' || g.p || '|' || f), 1, 8)) AS BIGINT) % 4096 AS bit
+        FROM fp, generate_series(0, 3) AS g(p)
+    )
+    SELECT p.doc_id, (COUNT(b.bit) = 4) AS might_contain
+    FROM probes p LEFT JOIN bits b USING (bit)
+    GROUP BY p.doc_id
+    """,
+)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership with a full cross-engine oracle
+    (operators/agg.py bloom_build/bloom_might_contain): the history corpus
+    (doc_id < 400) is summarized as a 4096-bit / 4-hash bloom TABLE of set
+    bit indices, then EVERY doc's content fingerprint probes it — history
+    docs must all hit (no false negatives, structurally guaranteed), new
+    docs mostly miss with a deterministic, engine-identical false-positive
+    set (shared md5 hash family — DuckDB reconstructs the same bits).
+    Completes the mergeable-sketch family: HLL distincts, CMS frequencies,
+    Bloom membership. At 100 TB: the filter is ≤m_bits rows, broadcasts,
+    and pre-filters 'seen before?' probes without shuffling the corpus —
+    the cheap front gate of contamination / URL-dedup checks."""
+    from nextgenetl_spark.operators.agg import bloom_build, bloom_might_contain
+
+    d = load(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.md5("text").alias("f"))
+    bloom = bloom_build(fp.filter(F.col("doc_id") < 400), "f", m_bits=4096, k_hashes=4)
+    return (
+        bloom_might_contain(bloom, fp, "f", m_bits=4096, k_hashes=4)
+        .join(fp, "f")
+        .select("doc_id", "might_contain")
+    )
+
+
+@workload(
+    "bm25_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ('hash', 'join', 'vector') GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scores AS (
+        SELECT tf.doc_id,
+               SUM(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+        FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS score,
+           CAST(row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS INT) AS rank
+    FROM scores ORDER BY rank LIMIT 20
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed term
+    query over the corpus — the classical relevance scorer behind quality
+    filtering ('docs most about X') and retrieval-based curation. Pure
+    DataFrame composition: one tokenize scan feeds doc lengths and
+    term frequencies; document frequencies and the corpus stats are
+    single-row/broadcast joins; the per-(doc, term) score is a scan-stage
+    expression summed per doc. Rounds BEFORE ranking so the top-k frontier
+    is engine-stable. At scale nothing here is wider than (doc × query
+    term): the corpus shuffles once on doc_id for lengths, query terms are
+    filtered at the scan, and stats broadcast."""
+    from pyspark.sql.window import Window
+
+    terms = ["hash", "join", "vector"]
+    k1, b = 1.2, 0.75
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TS.tokens("text")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    part = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scores = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(part).alias("score"))
+    )
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 4)), F.col("doc_id"))
+    return (
+        scores.select("doc_id", F.round("score", 4).alias("score"),
+                      F.row_number().over(w).cast("int").alias("rank"))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )

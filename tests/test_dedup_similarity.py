@@ -926,3 +926,57 @@ def test_cms_never_underestimates_and_merges(spark):
     whole = cms_build(toks, "term")
     sym_diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
     assert sym_diff == 0
+
+
+def test_cms_weighted_build_equals_stream_build(spark):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.agg import cms_build
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    stream = cms_build(toks, "term")
+    weighted = cms_build(counts, "term", weight_col="n")
+    diff = stream.exceptAll(weighted).count() + weighted.exceptAll(stream).count()
+    assert diff == 0  # bit-identical sketch from |vocab| rows instead of |tokens|
+
+
+def test_bloom_no_false_negatives_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.agg import bloom_build, bloom_might_contain
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fp = d.select("doc_id", F.md5("text").alias("f"))
+    hist = fp.filter(F.col("doc_id") < 30)
+    bloom = bloom_build(hist, "f", m_bits=4096, k_hashes=4)
+    assert bloom.count() <= 30 * 4  # sparse set-bit table is bounded
+
+    res = {r["f"]: r["might_contain"]
+           for r in bloom_might_contain(bloom, fp, "f", m_bits=4096, k_hashes=4).collect()}
+    hist_fps = {r["f"] for r in hist.collect()}
+    for f in hist_fps:
+        assert res[f], "bloom false negative — structurally impossible"
+    # with 4096 bits and <=120 set, false positives among the rest are rare
+    fp_rate = sum(res[f] for f in set(res) - hist_fps) / max(1, len(set(res) - hist_fps))
+    assert fp_rate < 0.05
+
+    # mergeability: union+distinct of two halves' bit tables == whole build
+    a = bloom_build(hist.filter(F.col("doc_id") % 2 == 0), "f", m_bits=4096, k_hashes=4)
+    b = bloom_build(hist.filter(F.col("doc_id") % 2 == 1), "f", m_bits=4096, k_hashes=4)
+    merged = a.unionByName(b).distinct()
+    diff = merged.exceptAll(bloom).count() + bloom.exceptAll(merged).count()
+    assert diff == 0
+
+
+def test_bm25_scores_rank_term_heavy_docs_first(spark):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.workloads.text import bm25_topk
+
+    out = bm25_topk(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0 and out[0]["rank"] == 1
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)  # monotone by rank
+    assert all(s > 0 for s in scores)

@@ -213,3 +213,45 @@ def test_perceptual_hash_pixels_local_edit_small_hamming(spark):
     ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert ham(fps[1], fps[2]) <= 6
     assert ham(fps[1], fps[3]) > 6
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _pil_available(), reason="pillow not installed — pure PPM/BMP path covers this container")
+def test_pil_real_codec_leg_png_roundtrip(spark):
+    """The real-codec swap point (decode_blob_to_array tries PIL first):
+    with pillow installed, a PNG-encoded blob must decode to the exact
+    pixel array the pure path produces for the same image re-encoded as
+    PPM — proving the swap-in changes the container support, never the
+    pixels, and that the Spark decode_image plumbing is codec-agnostic."""
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    from nextgenetl_spark.operators.multimodal import (
+        decode_blob_to_array,
+        decode_image,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    PIL.Image.fromarray(arr).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    assert np.array_equal(decode_blob_to_array(png), arr)
+    assert np.array_equal(decode_blob_to_array(encode_ppm(arr)), arr)
+
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, blob binary")
+    out = decode_image(df).collect()[0]
+    assert (out["height"], out["width"], out["channels"]) == (9, 13, 3)
+    assert bytes(out["pixels"]) == arr.tobytes()

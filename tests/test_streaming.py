@@ -361,3 +361,24 @@ def test_replay_shuffle_cap_restores_on_error(spark):
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
     spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_events_stream_accepts_directory_shaped_table(spark, tmp_path):
+    """A directory-shaped events.parquet (multi-file lake table) must work
+    in streaming exactly like batch: the footer probe goes through the same
+    first-part-file glob as catalog.load, not a raw pq.read_schema on the
+    table path (which raises on directories)."""
+    import shutil
+
+    from nextgenetl_spark.streaming.source import run_memory_replay
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    # stage a directory-shaped copy: batch-read the single file, write a
+    # 2-file parquet DIRECTORY under the same table name
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    src.repartition(2).write.mode("overwrite").parquet(str(lake / "events.parquet"))
+    out = events_stream(spark, str(lake)).select("event_id", "ts", "user_id")
+    got = run_memory_replay(spark, out, "t_dir_events")
+    assert got.count() == src.count()
+    assert dict(got.dtypes)["ts"].startswith("timestamp")

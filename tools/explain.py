@@ -32,6 +32,9 @@ EXPECTED = {
     "ann_ivf_full_probe": {"BroadcastNestedLoopJoin"},
     # 1-row N-docs aggregate broadcast into every tf row — constant-size NLJ
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
+    # 1-row (avgdl, N) corpus-stats broadcast into every (doc, term) score
+    # row — same constant-size NLJ shape as tfidf_top_terms
+    "bm25_topk": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-total broadcast into every (doc, term) row — same shape
     "unigram_logprob_score": {"BroadcastNestedLoopJoin"},
     # 1-row (min,max) bounds row cross-joined to build the hour grid —
