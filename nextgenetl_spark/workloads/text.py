@@ -1932,3 +1932,59 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+@workload(
+    "stream_bloom_gate",
+    oracle="""
+    WITH fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+    bits AS (
+        SELECT DISTINCT
+               CAST(CONCAT('0x', substr(md5('b' || g.p || '|' || f), 1, 8)) AS BIGINT) % 4096 AS bit
+        FROM fp, generate_series(0, 3) AS g(p) WHERE doc_id < 400
+    ),
+    probes AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', substr(md5('b' || g.p || '|' || f), 1, 8)) AS BIGINT) % 4096 AS bit
+        FROM fp, generate_series(0, 3) AS g(p)
+    )
+    SELECT p.doc_id
+    FROM probes p LEFT JOIN bits b USING (bit)
+    GROUP BY p.doc_id
+    HAVING COUNT(b.bit) < 4
+    """,
+)
+def stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming Bloom ingest gate, oracle-verified: the documents
+    stream probes the historical corpus's bloom filter and only
+    DEFINITELY-new docs pass (might-contain rows route to the expensive
+    verify path — here they are simply dropped, matching the oracle's
+    HAVING < 4). Fully STATELESS: the bloom collapses to a single sorted
+    bit array (one row) joined in as a broadcast, and the probe is a pure
+    ``forall(probe_bits, array_contains)`` column expression — no state
+    store, no watermark, refreshing the bloom needs no query restart.
+    This is the scalable front gate stream_history_antijoin's exact
+    snapshot cannot be at 100 TB: the bloom is m_bits ≤ a few MB regardless
+    of history size, while the exact key snapshot grows with the corpus.
+    No false negatives, so nothing new is ever dropped; false positives
+    only cost a verify lookup."""
+    from nextgenetl_spark.operators.agg import _bloom_bit, bloom_build
+    from nextgenetl_spark.streaming.source import docs_stream, run_memory_replay
+
+    hist_fp = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(F.md5("text").alias("f"))
+    )
+    bloom = bloom_build(hist_fp, "f", m_bits=4096, k_hashes=4)
+    bits_row = bloom.agg(F.array_sort(F.collect_set("bit")).alias("bits"))
+
+    s = docs_stream(spark, sf_dir).select("doc_id", F.md5("text").alias("f"))
+    probes = F.array(*[_bloom_bit(F.col("f"), p, 4096) for p in range(4)])
+    out = (
+        s.join(F.broadcast(bits_row), F.lit(True), "inner")
+        .withColumn("mc", F.forall(probes, lambda b: F.array_contains(F.col("bits"), b)))
+        .filter(~F.col("mc"))
+        .select("doc_id")
+    )
+    return run_memory_replay(spark, out, "wl_stream_bloom_gate", "append")
