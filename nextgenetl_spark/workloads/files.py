@@ -559,7 +559,12 @@ def _time_tsv_path(sf_dir: str) -> str:
     """TSV with the full temporal column family rendered from events:
     DATE ('YYYY-MM-DD'), TIME ('HH:MM:SS' — the reference type Spark lacks),
     TIMESTAMP ('YYYY-MM-DD HH:MM:SS', second precision)."""
-    path = os.path.join(_fixture_dir(sf_dir), "temporal.tsv")
+    # this fixture derives from EVENTS (the dir key covers part.parquet),
+    # so the file name carries events' own content fingerprint
+    from nextgenetl_spark.staging import content_fingerprint
+
+    efp = content_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(_fixture_dir(sf_dir), f"temporal_{efp}.tsv")
     con = duckdb.connect()
     rows = con.sql(
         f"""SELECT event_id, strftime(ts, '%Y-%m-%d'), strftime(ts, '%H:%M:%S'),

@@ -58,6 +58,41 @@ def _scrub(d):
     )
 
 
+def _bloom_probe(d) -> int:
+    """Build a bloom over half the replicated corpus, probe all of it —
+    the ingest-gate cost shape (operators/agg.py)."""
+    from nextgenetl_spark.operators.agg import bloom_build, bloom_might_contain
+
+    fp = d.select("doc_id", F.md5("text").alias("f"))
+    half = fp.filter(F.col("doc_id") % 2 == 0)
+    bloom = bloom_build(half, "f", m_bits=262144, k_hashes=4)
+    return bloom_might_contain(bloom, fp, "f", m_bits=262144, k_hashes=4).count()
+
+
+def _bm25(d) -> int:
+    """In-plan variant of workloads/text.py bm25_topk over the replicated
+    corpus (same plan shape: one tokenize scan, broadcast stats)."""
+    from pyspark.sql.window import Window
+
+    toks = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n"))
+    tf = (
+        toks.filter(F.col("term").isin(["hash", "join", "vector"]))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    part = idf * F.col("tf") * 2.2 / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    scores = (
+        tf.join(F.broadcast(dfreq), "term").join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id").agg(F.sum(part).alias("score"))
+    )
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 4)), F.col("doc_id"))
+    return scores.select("doc_id", F.row_number().over(w).alias("rank")).filter(F.col("rank") <= 20).count()
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 5, 20]
     spark = get_spark("scale-smoke")
@@ -108,6 +143,11 @@ def main() -> None:
             # Cost should track corpus size (rows in, rows out), never a
             # pair space — there is no join wider than chunk-frequency.
             "boilerplate_scrub": lambda: _scrub(d).count(),
+            # bloom probe: the filter is ≤m_bits rows REGARDLESS of corpus
+            # size, so build+probe should grow only with the scan
+            "bloom_probe": lambda: _bloom_probe(d),
+            # BM25: one tokenize scan + (doc × query-term) rows; linear
+            "bm25": lambda: _bm25(d),
         }
         out = []
         for name, fn in steps.items():
