@@ -11,6 +11,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def nonnull_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
@@ -183,12 +184,80 @@ def bloom_might_contain(
     """Probe the bloom table: might_contain = all k probe bits set.
     No false negatives ever; false-positive rate ~(1-e^{-kn/m})^k.
     The bloom side is bounded by m_bits rows → broadcast hash join against
-    the probe stream; the big side never shuffles."""
+    the probe stream; the big side never shuffles. Returns one row per
+    DISTINCT item value — duplicate probe rows are collapsed BEFORE the
+    hit count, or N copies of a contained item would produce N×k hit rows
+    and fail the == k test (a false negative, the one thing a bloom must
+    never do)."""
     probes = F.array(*[_bloom_bit(F.col(item_col), p, m_bits) for p in range(k_hashes)])
-    q = items.select(F.col(item_col), F.explode(probes).alias("bit"))
+    q = items.select(item_col).distinct().select(F.col(item_col), F.explode(probes).alias("bit"))
     hit = F.broadcast(bloom.withColumn("_set", F.lit(1)))
     return (
         q.join(hit, "bit", "left")
         .groupBy(item_col)
         .agg((F.count(F.col("_set")) == k_hashes).alias("might_contain"))
+    )
+
+
+def qhist_build(
+    df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int = 256
+) -> DataFrame:
+    """Quantile histogram sketch as a TABLE: (bin, cnt) with ≤n_bins+2 rows.
+
+    Fourth member of the mergeable-sketch family (HLL distincts, CMS
+    frequencies, Bloom membership, QHIST quantiles): values bucket into
+    n_bins equal-width bins over [lo, hi) (bin -1 / n_bins catch under/
+    overflow), and per-bin counts SUM-merge across shards/days in plain
+    SQL — a daily pipeline keeps ≤n_bins+2 rows per cell and answers
+    quantile/CDF queries at any coarser grain without re-scanning values.
+    Deterministic integer arithmetic (floor on a fixed grid), so a SQL
+    oracle replays it exactly — unlike t-digest/KLL whose merge order
+    changes the sketch. Accuracy: quantile error ≤ one bin width of the
+    value range; widen n_bins or pre-split the range for heavy tails."""
+    span = hi - lo
+    # clamp on LONG before the int cast: a heavy-tail value far above hi
+    # would overflow the int cast (ANSI: job-crashing CAST_OVERFLOW;
+    # non-ANSI: silent wrap into an arbitrary bin) — exactly the input the
+    # overflow sentinel exists for. NaN is excluded with nulls: it compares
+    # false everywhere and would error in the cast.
+    v = F.col(value_col)
+    bin_ = F.when(v < lo, F.lit(-1)).otherwise(
+        F.least(
+            F.floor((v - lo) / span * n_bins), F.lit(n_bins).cast("long")
+        ).cast("int")
+    )
+    keep = v.isNotNull()
+    if isinstance(df.schema[value_col].dataType, (T.DoubleType, T.FloatType)):
+        keep = keep & ~F.isnan(v)
+    return (
+        df.where(keep)
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def qhist_quantiles(
+    qhist: DataFrame, quantiles: Sequence[float], lo: float, hi: float, n_bins: int = 256
+) -> DataFrame:
+    """Estimate quantiles from the sketch table: for each q, the LEFT EDGE
+    of the first bin whose cumulative count reaches q×total (the
+    step-CDF inverse — deterministic, no interpolation, so both engines
+    land on the identical grid value). Cost: one ≤n_bins-row window pass,
+    independent of the original data size."""
+    span = hi - lo
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = qhist.select(
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    qs = F.array(*[F.lit(float(q)) for q in quantiles])
+    hit = cum.select(
+        "bin", "cum", "total", F.explode(qs).alias("q")
+    ).where(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+    edge = F.lit(lo) + F.col("bin") * F.lit(span / n_bins)
+    return (
+        hit.groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+        .select("q", F.round(edge, 6).alias("value"))
     )

@@ -167,3 +167,43 @@ def nfc_normalize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return df.select(id_col, text_col).mapInPandas(
         norm, f"{id_col} {id_type}, text_nfc string, changed boolean"
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document for a fixed term query (Lucene idf
+    form: ln((N - df + 0.5)/(df + 0.5) + 1)). Returns (id, score), one row
+    per doc containing ≥1 query term.
+
+    ONE tokenize scan feeds both doc lengths and term frequencies; the
+    per-term document frequencies and the 1-row (avgdl, N) corpus stats
+    join in as broadcasts; the per-(doc, term) score is a scan-stage
+    expression summed per doc. At scale nothing here is wider than
+    (doc × query term): the corpus shuffles once on the id for lengths,
+    query terms are filtered at the scan, and stats broadcast."""
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n"))
+    tf = (
+        toks.filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    part = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(part).alias("score"))
+    )

@@ -27,18 +27,29 @@ from pyspark.sql import DataFrame, SparkSession
 def _clear_residual_location(spark: SparkSession, table: str) -> None:
     """Remove a managed-table directory left behind by a crashed run.
 
-    A killed write can leave ``spark-warehouse/<table>/`` on disk while the
+    A killed write can leave the managed location on disk while the
     (fresh or re-created) metastore has no such table: ``DROP TABLE IF
     EXISTS`` is then a no-op and every later ``saveAsTable`` fails with
     LOCATION_ALREADY_EXISTS — permanently, until someone hand-deletes the
-    dir. Only fires when the metastore does NOT know the table (a registered
-    table's location is owned by the DROP path, not us)."""
+    dir. Only fires when the metastore does NOT know the table (a
+    registered table's location is owned by the DROP path, not us), and
+    resolves the location the way Spark does — ``warehouse/<db>.db/<t>``
+    for a non-default database, ``warehouse/<t>`` for default — so a
+    table name scoped to one database can never rmtree another database's
+    directory."""
     if spark.catalog.tableExists(table):
         return
+    if "." in table:
+        db, name = table.rsplit(".", 1)
+    else:
+        db, name = spark.catalog.currentDatabase(), table
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     if warehouse.startswith("file:"):
         warehouse = warehouse[len("file:"):]
-    loc = os.path.join(warehouse, table.split(".")[-1].lower())
+    if db == "default":
+        loc = os.path.join(warehouse, name.lower())
+    else:
+        loc = os.path.join(warehouse, f"{db.lower()}.db", name.lower())
     if os.path.isdir(loc):
         shutil.rmtree(loc, ignore_errors=True)
 

@@ -12,7 +12,12 @@ returns, so a crashed partial build is rebuilt, never probed.
 
 This module is that pattern, shared: ``staged_dir`` hands back a
 fingerprint-keyed directory and whether it is complete; the caller builds
-into it and calls ``mark_complete``.
+into it and calls ``mark_complete``. The directory name carries BOTH a
+source-path key and the content fingerprint (``<prefix>_<pathkey>_<fp>``),
+so ``mark_complete`` can reap superseded fingerprints of the SAME source
+(bounded disk: one live artifact per source path) without ever touching a
+different source's cache — e.g. sf0.01's and sf0.1's IVF indexes coexist,
+but regenerating sf0.1 in place replaces sf0.1's old index.
 """
 
 from __future__ import annotations
@@ -20,6 +25,7 @@ from __future__ import annotations
 import glob
 import hashlib
 import os
+import shutil
 import tempfile
 
 _MARKER = "_COMPLETE"
@@ -45,19 +51,36 @@ def content_fingerprint(src_path: str) -> str:
     return hashlib.md5("\n".join(parts).encode()).hexdigest()[:12]
 
 
+def _path_key(src_path: str) -> str:
+    return hashlib.md5(os.path.abspath(src_path).encode()).hexdigest()[:8]
+
+
 def staged_dir(prefix: str, src_path: str) -> tuple[str, bool]:
     """(cache_dir, complete) for a derived artifact of ``src_path``.
 
     ``complete`` is True only when a prior build of the SAME source content
     finished (marker present); on False the caller must build into the dir
     and then call ``mark_complete``."""
-    d = os.path.join(tempfile.gettempdir(), f"{prefix}_{content_fingerprint(src_path)}")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{_path_key(src_path)}_{content_fingerprint(src_path)}",
+    )
     return d, os.path.exists(os.path.join(d, _MARKER))
 
 
 def mark_complete(cache_dir: str) -> None:
-    """Stamp a finished build. Written last, so a crash mid-build leaves an
-    incomplete (rebuilt-next-run) dir, never a half-index that gets probed."""
+    """Stamp a finished build, then reap superseded builds of the SAME
+    source (same prefix+pathkey, different fingerprint) so in-place source
+    regeneration never accumulates unbounded stale artifacts. The marker
+    is written first, so a crash mid-reap leaves the new build usable; a
+    crash mid-build (no marker) leaves a dir that is rebuilt, never
+    probed — and reaped by the next successful build."""
     os.makedirs(cache_dir, exist_ok=True)
     with open(os.path.join(cache_dir, _MARKER), "w", encoding="utf-8") as fh:
         fh.write(os.path.basename(cache_dir))
+    base = os.path.basename(cache_dir)
+    family = base.rsplit("_", 1)[0]  # <prefix>_<pathkey>
+    parent = os.path.dirname(cache_dir)
+    for sib in glob.glob(os.path.join(parent, f"{family}_*")):
+        if os.path.basename(sib) != base and os.path.isdir(sib):
+            shutil.rmtree(sib, ignore_errors=True)

@@ -1208,3 +1208,41 @@ def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nextgenetl_spark.streaming.source import run_memory_replay
 
     return run_memory_replay(spark, out, name, "append")
+
+
+@workload(
+    "value_quantile_sketch",
+    oracle="""
+    WITH h AS (
+        SELECT CASE WHEN value < 0 THEN -1
+                    ELSE LEAST(CAST(FLOOR(value / 500.0 * 256) AS INT), 256) END AS bin,
+               COUNT(*) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum, SUM(cnt) OVER () AS total FROM h),
+    hits AS (
+        SELECT v.q, MIN(c.bin) AS bin
+        FROM c, (VALUES (0.5), (0.9), (0.99)) AS v(q)
+        WHERE c.cum >= CEIL(v.q * c.total)
+        GROUP BY v.q
+    )
+    SELECT CAST(q AS DOUBLE) AS q, ROUND(bin * 500.0 / 256, 6) AS value FROM hits
+    """,
+)
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-histogram sketch with a full cross-engine oracle
+    (operators/agg.py qhist_build/qhist_quantiles): event values bucket
+    onto a fixed 256-bin grid over [0, 500); p50/p90/p99 come from the
+    step-CDF inverse over the ≤258-row sketch table. Completes the
+    mergeable-sketch family — HLL distincts, CMS frequencies, Bloom
+    membership, QHIST quantiles — all as plain SQL-mergeable TABLES
+    (per-shard histograms SUM-merge), all hash/grid-deterministic so
+    DuckDB replays them exactly (t-digest/KLL cannot be oracle-checked
+    this way: their merges are order-sensitive). At 100 TB: one scan-stage
+    bucketing + a ≤n_bins-row shuffle per cell; quantile queries never
+    re-scan values, and re-aggregating day→month→year merges bin counts."""
+    from nextgenetl_spark.operators.agg import qhist_build, qhist_quantiles
+
+    e = load(spark, sf_dir, "events")
+    h = qhist_build(e, "value", lo=0.0, hi=500.0, n_bins=256)
+    return qhist_quantiles(h, [0.5, 0.9, 0.99], lo=0.0, hi=500.0, n_bins=256)

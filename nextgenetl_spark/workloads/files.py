@@ -565,6 +565,10 @@ def _time_tsv_path(sf_dir: str) -> str:
 
     efp = content_fingerprint(os.path.join(sf_dir, "events.parquet"))
     path = os.path.join(_fixture_dir(sf_dir), f"temporal_{efp}.tsv")
+    if os.path.exists(path):
+        # the fingerprint-keyed file already exists — skip the full events
+        # scan + driver-side fetchall (this runs inside the timed workload)
+        return path
     con = duckdb.connect()
     rows = con.sql(
         f"""SELECT event_id, strftime(ts, '%Y-%m-%d'), strftime(ts, '%H:%M:%S'),

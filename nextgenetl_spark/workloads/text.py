@@ -1902,28 +1902,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered at the scan, and stats broadcast."""
     from pyspark.sql.window import Window
 
-    terms = ["hash", "join", "vector"]
-    k1, b = 1.2, 0.75
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(TS.tokens("text")).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n"))
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-    part = idf * F.col("tf") * (k1 + 1) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-    )
-    scores = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(part).alias("score"))
+    scores = TS.bm25_scores(
+        load(spark, sf_dir, "documents"), terms=["hash", "join", "vector"], k1=1.2, b=0.75
     )
     w = Window.orderBy(F.desc(F.round(F.col("score"), 4)), F.col("doc_id"))
     return (

@@ -980,3 +980,50 @@ def test_bm25_scores_rank_term_heavy_docs_first(spark):
     scores = [r["score"] for r in out]
     assert scores == sorted(scores, reverse=True)  # monotone by rank
     assert all(s > 0 for s in scores)
+
+
+def test_qhist_quantiles_within_bin_width_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.agg import qhist_build, qhist_quantiles
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lo, hi, n_bins = 0.0, 500.0, 256
+    h = qhist_build(e, "value", lo, hi, n_bins)
+    assert h.count() <= n_bins + 2  # sketch is bounded regardless of rows
+
+    got = {r["q"]: r["value"] for r in qhist_quantiles(h, [0.5, 0.9], lo, hi, n_bins).collect()}
+    exact = e.approxQuantile("value", [0.5, 0.9], 0.0)
+    width = (hi - lo) / n_bins
+    assert abs(got[0.5] - exact[0]) <= width  # error ≤ one bin width
+    assert abs(got[0.9] - exact[1]) <= width
+
+    # mergeability: SUM-merge of two halves' sketch tables == whole build
+    a = qhist_build(e.filter(F.col("event_id") % 2 == 0), "value", lo, hi, n_bins)
+    b = qhist_build(e.filter(F.col("event_id") % 2 == 1), "value", lo, hi, n_bins)
+    merged = a.unionByName(b).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    whole = qhist_build(e, "value", lo, hi, n_bins)
+    diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert diff == 0
+
+    # under/overflow land in the sentinel bins, never lost — including a
+    # heavy-tail value big enough to overflow a pre-clamp int cast (the
+    # round-4 review's CAST_OVERFLOW repro) and NaN (excluded with nulls)
+    oob = spark.createDataFrame(
+        [(-5.0,), (9999.0,), (8.39e9,), (float("nan"),), (None,)], "value double"
+    )
+    hb = {r["bin"]: r["cnt"] for r in qhist_build(oob, "value", lo, hi, n_bins).collect()}
+    assert hb == {-1: 1, n_bins: 2}
+
+
+def test_bloom_probe_with_duplicate_items_has_no_false_negative(spark):
+    """Round-4 review repro: N duplicate rows of a contained item must
+    still probe True — the hit count is per DISTINCT item, never inflated
+    by probe-row multiplicity."""
+    from nextgenetl_spark.operators.agg import bloom_build, bloom_might_contain
+
+    items = spark.createDataFrame([("a",), ("a",), ("b",)], "f string")
+    bloom = bloom_build(spark.createDataFrame([("a",)], "f string"), "f", m_bits=256, k_hashes=4)
+    got = {r["f"]: r["might_contain"] for r in
+           bloom_might_contain(bloom, items, "f", m_bits=256, k_hashes=4).collect()}
+    assert got["a"] is True  # was a false negative before the distinct()

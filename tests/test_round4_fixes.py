@@ -120,6 +120,18 @@ def test_staging_fingerprint_tracks_content(tmp_path):
     d2, complete = staged_dir("ngetl_test_stage", str(src))
     assert d2 != d1 and not complete
 
+    # an unrelated source's completed cache must survive the reap below
+    other = tmp_path / "other.parquet"
+    other.write_bytes(b"other")
+    d_other, _ = staged_dir("ngetl_test_stage", str(other))
+    mark_complete(d_other)
+
+    # completing the new build reaps the superseded fingerprint of the
+    # SAME source (bounded disk) but never another source's cache
+    mark_complete(d2)
+    assert not os.path.exists(d1), "superseded build not reaped"
+    assert os.path.exists(d_other), "different source's cache was reaped"
+
     # directory-shaped source: fingerprint covers every data file
     dsrc = tmp_path / "dir.parquet"
     dsrc.mkdir()
@@ -129,7 +141,8 @@ def test_staging_fingerprint_tracks_content(tmp_path):
     (dsrc / "part-1.parquet").write_bytes(b"b")
     assert content_fingerprint(str(dsrc)) != fp3
 
-    shutil.rmtree(d1, ignore_errors=True)
+    shutil.rmtree(d2, ignore_errors=True)
+    shutil.rmtree(d_other, ignore_errors=True)
 
 
 def test_fixed_width_short_first_file_raises(spark, tmp_path):

@@ -35,6 +35,10 @@ EXPECTED = {
     # 1-row (avgdl, N) corpus-stats broadcast into every (doc, term) score
     # row — same constant-size NLJ shape as tfidf_top_terms
     "bm25_topk": {"BroadcastNestedLoopJoin"},
+    # the CDF window runs over the ≤n_bins+2-row SKETCH table, not data —
+    # a single partition of ≤258 rows is the point, not a funnel; the
+    # quantile probe explode is a constant-size NLJ over the same table
+    "value_quantile_sketch": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
     # 1-row corpus-total broadcast into every (doc, term) row — same shape
     "unigram_logprob_score": {"BroadcastNestedLoopJoin"},
     # 1-row (min,max) bounds row cross-joined to build the hour grid —

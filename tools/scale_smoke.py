@@ -70,25 +70,13 @@ def _bloom_probe(d) -> int:
 
 
 def _bm25(d) -> int:
-    """In-plan variant of workloads/text.py bm25_topk over the replicated
-    corpus (same plan shape: one tokenize scan, broadcast stats)."""
+    """The SAME bm25_scores operator the bm25_topk workload uses, over the
+    replicated corpus — scale-smoke validates the shipped computation."""
     from pyspark.sql.window import Window
 
-    toks = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n"))
-    tf = (
-        toks.filter(F.col("term").isin(["hash", "join", "vector"]))
-        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-    part = idf * F.col("tf") * 2.2 / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
-    scores = (
-        tf.join(F.broadcast(dfreq), "term").join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id").agg(F.sum(part).alias("score"))
-    )
+    from nextgenetl_spark.operators.textstats import bm25_scores
+
+    scores = bm25_scores(d, terms=["hash", "join", "vector"])
     w = Window.orderBy(F.desc(F.round(F.col("score"), 4)), F.col("doc_id"))
     return scores.select("doc_id", F.row_number().over(w).alias("rank")).filter(F.col("rank") <= 20).count()
 
