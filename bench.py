@@ -129,6 +129,11 @@ HEADLINE = {
     "term_cms_counts": "collect",
     "fixed_width_load": "count",
     "doc_chunk_overlap": "count",
+    "bloom_membership": "count",
+    "bm25_topk": "collect",
+    "stream_bloom_gate": "count",
+    "value_quantile_sketch": "collect",
+    "time_ingest": "count",
 }
 
 
