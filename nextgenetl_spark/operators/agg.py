@@ -237,27 +237,36 @@ def qhist_build(
 
 
 def qhist_quantiles(
-    qhist: DataFrame, quantiles: Sequence[float], lo: float, hi: float, n_bins: int = 256
+    qhist: DataFrame, quantiles: Sequence[float], lo: float, hi: float,
+    n_bins: int = 256, by: Sequence[str] = (),
 ) -> DataFrame:
     """Estimate quantiles from the sketch table: for each q, the LEFT EDGE
     of the first bin whose cumulative count reaches q×total (the
     step-CDF inverse — deterministic, no interpolation, so both engines
-    land on the identical grid value). Cost: one ≤n_bins-row window pass,
-    independent of the original data size."""
+    land on the identical grid value). Cost: one ≤n_bins-row window pass
+    per cell, independent of the original data size.
+
+    ``by``: grouping columns for a PER-CELL sketch table (e.g. the
+    (window, bin, cnt) output of a windowed streaming build) — quantiles
+    come out per cell, and the global form is the empty-``by`` special
+    case (whose single-partition window is sketch-table-sized, ≤n_bins+2
+    rows, never data-sized)."""
+    by = list(by)
     span = hi - lo
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(*by).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = qhist.select(
+        *by,
         "bin",
         F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+        F.sum("cnt").over(Window.partitionBy(*by)).alias("total"),
     )
     qs = F.array(*[F.lit(float(q)) for q in quantiles])
     hit = cum.select(
-        "bin", "cum", "total", F.explode(qs).alias("q")
+        *by, "bin", "cum", "total", F.explode(qs).alias("q")
     ).where(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
     edge = F.lit(lo) + F.col("bin") * F.lit(span / n_bins)
     return (
-        hit.groupBy("q")
+        hit.groupBy(*by, "q")
         .agg(F.min("bin").alias("bin"))
-        .select("q", F.round(edge, 6).alias("value"))
+        .select(*by, "q", F.round(edge, 6).alias("value"))
     )

@@ -1246,3 +1246,62 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     h = qhist_build(e, "value", lo=0.0, hi=500.0, n_bins=256)
     return qhist_quantiles(h, [0.5, 0.9, 0.99], lo=0.0, hi=500.0, n_bins=256)
+
+
+@workload(
+    "stream_value_quantiles",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+               CASE WHEN value < 0 THEN -1
+                    ELSE LEAST(CAST(FLOOR(value / 500.0 * 64) AS INT), 64) END AS bin,
+               COUNT(*) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT window_start, bin,
+               SUM(cnt) OVER (PARTITION BY window_start ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY window_start) AS total
+        FROM h
+    ),
+    hits AS (
+        SELECT window_start, v.q, MIN(bin) AS bin
+        FROM c, (VALUES (0.5), (0.95)) AS v(q)
+        WHERE cum >= CEIL(v.q * total)
+        GROUP BY 1, 2
+    )
+    SELECT window_start, CAST(q AS DOUBLE) AS q,
+           ROUND(bin * 500.0 / 64, 6) AS value
+    FROM hits
+    """,
+)
+def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-window quantile monitoring via the mergeable QHIST
+    sketch (operators/agg.py): the events stream aggregates (1-hour window
+    × 64-bin value histogram) — the windowed form of qhist_build — and the
+    per-window p50/p95 are read off the sketch with the partitioned
+    step-CDF inverse (qhist_quantiles by=window). The streaming state is
+    ≤n_bins+2 counters per open window (bounded regardless of event
+    volume), which is the entire point: exact streaming percentiles need
+    every value in state, the sketch needs 66 longs. Grid determinism
+    gives the full cross-engine oracle no t-digest/KLL stream could.
+    At scale: late data folds into the same (window, bin) counters, and
+    day→month rollups SUM-merge the per-window sketch tables."""
+    from nextgenetl_spark.operators.agg import qhist_quantiles
+    from nextgenetl_spark.streaming.source import events_stream, run_memory_replay
+
+    lo, hi, nb = 0.0, 500.0, 64
+    e = events_stream(spark, sf_dir)
+    v = F.col("value")
+    bin_ = F.when(v < lo, F.lit(-1)).otherwise(
+        F.least(F.floor((v - lo) / (hi - lo) * nb), F.lit(nb).cast("long")).cast("int")
+    )
+    agg = (
+        e.where(v.isNotNull() & ~F.isnan(v))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "bin", "cnt")
+    )
+    sketch = run_memory_replay(spark, agg, "wl_stream_qhist", "complete")
+    return qhist_quantiles(sketch, [0.5, 0.95], lo, hi, nb, by=["window_start"])
