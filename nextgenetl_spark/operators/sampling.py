@@ -118,3 +118,49 @@ def shard_shuffle(
         df.withColumn("shard", shard)
         .withColumn("shuffle_rank", F.row_number().over(w))
     )
+
+
+def temperature_budget_sample(
+    df: DataFrame,
+    base_budget: int,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling: each group's token budget is
+    ``floor(base_budget * (T_g / T_max)^alpha)`` — the largest group gets
+    ``base_budget`` tokens and smaller groups are UP-weighted relative to
+    their raw share (alpha < 1 flattens the mix toward uniform, the
+    standard pretraining rebalance; alpha = 1 is proportional, alpha = 0
+    uniform). Rows are then taken in deterministic md5-hash order until
+    the running token sum hits the group's budget (token_budget_sample's
+    discipline, per-group budgets).
+
+    Normalizing by T_max instead of sum(T^alpha) keeps the arithmetic a
+    chain of EXACTLY-ROUNDED IEEE ops (one divide, one sqrt for
+    alpha = 0.5, one multiply, floor) with no float reduction whose
+    addition order could differ across engines/partitionings — so the
+    kept set is bit-reproducible and SQL-oracle-checkable. Scale shape:
+    one small group-totals aggregate broadcasts back; the only wide op is
+    the same group-partitioned running-sum window as token_budget_sample."""
+    from pyspark.sql.window import Window
+
+    totals = df.groupBy(group_col).agg(F.sum(weight_col).alias("_t"))
+    tmax = totals.agg(F.max("_t").alias("_tmax"))
+    ratio = F.col("_t").cast("double") / F.col("_tmax").cast("double")
+    scaled = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(float(alpha)))
+    budgets = (
+        totals.crossJoin(F.broadcast(tmax))
+        .select(group_col, F.floor(F.lit(base_budget) * scaled).cast("long").alias("budget"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(budgets), group_col)
+        .withColumn("cum_tokens", F.sum(weight_col).over(w))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+    )

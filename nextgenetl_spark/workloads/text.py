@@ -1968,3 +1968,51 @@ def stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return run_memory_replay(spark, out, "wl_stream_bloom_gate", "append")
+
+
+@workload(
+    "temperature_mixture",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+    totals AS (SELECT source, SUM(n_tokens) AS t FROM toks GROUP BY source),
+    tmax AS (SELECT MAX(t) AS tmax FROM totals),
+    budgets AS (
+        SELECT source,
+               CAST(FLOOR(800 * SQRT(CAST(t AS DOUBLE) / CAST(tmax AS DOUBLE))) AS BIGINT) AS budget
+        FROM totals, tmax),
+    c AS (
+        SELECT k.doc_id, k.source, k.n_tokens, b.budget,
+               SUM(k.n_tokens) OVER (PARTITION BY k.source ORDER BY k.h, k.doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM toks k JOIN budgets b USING (source))
+    SELECT doc_id, source, n_tokens, budget, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= budget
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened pretraining mixture (alpha = 0.5,
+    operators/sampling.py temperature_budget_sample): the largest source
+    keeps an 800-token budget and every smaller source keeps
+    floor(800·sqrt(T_s/T_max)) — up-weighted relative to its raw share,
+    the standard rebalance that stops one giant crawl from drowning small
+    high-quality sources. Selection inside each source is the
+    deterministic md5-order token-budget walk (mixture_token_budget's
+    discipline). sqrt + one divide are exactly-rounded IEEE ops with no
+    float reduction, so the kept set is bit-identical across engines —
+    which is what makes this α-mixture oracle-checkable where a
+    sum-normalized softmax mix would be at the mercy of float addition
+    order."""
+    from nextgenetl_spark.operators.sampling import temperature_budget_sample
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(TS.tokens("text")).cast("long").alias("n_tokens")
+    )
+    return temperature_budget_sample(toks, base_budget=800, alpha=0.5).select(
+        "doc_id", "source", "n_tokens", "budget", "cum_tokens"
+    )

@@ -117,3 +117,41 @@ def test_perceptual_hash_single_append_flips_at_most_one_bit(spark):
     for i in range(1, 6):
         flipped = bin((fps[0] ^ fps[i]) & ((1 << 64) - 1)).count("1")
         assert flipped <= 1  # chars outside [59,122] (space, digits<'; ') flip zero bits
+
+
+def test_round4_sketches_on_empty_and_degenerate_inputs(spark):
+    """Empty corpus / absent terms / empty history must degrade cleanly,
+    never crash or mis-report."""
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.agg import (
+        bloom_build,
+        bloom_might_contain,
+        qhist_build,
+        qhist_quantiles,
+    )
+    from nextgenetl_spark.operators.textstats import bm25_scores
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_vals = spark.createDataFrame([], "value double")
+
+    # empty corpus → empty sketch tables and empty results, no errors
+    assert qhist_build(empty_vals, "value", 0.0, 1.0, 8).count() == 0
+    assert qhist_quantiles(qhist_build(empty_vals, "value", 0.0, 1.0, 8), [0.5], 0.0, 1.0, 8).count() == 0
+    assert bm25_scores(empty_docs, ["x"]).count() == 0
+
+    # empty HISTORY bloom: nothing can be contained — all probes False
+    items = spark.createDataFrame([("a",), ("b",)], "f string")
+    empty_bloom = bloom_build(spark.createDataFrame([], "f string"), "f", m_bits=64, k_hashes=4)
+    got = {r["f"]: r["might_contain"]
+           for r in bloom_might_contain(empty_bloom, items, "f", m_bits=64, k_hashes=4).collect()}
+    assert got == {"a": False, "b": False}
+
+    # query term absent from the corpus: contributes nothing, others score
+    docs = spark.createDataFrame([(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string")
+    scores = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["alpha", "zzz_absent"]).collect()}
+    assert set(scores) == {1} and scores[1] > 0
+
+    # all-null / all-NaN value column → empty sketch, not a crash
+    nulls = spark.createDataFrame([(None,), (float("nan"),)], "value double")
+    assert qhist_build(nulls, "value", 0.0, 1.0, 8).count() == 0

@@ -65,3 +65,26 @@ def test_greedy_bin_pack_matches_sequential_reference(spark):
         by_bin.setdefault((src, b), []).append(tok)
     for toks in by_bin.values():
         assert sum(toks) <= 1024 or len(toks) == 1
+
+
+def test_temperature_budget_sample_flattens_the_mix(spark):
+    """alpha=0.5 up-weights small sources: the small source's kept-token
+    FRACTION must exceed the big source's, while absolute budgets still
+    order big > small; alpha=1 degenerates to proportional budgets."""
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.sampling import temperature_budget_sample
+
+    rows = [(i, "big", 10) for i in range(100)] + [(i + 1000, "small", 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = temperature_budget_sample(df, base_budget=400, alpha=0.5)
+    kept = {r["source"]: r for r in out.groupBy("source").agg(
+        F.sum("n_tokens").alias("k"), F.max("budget").alias("b")).collect()}
+    # big: budget 400 of 1000 tokens (40%); small: floor(400*sqrt(0.1))=126
+    # of 100 tokens -> everything kept (100%)
+    assert kept["big"]["b"] == 400 and kept["small"]["b"] == 126
+    assert kept["small"]["k"] / 100 > kept["big"]["k"] / 1000  # flattened
+    # determinism: same call -> identical kept set
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in temperature_budget_sample(df, base_budget=400, alpha=0.5).collect()}
+    assert a == b

@@ -39,6 +39,9 @@ EXPECTED = {
     # a single partition of ≤258 rows is the point, not a funnel; the
     # quantile probe explode is a constant-size NLJ over the same table
     "value_quantile_sketch": {"Exchange SinglePartition", "BroadcastNestedLoopJoin"},
+    # 1-row T_max aggregate cross-joined into the per-source budget table
+    # (itself group-count-sized) — constant-size NLJ
+    "temperature_mixture": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-total broadcast into every (doc, term) row — same shape
     "unigram_logprob_score": {"BroadcastNestedLoopJoin"},
     # 1-row (min,max) bounds row cross-joined to build the hour grid —
