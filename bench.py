@@ -134,6 +134,8 @@ HEADLINE = {
     "stream_bloom_gate": "count",
     "value_quantile_sketch": "collect",
     "time_ingest": "count",
+    "stream_value_quantiles": "count",
+    "temperature_mixture": "count",
 }
 
 
