@@ -98,6 +98,24 @@ def main(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     )
     split = deterministic_split(curated, "doc_id", [("cccc", "train"), ("e666", "val")])
     out["split_counts"] = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    # 6. Mergeable-sketch QC pass: a Bloom membership gate against the
+    # already-curated history, and per-corpus value quantiles from the
+    # QHIST table — both sketches are plain SQL-mergeable tables, so a
+    # daily pipeline unions them instead of re-scanning the corpus.
+    from nextgenetl_spark.operators.agg import (
+        bloom_build, bloom_might_contain, qhist_build, qhist_quantiles,
+    )
+
+    fp = docs.select("doc_id", F.md5("text").alias("f"))
+    bloom = bloom_build(fp.join(keep, "doc_id"), "f", m_bits=4096, k_hashes=4)
+    gate = bloom_might_contain(bloom, fp, "f", m_bits=4096, k_hashes=4)
+    out["bloom_definitely_new"] = gate.filter(~F.col("might_contain")).count()
+    lens = docs.select(F.length("text").cast("double").alias("value"))
+    qh = qhist_build(lens, "value", lo=0.0, hi=4096.0, n_bins=128)
+    out["len_p50_p95"] = [
+        r["value"] for r in qhist_quantiles(qh, [0.5, 0.95], 0.0, 4096.0, 128).orderBy("q").collect()
+    ]
     return out
 
 
