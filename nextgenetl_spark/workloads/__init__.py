@@ -38,20 +38,27 @@ def workload(name: str, oracle: str | None = None):
     return deco
 
 
-def _oracle_verified() -> frozenset[str]:
+def _oracle_verified() -> dict[str, int]:
     """Names with a green row in any prior round's CORRECTNESS_r*.json
-    (driver-written at the repo root). The driver's per-round check walks
+    (driver-written at the repo root), mapped to the NEWEST round number
+    that recorded green evidence. The driver's per-round check walks
     queries() in registration order and may not reach the end of the list,
     so load_all() registers everything *without* prior oracle evidence
     first — reading the files keeps the prioritization current every round
-    with no manual list to maintain."""
+    with no manual list to maintain. The round number lets the verified
+    tier order oldest-evidence-first, so the driver's fixed check budget
+    continuously rotates re-verification onto the stalest green rows
+    (round-4 verdict ask #1) instead of re-checking the same recent ones."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    green: set[str] = set()
+    green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path, encoding="utf-8") as fh:
                 rows = json.load(fh)
@@ -65,14 +72,14 @@ def _oracle_verified() -> frozenset[str]:
             # "checked" so these entries stop squatting the unverified tier
             # and burning check-budget slots every round (round-2 verdict #1).
             if row.get("err") == "no_oracle":
-                green.add(name)
+                green[name] = max(green.get(name, 0), rnd)
                 continue
             if row.get("err"):
                 continue
             # full match, or rows-only pass for ∅-oracle entries
             if row.get("hash_match") or (row.get("rows_match") and "hash_match" not in row):
-                green.add(name)
-    return frozenset(green)
+                green[name] = max(green.get(name, 0), rnd)
+    return green
 
 
 def load_all() -> dict[str, Workload]:
@@ -147,11 +154,20 @@ def load_all() -> dict[str, Workload]:
             interleaved.append(ext[i])
     interleaved += no_oracle_tail
 
-    tier1 = [(n, wl) for n, wl in REGISTRY.items() if n in verified and _mod(wl) != "events"]
-    # verified AND slowest (availableNow streaming) — last
-    tier2 = [(n, wl) for n, wl in REGISTRY.items() if n in verified and _mod(wl) == "events"]
+    # Verified tier, oldest newest-evidence first: once the driver's budget
+    # clears every unverified entry, remaining slots re-green the queries
+    # whose most recent official row is oldest (round-4 verdict ask #1 —
+    # 50 queries' newest evidence was round 1). Within one evidence round
+    # the slow availableNow streaming module still sorts last (the original
+    # events-last rule, now scoped per-round so old stream evidence isn't
+    # starved behind every fresher batch query). Stable sort keeps
+    # registration order within each (round, module) class.
+    tier1 = sorted(
+        ((n, wl) for n, wl in REGISTRY.items() if n in verified),
+        key=lambda kv: (verified[kv[0]], _mod(kv[1]) == "events"),
+    )
 
-    ordered = dict(interleaved + tier1 + tier2)
+    ordered = dict(interleaved + tier1)
     REGISTRY.clear()
     REGISTRY.update(ordered)
     return REGISTRY
