@@ -37,12 +37,22 @@ def _clear_residual_location(spark: SparkSession, table: str) -> None:
     for a non-default database, ``warehouse/<t>`` for default — so a
     table name scoped to one database can never rmtree another database's
     directory."""
-    if spark.catalog.tableExists(table):
-        return
     if "." in table:
         db, name = table.rsplit(".", 1)
     else:
         db, name = spark.catalog.currentDatabase(), table
+    # Bail only for a CATALOG table (its location is owned by the DROP
+    # path). tableExists also matches temp views, and a temp view merely
+    # shadowing the name must not suppress the residual-dir cleanup
+    # (round-4 ADVICE) — so check listTables filtered to non-temporary.
+    try:
+        if any(
+            t.name.lower() == name.lower() and t.tableType != "TEMPORARY"
+            for t in spark.catalog.listTables(db)
+        ):
+            return
+    except Exception:
+        pass  # database absent → no catalog table → cleanup may proceed
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     if warehouse.startswith("file:"):
         warehouse = warehouse[len("file:"):]

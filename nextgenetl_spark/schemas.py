@@ -36,6 +36,13 @@ _SPARK_TO_BQ = {
     T.BooleanType(): "BOOL",
     T.DateType(): "DATE",
     T.TimestampType(): "TIMESTAMP",
+    # Atomic types outside the reference's inference lattice but perfectly
+    # CSV-writable: map best-effort so an export sidecar never crashes a
+    # step whose CSV already landed (round-4 ADVICE). NTZ → DATETIME is
+    # BQ's zone-less type and reloads as TimestampType via BQ_TO_SPARK.
+    T.TimestampNTZType(): "DATETIME",
+    T.ShortType(): "INT64",
+    T.ByteType(): "INT64",
 }
 
 NO_DESC = "No description"  # the reference's placeholder, verbatim
@@ -62,7 +69,10 @@ def schema_to_fields(schema: T.StructType, descriptions: dict | None = None) -> 
         elif isinstance(dt, T.DecimalType):
             entry["type"] = "NUMERIC"
         else:
-            entry["type"] = _SPARK_TO_BQ[dt]
+            # Unknown atomic types (BinaryType, future additions) degrade to
+            # STRING rather than raising — the sidecar is metadata and must
+            # not fail an export whose data file already wrote successfully.
+            entry["type"] = _SPARK_TO_BQ.get(dt, "STRING")
         out.append(entry)
     return out
 

@@ -32,9 +32,17 @@ def _stage_symlinks(src: str, stage: str) -> None:
         ]
     else:
         parts = [src]
+    # Prune symlinks whose target vanished (an in-place source regeneration
+    # renames part files): a dangling link fails os.path.exists, so the
+    # old guard both re-linked same-basename stale links (FileExistsError)
+    # and left different-basename danglers to break the stream listing.
+    for entry in os.listdir(stage):
+        link = os.path.join(stage, entry)
+        if os.path.islink(link) and not os.path.exists(link):
+            os.unlink(link)
     for p in parts:
         link = os.path.join(stage, os.path.basename(p))
-        if not os.path.exists(link):
+        if not os.path.lexists(link):
             os.symlink(p, link)
 
 

@@ -1215,7 +1215,10 @@ def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
         SELECT CASE WHEN value < 0 THEN -1
-                    ELSE LEAST(CAST(FLOOR(value / 500.0 * 256) AS INT), 256) END AS bin,
+                    -- clamp on BIGINT BEFORE the INT cast, mirroring
+                    -- qhist_build's order: a heavy tail value ≳4e9 would
+                    -- overflow an INT cast applied pre-LEAST (round-4 ADVICE)
+                    ELSE CAST(LEAST(CAST(FLOOR(value / 500.0 * 256) AS BIGINT), 256) AS INT) END AS bin,
                COUNT(*) AS cnt
         FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
@@ -1254,7 +1257,8 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
         SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
                CASE WHEN value < 0 THEN -1
-                    ELSE LEAST(CAST(FLOOR(value / 500.0 * 64) AS INT), 64) END AS bin,
+                    -- BIGINT clamp before INT cast (same as value_quantile_sketch)
+                    ELSE CAST(LEAST(CAST(FLOOR(value / 500.0 * 64) AS BIGINT), 64) AS INT) END AS bin,
                COUNT(*) AS cnt
         FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
