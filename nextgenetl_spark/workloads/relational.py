@@ -1724,40 +1724,58 @@ def flatten_merged_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of emitting an orders_cust child table, while ``lines`` stays a
     child table contributing only its zero-filled count column. The oracle
     states the merged base row shape directly; the workload also asserts no
-    orders_cust table was produced."""
-    from nextgenetl_spark.flatten import FlattenConfig, flatten
+    orders_cust table was produced.
 
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    li = load(spark, sf_dir, "lineitem")
-    lines = (
-        li.select(
-            "l_orderkey",
-            F.struct(
-                F.col("l_linenumber").alias("line_id"),
-                F.col("l_quantity").alias("qty"),
-            ).alias("line"),
-        )
-        .groupBy("l_orderkey")
-        .agg(F.collect_list("line").alias("lines"))
-    )
-    nested = (
-        o.select(F.col("o_orderkey").alias("order_id"), "o_orderstatus", "o_custkey")
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "order_id",
-            "o_orderstatus",
-            F.array(
+    The nested fixture (orders ⋈ customer + collect_list of lineitem
+    structs) is staged once per source content — a real deployment's
+    nested API extract EXISTS before the flattener runs (the reference
+    flattens an already-landed JSONL pull, never re-joins relational
+    tables to build it), so re-assembling it in-plan on every run measured
+    fixture construction, not Y2 (round-4 verdict ask #2). Content
+    fingerprinting (staging.py) rebuilds it if any source table is
+    regenerated in place."""
+    import os
+
+    from nextgenetl_spark.flatten import FlattenConfig, flatten
+    from nextgenetl_spark.staging import mark_complete, staged_dir
+
+    stage, complete = staged_dir("ngetl_nested_fix", sf_dir)
+    if not complete:
+        o = load(spark, sf_dir, "orders")
+        c = load(spark, sf_dir, "customer")
+        li = load(spark, sf_dir, "lineitem")
+        lines = (
+            li.select(
+                "l_orderkey",
                 F.struct(
-                    F.col("c_custkey").alias("cust_id"),
-                    F.col("c_name").alias("name"),
-                    F.col("c_mktsegment").alias("segment"),
-                )
-            ).alias("cust"),
+                    F.col("l_linenumber").alias("line_id"),
+                    F.col("l_quantity").alias("qty"),
+                ).alias("line"),
+            )
+            .groupBy("l_orderkey")
+            .agg(F.collect_list("line").alias("lines"))
         )
-        .join(lines, F.col("order_id") == F.col("l_orderkey"), "left")
-        .drop("l_orderkey")
-    )
+        (
+            o.select(F.col("o_orderkey").alias("order_id"), "o_orderstatus", "o_custkey")
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .select(
+                "order_id",
+                "o_orderstatus",
+                F.array(
+                    F.struct(
+                        F.col("c_custkey").alias("cust_id"),
+                        F.col("c_name").alias("name"),
+                        F.col("c_mktsegment").alias("segment"),
+                    )
+                ).alias("cust"),
+            )
+            .join(lines, F.col("order_id") == F.col("l_orderkey"), "left")
+            .drop("l_orderkey")
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, "nested.parquet"))
+        )
+        mark_complete(stage)
+    nested = spark.read.parquet(os.path.join(stage, "nested.parquet"))
     cfg = FlattenConfig(
         base="orders",
         id_keys={"orders": "order_id", "orders.cust": "cust_id", "orders.lines": "line_id"},
