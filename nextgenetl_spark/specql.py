@@ -1,0 +1,262 @@
+"""Declarative relational query specs with twin renderers.
+
+A ``QuerySpec`` is a small, data-only description of a relational query —
+base table, optional FK join, conjunctive filters, optional grouping with
+aggregates, optional projection/DISTINCT/HAVING. Two independent renderers
+compile ONE spec into (a) a PySpark DataFrame plan and (b) an ANSI SQL
+string a DuckDB oracle can run. Because both executables derive from the
+same value, any divergence between them is a bug in exactly one renderer or
+engine — this is the reference's tier-1 test discipline
+(``SURVEY.md §5``: golden SQL ↔ result parity, cf.
+``tests in the reference repo exercising generated SQL strings``) applied
+to the operator layer itself, and it powers the differential fuzz in
+``tests/test_relational_fuzz.py``.
+
+Cross-engine canonicalization rules (the same ones every workload oracle in
+this repo follows):
+
+- ``SUM`` over DOUBLE rounds to 2 decimals on both sides — inputs are
+  2-decimal money values, so the true sum is always a 2-decimal number and
+  sits 0.005 from any rounding boundary, far above double accumulation
+  error at any group size this engine meets.
+- ``SUM`` over INTEGER casts to BIGINT on the DuckDB side (DuckDB widens to
+  HUGEINT, which stringifies identically but types differently).
+- ``AVG`` is deliberately NOT in the fuzz surface: avg of 2-decimal values
+  lands on arbitrary rationals whose round-half digit can sit within one
+  double ulp of a rounding boundary, where HALF_UP vs round-to-even
+  diverges spuriously. The workload suite pins AVG with hand-chosen
+  fixtures instead (``pricing_summary``).
+- ``COUNT``/``COUNT(DISTINCT)``/``MIN``/``MAX`` are exact and need no
+  normalization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nextgenetl_spark.catalog import load
+
+# (table, column) -> logical type: "int", "double", "str", "ts"
+SCHEMA: dict[str, dict[str, str]] = {
+    "nation": {"n_nationkey": "int", "n_name": "str", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "int",
+        "c_name": "str",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "str",
+    },
+    "orders": {
+        "o_orderkey": "int",
+        "o_custkey": "int",
+        "o_orderstatus": "str",
+        "o_totalprice": "double",
+        "o_orderdate": "ts",
+        "o_orderpriority": "str",
+    },
+    "lineitem": {
+        "l_orderkey": "int",
+        "l_partkey": "int",
+        "l_suppkey": "int",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "str",
+        "l_linestatus": "str",
+        "l_shipdate": "ts",
+    },
+    "supplier": {"s_suppkey": "int", "s_name": "str", "s_nationkey": "int", "s_acctbal": "double"},
+    "part": {
+        "p_partkey": "int",
+        "p_name": "str",
+        "p_brand": "str",
+        "p_type": "str",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+}
+
+# base table -> [(other table, base key, other key)]
+FOREIGN_KEYS: dict[str, list[tuple[str, str, str]]] = {
+    "orders": [("customer", "o_custkey", "c_custkey")],
+    "lineitem": [
+        ("orders", "l_orderkey", "o_orderkey"),
+        ("part", "l_partkey", "p_partkey"),
+        ("supplier", "l_suppkey", "s_suppkey"),
+    ],
+    "customer": [("nation", "c_nationkey", "n_nationkey")],
+    "supplier": [("nation", "s_nationkey", "n_nationkey")],
+}
+
+FILTER_OPS = ("=", "<>", "<", "<=", ">", ">=", "in", "like", "isnull", "notnull")
+AGG_FNS = ("count", "sum", "min", "max", "count_distinct")
+
+
+@dataclass
+class QuerySpec:
+    """One relational query, engine-neutrally."""
+
+    table: str
+    join: tuple | None = None  # (other_table, base_key, other_key, "inner"|"left")
+    filters: list = field(default_factory=list)  # [(col, op, value)]
+    group_by: list = field(default_factory=list)
+    aggs: list = field(default_factory=list)  # [(fn, col)] — col None for count(*)
+    select: list = field(default_factory=list)  # projection when not aggregating
+    distinct: bool = False
+    having_min_count: int | None = None  # HAVING count(*) >= n (grouped specs only)
+
+    def columns(self) -> dict[str, str]:
+        cols = dict(SCHEMA[self.table])
+        if self.join:
+            cols.update(SCHEMA[self.join[0]])
+        return cols
+
+
+def _col_type(spec: QuerySpec, col: str) -> str:
+    return spec.columns()[col]
+
+
+def _sql_literal(value, typ: str) -> str:
+    if typ == "str":
+        return "'" + str(value).replace("'", "''") + "'"
+    if typ == "ts":
+        return f"TIMESTAMP '{value}'"
+    return repr(value)
+
+
+def _spark_filter(col: str, op: str, value, typ: str):
+    c = F.col(col)
+    if op == "=":
+        return c == F.lit(value)
+    if op == "<>":
+        return c != F.lit(value)
+    if op == "<":
+        return c < F.lit(value)
+    if op == "<=":
+        return c <= F.lit(value)
+    if op == ">":
+        return c > F.lit(value)
+    if op == ">=":
+        return c >= F.lit(value)
+    if op == "in":
+        return c.isin(list(value))
+    if op == "like":
+        return c.like(value)
+    if op == "isnull":
+        return c.isNull()
+    if op == "notnull":
+        return c.isNotNull()
+    raise ValueError(f"unknown filter op {op!r}")
+
+
+def _sql_filter(col: str, op: str, value, typ: str) -> str:
+    if op == "in":
+        return f"{col} IN ({', '.join(_sql_literal(v, typ) for v in value)})"
+    if op == "like":
+        return f"{col} LIKE {_sql_literal(value, 'str')}"
+    if op == "isnull":
+        return f"{col} IS NULL"
+    if op == "notnull":
+        return f"{col} IS NOT NULL"
+    return f"{col} {op} {_sql_literal(value, typ)}"
+
+
+def _agg_alias(i: int) -> str:
+    return f"agg{i}"
+
+
+def spec_to_df(spark: SparkSession, sf_dir: str, spec: QuerySpec) -> DataFrame:
+    """Render the spec as a DataFrame plan. Filters apply after the join,
+    matching the SQL renderer's WHERE (post-join semantics — on a LEFT
+    join a right-side predicate eliminates null-extended rows on both
+    engines identically); Catalyst pushes the pushable ones down anyway."""
+    df = load(spark, sf_dir, spec.table)
+    if spec.join:
+        other_table, base_key, other_key, how = spec.join
+        other = load(spark, sf_dir, other_table)
+        df = df.join(other, on=F.col(base_key) == F.col(other_key), how=how)
+    for col, op, value in spec.filters:
+        df = df.filter(_spark_filter(col, op, value, _col_type(spec, col)))
+    if spec.aggs:
+        exprs = []
+        for i, (fn, col) in enumerate(spec.aggs):
+            a = _agg_alias(i)
+            if fn == "count":
+                exprs.append(F.count(F.lit(1)).alias(a))
+            elif fn == "count_distinct":
+                exprs.append(F.countDistinct(col).alias(a))
+            elif fn == "sum":
+                e = F.sum(col)
+                if _col_type(spec, col) == "double":
+                    e = F.round(e, 2)
+                exprs.append(e.alias(a))
+            elif fn == "min":
+                exprs.append(F.min(col).alias(a))
+            elif fn == "max":
+                exprs.append(F.max(col).alias(a))
+            else:
+                raise ValueError(f"unknown agg fn {fn!r}")
+        grouped = df.groupBy(*spec.group_by) if spec.group_by else df.groupBy()
+        if spec.having_min_count is not None:
+            df = (
+                grouped.agg(*exprs, F.count(F.lit(1)).alias("_hc"))
+                .filter(F.col("_hc") >= spec.having_min_count)
+                .drop("_hc")
+            )
+        else:
+            df = grouped.agg(*exprs)
+    else:
+        cols = spec.select or sorted(spec.columns())
+        df = df.select(*cols)
+        if spec.distinct:
+            df = df.distinct()
+    return df
+
+
+def spec_to_sql(spec: QuerySpec) -> str:
+    """Render the SAME spec as DuckDB-runnable ANSI SQL (tables are
+    pre-registered views named after the parquet files)."""
+    frm = spec.table
+    if spec.join:
+        other_table, base_key, other_key, how = spec.join
+        kw = "JOIN" if how == "inner" else "LEFT JOIN"
+        frm = f"{spec.table} {kw} {other_table} ON {base_key} = {other_key}"
+    where = " AND ".join(
+        _sql_filter(col, op, value, _col_type(spec, col)) for col, op, value in spec.filters
+    )
+    if spec.aggs:
+        parts = list(spec.group_by)
+        for i, (fn, col) in enumerate(spec.aggs):
+            a = _agg_alias(i)
+            if fn == "count":
+                parts.append(f"COUNT(*) AS {a}")
+            elif fn == "count_distinct":
+                parts.append(f"COUNT(DISTINCT {col}) AS {a}")
+            elif fn == "sum":
+                if _col_type(spec, col) == "double":
+                    parts.append(f"ROUND(SUM({col}), 2) AS {a}")
+                else:
+                    parts.append(f"CAST(SUM({col}) AS BIGINT) AS {a}")
+            elif fn == "min":
+                parts.append(f"MIN({col}) AS {a}")
+            elif fn == "max":
+                parts.append(f"MAX({col}) AS {a}")
+        sql = f"SELECT {', '.join(parts)} FROM {frm}"
+        if where:
+            sql += f" WHERE {where}"
+        if spec.group_by:
+            sql += f" GROUP BY {', '.join(spec.group_by)}"
+        if spec.having_min_count is not None:
+            sql += f" HAVING COUNT(*) >= {spec.having_min_count}"
+        return sql
+    cols = spec.select or sorted(spec.columns())
+    head = "SELECT DISTINCT" if spec.distinct else "SELECT"
+    sql = f"{head} {', '.join(cols)} FROM {frm}"
+    if where:
+        sql += f" WHERE {where}"
+    return sql
