@@ -28,6 +28,10 @@ this repo follows):
   fixtures instead (``pricing_summary``).
 - ``COUNT``/``COUNT(DISTINCT)``/``MIN``/``MAX`` are exact and need no
   normalization.
+- Window functions restrict to DETERMINISTIC shapes: the ORDER BY key is
+  always the base table's unique PK, so ``row_number``/``lag`` have a
+  single valid answer; ``rank`` without a unique order key would still be
+  value-deterministic but is covered by the same shape.
 """
 
 from __future__ import annotations
@@ -257,6 +261,148 @@ def spec_to_sql(spec: QuerySpec) -> str:
     cols = spec.select or sorted(spec.columns())
     head = "SELECT DISTINCT" if spec.distinct else "SELECT"
     sql = f"{head} {', '.join(cols)} FROM {frm}"
+    if where:
+        sql += f" WHERE {where}"
+    return sql
+
+
+# table -> single-column unique PK (lineitem's PK is composite, so it sits
+# out of the window surface where a unique ORDER BY key is required)
+PRIMARY_KEYS: dict[str, str] = {
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+}
+
+SET_OPS = ("union_all", "union", "except", "intersect")
+WINDOW_FNS = ("row_number", "rank", "lag", "sum_over", "count_over", "max_over")
+
+
+@dataclass
+class SetOpSpec:
+    """Two filtered projections of one table combined by a set operation —
+    same select list on both legs, so the schemas line up by construction."""
+
+    table: str
+    select: list
+    filters_a: list = field(default_factory=list)
+    filters_b: list = field(default_factory=list)
+    op: str = "union_all"
+
+
+def setop_to_df(spark: SparkSession, sf_dir: str, spec: SetOpSpec) -> DataFrame:
+    base = load(spark, sf_dir, spec.table)
+    legs = []
+    for filters in (spec.filters_a, spec.filters_b):
+        leg = base
+        for col, op, value in filters:
+            leg = leg.filter(_spark_filter(col, op, value, SCHEMA[spec.table][col]))
+        legs.append(leg.select(*spec.select))
+    a, b = legs
+    if spec.op == "union_all":
+        return a.unionByName(b)
+    if spec.op == "union":
+        return a.unionByName(b).distinct()
+    if spec.op == "except":
+        # Spark subtract == SQL EXCEPT (both DISTINCT semantics)
+        return a.subtract(b)
+    if spec.op == "intersect":
+        return a.intersect(b)
+    raise ValueError(f"unknown set op {spec.op!r}")
+
+
+def setop_to_sql(spec: SetOpSpec) -> str:
+    kw = {
+        "union_all": "UNION ALL",
+        "union": "UNION",
+        "except": "EXCEPT",
+        "intersect": "INTERSECT",
+    }[spec.op]
+    legs = []
+    for filters in (spec.filters_a, spec.filters_b):
+        where = " AND ".join(
+            _sql_filter(col, op, value, SCHEMA[spec.table][col]) for col, op, value in filters
+        )
+        sql = f"SELECT {', '.join(spec.select)} FROM {spec.table}"
+        if where:
+            sql += f" WHERE {where}"
+        legs.append(sql)
+    return f" {kw} ".join(legs)
+
+
+@dataclass
+class WindowSpec:
+    """One window function over a single table, ordered by the table's
+    unique PK so every function has exactly one valid answer."""
+
+    table: str
+    partition_col: str
+    fn: str  # WINDOW_FNS
+    value_col: str | None = None  # lag/sum_over/max_over operand
+    filters: list = field(default_factory=list)
+    select: list = field(default_factory=list)
+
+
+def window_to_df(spark: SparkSession, sf_dir: str, spec: WindowSpec) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = load(spark, sf_dir, spec.table)
+    for col, op, value in spec.filters:
+        df = df.filter(_spark_filter(col, op, value, SCHEMA[spec.table][col]))
+    pk = PRIMARY_KEYS[spec.table]
+    ordered = Window.partitionBy(spec.partition_col).orderBy(pk)
+    unordered = Window.partitionBy(spec.partition_col)
+    typ = SCHEMA[spec.table].get(spec.value_col)
+    if spec.fn == "row_number":
+        w = F.row_number().over(ordered)
+    elif spec.fn == "rank":
+        w = F.rank().over(ordered)
+    elif spec.fn == "lag":
+        w = F.lag(spec.value_col).over(ordered)
+    elif spec.fn == "sum_over":
+        w = F.sum(spec.value_col).over(unordered)
+        if typ == "double":
+            w = F.round(w, 2)
+    elif spec.fn == "count_over":
+        w = F.count(F.lit(1)).over(unordered)
+    elif spec.fn == "max_over":
+        w = F.max(spec.value_col).over(unordered)
+    else:
+        raise ValueError(f"unknown window fn {spec.fn!r}")
+    cols = spec.select or [pk, spec.partition_col]
+    return df.select(*cols, w.alias("w"))
+
+
+def window_to_sql(spec: WindowSpec) -> str:
+    pk = PRIMARY_KEYS[spec.table]
+    over_ordered = f"OVER (PARTITION BY {spec.partition_col} ORDER BY {pk})"
+    over_unordered = f"OVER (PARTITION BY {spec.partition_col})"
+    typ = SCHEMA[spec.table].get(spec.value_col)
+    if spec.fn == "row_number":
+        w = f"ROW_NUMBER() {over_ordered}"
+    elif spec.fn == "rank":
+        w = f"RANK() {over_ordered}"
+    elif spec.fn == "lag":
+        w = f"LAG({spec.value_col}) {over_ordered}"
+    elif spec.fn == "sum_over":
+        inner = f"SUM({spec.value_col}) {over_unordered}"
+        if typ == "double":
+            w = f"ROUND({inner}, 2)"
+        else:
+            w = f"CAST({inner} AS BIGINT)"
+    elif spec.fn == "count_over":
+        w = f"COUNT(*) {over_unordered}"
+    elif spec.fn == "max_over":
+        w = f"MAX({spec.value_col}) {over_unordered}"
+    else:
+        raise ValueError(f"unknown window fn {spec.fn!r}")
+    cols = spec.select or [pk, spec.partition_col]
+    where = " AND ".join(
+        _sql_filter(col, op, value, SCHEMA[spec.table][col]) for col, op, value in spec.filters
+    )
+    sql = f"SELECT {', '.join(cols)}, {w} AS w FROM {spec.table}"
     if where:
         sql += f" WHERE {where}"
     return sql

@@ -161,3 +161,115 @@ def test_spec_differential(spark, duck, spec):
         f"value hash mismatch for {spec}\nSQL: {sql}\n"
         f"spark sample: {sorted(srows)[:5]}\nduck sample: {sorted(orows)[:5]}"
     )
+
+
+# ---- set-operation surface ----
+
+from nextgenetl_spark.specql import (  # noqa: E402
+    PRIMARY_KEYS,
+    SET_OPS,
+    WINDOW_FNS,
+    SetOpSpec,
+    WindowSpec,
+    setop_to_df,
+    setop_to_sql,
+    window_to_df,
+    window_to_sql,
+)
+
+
+@st.composite
+def _filters_for(draw, table, max_n=2):
+    cols = SCHEMA[table]
+    out = []
+    for _ in range(draw(st.integers(0, max_n))):
+        col = draw(st.sampled_from(sorted(cols)))
+        typ = cols[col]
+        vals = VALUES[(table, col)]
+        if not vals:
+            continue
+        ops = ["=", "<>", "in"] if typ == "str" else ["=", "<>", "<", "<=", ">", ">=", "in"]
+        op = draw(st.sampled_from(ops))
+        if op == "in":
+            value = tuple(draw(st.lists(st.sampled_from(vals), min_size=1, max_size=3)))
+        else:
+            value = draw(st.sampled_from(vals))
+        out.append((col, op, value))
+    return out
+
+
+@st.composite
+def setop_specs(draw):
+    table = draw(st.sampled_from(_TABLES))
+    select = draw(
+        st.lists(st.sampled_from(sorted(SCHEMA[table])), min_size=1, max_size=3, unique=True)
+    )
+    return SetOpSpec(
+        table=table,
+        select=select,
+        filters_a=draw(_filters_for(table)),
+        filters_b=draw(_filters_for(table)),
+        op=draw(st.sampled_from(SET_OPS)),
+    )
+
+
+@st.composite
+def window_specs(draw):
+    table = draw(st.sampled_from(sorted(PRIMARY_KEYS)))
+    cols = SCHEMA[table]
+    fn = draw(st.sampled_from(WINDOW_FNS))
+    partition_col = draw(st.sampled_from([c for c in sorted(cols) if cols[c] != "double"]))
+    value_col = None
+    if fn in ("lag", "max_over"):
+        value_col = draw(st.sampled_from(sorted(cols)))
+    elif fn == "sum_over":
+        value_col = draw(st.sampled_from([c for c in sorted(cols) if cols[c] in ("int", "double")]))
+    select = draw(
+        st.lists(st.sampled_from(sorted(cols)), min_size=1, max_size=3, unique=True)
+    )
+    if PRIMARY_KEYS[table] not in select:
+        select = [PRIMARY_KEYS[table]] + select
+    return WindowSpec(
+        table=table,
+        partition_col=partition_col,
+        fn=fn,
+        value_col=value_col,
+        filters=draw(_filters_for(table)),
+        select=select,
+    )
+
+
+def _compare(spark, duck, sdf, sql, spec):
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), f"schema mismatch for {spec}\nSQL: {sql}"
+    assert len(srows) == len(orows), f"row count {len(srows)} != {len(orows)} for {spec}\nSQL: {sql}"
+    assert table_hash(srows, scols) == table_hash(orows, ocols), (
+        f"value hash mismatch for {spec}\nSQL: {sql}\n"
+        f"spark sample: {sorted(srows)[:5]}\nduck sample: {sorted(orows)[:5]}"
+    )
+
+
+@settings(
+    max_examples=100,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(spec=setop_specs())
+def test_setop_differential(spark, duck, spec):
+    _compare(spark, duck, setop_to_df(spark, SF_SMOKE, spec), setop_to_sql(spec), spec)
+
+
+@settings(
+    max_examples=100,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(spec=window_specs())
+def test_window_differential(spark, duck, spec):
+    _compare(spark, duck, window_to_df(spark, SF_SMOKE, spec), window_to_sql(spec), spec)
