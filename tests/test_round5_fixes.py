@@ -169,3 +169,31 @@ def test_swar_vote_fold_matches_naive_and_handles_empty_docs(spark):
     # xxhash production path: empty doc folds the single null-token hash
     xx = {r["doc_id"]: r["fp"] for r in simhash_fingerprints(docs).collect()}
     assert set(xx) == {1, 2, 3, 4} and all(v is not None for v in xx.values())
+
+
+def test_staged_phash_fps_match_fresh_compute(spark):
+    """The staged pHash fingerprint scans (workloads/multimodal.py
+    _staged_phash_fps) must serve bit-identical fp values to a fresh
+    in-plan computation for BOTH hash variants — the staging is a cost
+    move, never a semantics change."""
+    from nextgenetl_spark.operators.multimodal import (
+        attach_blob,
+        attach_image_blob,
+        perceptual_hash,
+        perceptual_hash_pixels,
+    )
+    from nextgenetl_spark.workloads.multimodal import (
+        _phash_variant_corpus,
+        _staged_phash_fps,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for pixels in (False, True):
+        corpus = _phash_variant_corpus(spark, sf, pixels)
+        if pixels:
+            fresh = perceptual_hash_pixels(attach_image_blob(corpus))
+        else:
+            fresh = perceptual_hash(attach_blob(corpus))
+        fresh_rows = {r.doc_id: r.fp for r in fresh.collect()}
+        staged_rows = {r.doc_id: r.fp for r in _staged_phash_fps(spark, sf, pixels).collect()}
+        assert staged_rows == fresh_rows, f"pixels={pixels}"
