@@ -406,3 +406,210 @@ def window_to_sql(spec: WindowSpec) -> str:
     if where:
         sql += f" WHERE {where}"
     return sql
+
+
+# ---- scalar-expression surface (§2.9 differential fuzz) ----
+#
+# A tiny typed expression AST with the same twin-renderer discipline as
+# QuerySpec. Node = (tag, *children); every node is "int"- or "str"-typed
+# and both renderers agree on semantics by construction:
+#
+# - int leaves cast to 64-bit on BOTH engines (Spark int*int wraps int32
+#   silently with ANSI off; DuckDB promotes — casting first removes the
+#   divergence), and multiplication is restricted to a small-literal
+#   operand so depth-3 trees stay far from 2^63.
+# - % and integer division: both engines are C-style (sign of dividend)
+#   for %, and // is rendered as FLOOR(a / b) on both (int division is
+#   double division + floor on each side), so negatives agree.
+# - string ops restrict to the 1-based/ASCII-identical core: upper, lower,
+#   trim, reverse, substr, ||, replace, lpad, length.
+# - CASE and COALESCE(NULLIF(...)) close the conditional surface; NULLIF
+#   is the only null source (TPC-H columns are non-null), so null
+#   propagation through every op gets exercised from a known seed.
+
+SCALAR_INT_OPS = ("add", "sub", "mul_lit", "mod", "idiv", "strlen", "case_int")
+SCALAR_STR_OPS = (
+    "upper", "lower", "trim", "reverse", "substr", "concat", "replace",
+    "lpad", "int2str", "case_str", "nullif_coalesce",
+)
+
+
+@dataclass
+class ScalarSpec:
+    """A projection of scalar-expression trees over one table."""
+
+    table: str
+    exprs: list  # [(alias, expr_node)]
+    filters: list = field(default_factory=list)
+
+
+def expr_to_spark(node):
+    tag = node[0]
+    if tag == "col_int":
+        return F.col(node[1]).cast("long")
+    if tag == "col_str":
+        return F.col(node[1])
+    if tag == "ilit":
+        return F.lit(node[1]).cast("long")
+    if tag == "slit":
+        return F.lit(node[1])
+    if tag == "add":
+        return expr_to_spark(node[1]) + expr_to_spark(node[2])
+    if tag == "sub":
+        return expr_to_spark(node[1]) - expr_to_spark(node[2])
+    if tag == "mul_lit":
+        return expr_to_spark(node[1]) * F.lit(node[2]).cast("long")
+    if tag == "mod":
+        return expr_to_spark(node[1]) % F.lit(node[2]).cast("long")
+    if tag == "idiv":
+        return F.floor(expr_to_spark(node[1]) / F.lit(node[2]).cast("long")).cast("long")
+    if tag == "strlen":
+        return F.length(expr_to_spark(node[1])).cast("long")
+    if tag == "upper":
+        return F.upper(expr_to_spark(node[1]))
+    if tag == "lower":
+        return F.lower(expr_to_spark(node[1]))
+    if tag == "trim":
+        return F.trim(expr_to_spark(node[1]))
+    if tag == "reverse":
+        return F.reverse(expr_to_spark(node[1]))
+    if tag == "substr":
+        return F.substring(expr_to_spark(node[1]), node[2], node[3])
+    if tag == "concat":
+        return F.concat(expr_to_spark(node[1]), expr_to_spark(node[2]))
+    if tag == "replace":
+        return F.replace(expr_to_spark(node[1]), F.lit(node[2]), F.lit(node[3]))
+    if tag == "lpad":
+        return F.lpad(expr_to_spark(node[1]), node[2], node[3])
+    if tag == "int2str":
+        return expr_to_spark(node[1]).cast("string")
+    if tag in ("case_int", "case_str"):
+        _, (ccol, cop, cval, ctyp), then_n, else_n = node
+        cond = _spark_filter(ccol, cop, cval, ctyp)
+        return F.when(cond, expr_to_spark(then_n)).otherwise(expr_to_spark(else_n))
+    if tag == "nullif_coalesce":
+        return F.coalesce(F.nullif(expr_to_spark(node[1]), F.lit(node[2])), expr_to_spark(node[3]))
+    raise ValueError(f"unknown expr tag {tag!r}")
+
+
+def expr_to_sql(node) -> str:
+    tag = node[0]
+    if tag == "col_int":
+        return f"CAST({node[1]} AS BIGINT)"
+    if tag == "col_str":
+        return node[1]
+    if tag == "ilit":
+        return f"CAST({node[1]} AS BIGINT)"
+    if tag == "slit":
+        return _sql_literal(node[1], "str")
+    if tag == "add":
+        return f"({expr_to_sql(node[1])} + {expr_to_sql(node[2])})"
+    if tag == "sub":
+        return f"({expr_to_sql(node[1])} - {expr_to_sql(node[2])})"
+    if tag == "mul_lit":
+        return f"({expr_to_sql(node[1])} * CAST({node[2]} AS BIGINT))"
+    if tag == "mod":
+        return f"({expr_to_sql(node[1])} % CAST({node[2]} AS BIGINT))"
+    if tag == "idiv":
+        return f"CAST(FLOOR({expr_to_sql(node[1])} / CAST({node[2]} AS BIGINT)) AS BIGINT)"
+    if tag == "strlen":
+        return f"CAST(length({expr_to_sql(node[1])}) AS BIGINT)"
+    if tag in ("upper", "lower", "trim", "reverse"):
+        return f"{tag}({expr_to_sql(node[1])})"
+    if tag == "substr":
+        return f"substr({expr_to_sql(node[1])}, {node[2]}, {node[3]})"
+    if tag == "concat":
+        return f"({expr_to_sql(node[1])} || {expr_to_sql(node[2])})"
+    if tag == "replace":
+        return f"replace({expr_to_sql(node[1])}, {_sql_literal(node[2], 'str')}, {_sql_literal(node[3], 'str')})"
+    if tag == "lpad":
+        return f"lpad({expr_to_sql(node[1])}, {node[2]}, {_sql_literal(node[3], 'str')})"
+    if tag == "int2str":
+        return f"CAST({expr_to_sql(node[1])} AS VARCHAR)"
+    if tag in ("case_int", "case_str"):
+        _, (ccol, cop, cval, ctyp), then_n, else_n = node
+        cond = _sql_filter(ccol, cop, cval, ctyp)
+        return f"(CASE WHEN {cond} THEN {expr_to_sql(then_n)} ELSE {expr_to_sql(else_n)} END)"
+    if tag == "nullif_coalesce":
+        return (
+            f"COALESCE(NULLIF({expr_to_sql(node[1])}, {_sql_literal(node[2], 'str')}), "
+            f"{expr_to_sql(node[3])})"
+        )
+    raise ValueError(f"unknown expr tag {tag!r}")
+
+
+def scalar_to_df(spark: SparkSession, sf_dir: str, spec: ScalarSpec) -> DataFrame:
+    df = load(spark, sf_dir, spec.table)
+    for col, op, value in spec.filters:
+        df = df.filter(_spark_filter(col, op, value, SCHEMA[spec.table][col]))
+    return df.select(*(expr_to_spark(e).alias(a) for a, e in spec.exprs))
+
+
+def scalar_to_sql(spec: ScalarSpec) -> str:
+    parts = ", ".join(f"{expr_to_sql(e)} AS {a}" for a, e in spec.exprs)
+    sql = f"SELECT {parts} FROM {spec.table}"
+    where = " AND ".join(
+        _sql_filter(col, op, value, SCHEMA[spec.table][col]) for col, op, value in spec.filters
+    )
+    if where:
+        sql += f" WHERE {where}"
+    return sql
+
+
+# ---- semi/anti membership surface (P6/P8 differential fuzz) ----
+
+# both FK directions: (base, probe, base_key, probe_key) — child→parent
+# (every lineitem's order exists) and parent→child (customers with/without
+# qualifying orders), the direction where anti joins do real work.
+MEMBERSHIP_EDGES: list[tuple[str, str, str, str]] = [
+    (b, o, bk, ok) for b, fks in FOREIGN_KEYS.items() for o, bk, ok in fks
+] + [(o, b, ok, bk) for b, fks in FOREIGN_KEYS.items() for o, bk, ok in fks]
+
+
+@dataclass
+class MembershipSpec:
+    """EXISTS / NOT EXISTS membership of base rows in a filtered probe
+    table — rendered as a leftsemi/leftanti join in Spark (the engine's
+    P6/P8 strategy, operators/joins.py) and a correlated [NOT] EXISTS in
+    SQL."""
+
+    table: str
+    probe: str
+    base_key: str
+    probe_key: str
+    anti: bool = False
+    base_filters: list = field(default_factory=list)
+    probe_filters: list = field(default_factory=list)
+    select: list = field(default_factory=list)
+
+
+def membership_to_df(spark: SparkSession, sf_dir: str, spec: MembershipSpec) -> DataFrame:
+    base = load(spark, sf_dir, spec.table)
+    for col, op, value in spec.base_filters:
+        base = base.filter(_spark_filter(col, op, value, SCHEMA[spec.table][col]))
+    probe = load(spark, sf_dir, spec.probe)
+    for col, op, value in spec.probe_filters:
+        probe = probe.filter(_spark_filter(col, op, value, SCHEMA[spec.probe][col]))
+    how = "leftanti" if spec.anti else "leftsemi"
+    joined = base.join(
+        probe.select(spec.probe_key),
+        on=F.col(spec.base_key) == F.col(spec.probe_key),
+        how=how,
+    )
+    return joined.select(*(spec.select or sorted(SCHEMA[spec.table])))
+
+
+def membership_to_sql(spec: MembershipSpec) -> str:
+    probe_where = [f"{spec.probe_key} = {spec.base_key}"] + [
+        _sql_filter(col, op, value, SCHEMA[spec.probe][col])
+        for col, op, value in spec.probe_filters
+    ]
+    exists = f"EXISTS (SELECT 1 FROM {spec.probe} WHERE {' AND '.join(probe_where)})"
+    if spec.anti:
+        exists = "NOT " + exists
+    where = [
+        _sql_filter(col, op, value, SCHEMA[spec.table][col])
+        for col, op, value in spec.base_filters
+    ] + [exists]
+    cols = spec.select or sorted(SCHEMA[spec.table])
+    return f"SELECT {', '.join(cols)} FROM {spec.table} WHERE {' AND '.join(where)}"

@@ -273,3 +273,149 @@ def test_setop_differential(spark, duck, spec):
 @given(spec=window_specs())
 def test_window_differential(spark, duck, spec):
     _compare(spark, duck, window_to_df(spark, SF_SMOKE, spec), window_to_sql(spec), spec)
+
+
+# ---- scalar-expression surface (§2.9) ----
+
+from nextgenetl_spark.specql import (  # noqa: E402
+    MEMBERSHIP_EDGES,
+    MembershipSpec,
+    ScalarSpec,
+    membership_to_df,
+    membership_to_sql,
+    scalar_to_df,
+    scalar_to_sql,
+)
+
+_SAFE_STR_LITS = ["x", "ab", "Z9", " k ", "#1", ""]
+
+
+@st.composite
+def _cond_for(draw, table):
+    """(col, op, value, typ) condition tuple for CASE — may use double
+    columns (comparisons only, never arithmetic)."""
+    cols = SCHEMA[table]
+    col = draw(st.sampled_from(sorted(cols)))
+    typ = cols[col]
+    vals = VALUES[(table, col)]
+    if not vals:
+        return (col, "notnull", None, typ)
+    ops = ["=", "<>"] if typ == "str" else ["=", "<", "<=", ">", ">="]
+    return (col, draw(st.sampled_from(ops)), draw(st.sampled_from(vals)), typ)
+
+
+@st.composite
+def _int_expr(draw, table, depth):
+    cols = SCHEMA[table]
+    int_cols = sorted(c for c in cols if cols[c] == "int")
+    if depth <= 0 or draw(st.integers(0, 3)) == 0:
+        if draw(st.booleans()):
+            return ("col_int", draw(st.sampled_from(int_cols)))
+        return ("ilit", draw(st.integers(0, 9)))
+    tag = draw(st.sampled_from(["add", "sub", "mul_lit", "mod", "idiv", "strlen", "case_int"]))
+    if tag in ("add", "sub"):
+        return (tag, draw(_int_expr(table, depth - 1)), draw(_int_expr(table, depth - 1)))
+    if tag == "mul_lit":
+        return (tag, draw(_int_expr(table, depth - 1)), draw(st.integers(0, 9)))
+    if tag in ("mod", "idiv"):
+        return (tag, draw(_int_expr(table, depth - 1)), draw(st.integers(1, 9)))
+    if tag == "strlen":
+        return (tag, draw(_str_expr(table, depth - 1)))
+    return (
+        "case_int",
+        draw(_cond_for(table)),
+        draw(_int_expr(table, depth - 1)),
+        draw(_int_expr(table, depth - 1)),
+    )
+
+
+@st.composite
+def _str_expr(draw, table, depth):
+    cols = SCHEMA[table]
+    str_cols = sorted(c for c in cols if cols[c] == "str")
+    if depth <= 0 or draw(st.integers(0, 3)) == 0:
+        if str_cols and draw(st.booleans()):
+            return ("col_str", draw(st.sampled_from(str_cols)))
+        return ("slit", draw(st.sampled_from(_SAFE_STR_LITS)))
+    tag = draw(
+        st.sampled_from(
+            ["upper", "lower", "trim", "reverse", "substr", "concat", "replace",
+             "lpad", "int2str", "case_str", "nullif_coalesce"]
+        )
+    )
+    if tag in ("upper", "lower", "trim", "reverse"):
+        return (tag, draw(_str_expr(table, depth - 1)))
+    if tag == "substr":
+        return (tag, draw(_str_expr(table, depth - 1)), draw(st.integers(1, 5)), draw(st.integers(1, 8)))
+    if tag == "concat":
+        return (tag, draw(_str_expr(table, depth - 1)), draw(_str_expr(table, depth - 1)))
+    if tag == "replace":
+        return (tag, draw(_str_expr(table, depth - 1)), draw(st.sampled_from(["a", "e", "0", "#"])),
+                draw(st.sampled_from(["", "_", "QQ"])))
+    if tag == "lpad":
+        return (tag, draw(_str_expr(table, depth - 1)), draw(st.integers(1, 12)),
+                draw(st.sampled_from(["*", "ab"])))
+    if tag == "int2str":
+        return (tag, draw(_int_expr(table, depth - 1)))
+    if tag == "case_str":
+        return ("case_str", draw(_cond_for(table)), draw(_str_expr(table, depth - 1)),
+                draw(_str_expr(table, depth - 1)))
+    return ("nullif_coalesce", draw(_str_expr(table, depth - 1)),
+            draw(st.sampled_from(_SAFE_STR_LITS)), draw(_str_expr(table, depth - 1)))
+
+
+@st.composite
+def scalar_specs(draw):
+    table = draw(st.sampled_from(_TABLES))
+    exprs = []
+    for i in range(draw(st.integers(1, 3))):
+        if draw(st.booleans()):
+            exprs.append((f"e{i}", draw(_int_expr(table, 3))))
+        else:
+            exprs.append((f"e{i}", draw(_str_expr(table, 3))))
+    # keep result sets debuggable: always carry the first column of the
+    # table so row identity survives even when every expr collapses
+    first = sorted(SCHEMA[table])[0]
+    typ = SCHEMA[table][first]
+    exprs.append(("k0", ("col_int", first) if typ == "int" else ("col_str", first)))
+    return ScalarSpec(table=table, exprs=exprs, filters=draw(_filters_for(table)))
+
+
+@settings(
+    max_examples=150,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(spec=scalar_specs())
+def test_scalar_differential(spark, duck, spec):
+    _compare(spark, duck, scalar_to_df(spark, SF_SMOKE, spec), scalar_to_sql(spec), spec)
+
+
+# ---- semi/anti membership surface (P6/P8) ----
+
+
+@st.composite
+def membership_specs(draw):
+    base, probe, bk, pk = draw(st.sampled_from(MEMBERSHIP_EDGES))
+    select = draw(
+        st.lists(st.sampled_from(sorted(SCHEMA[base])), min_size=1, max_size=3, unique=True)
+    )
+    return MembershipSpec(
+        table=base, probe=probe, base_key=bk, probe_key=pk,
+        anti=draw(st.booleans()),
+        base_filters=draw(_filters_for(base)),
+        probe_filters=draw(_filters_for(probe)),
+        select=select,
+    )
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(spec=membership_specs())
+def test_membership_differential(spark, duck, spec):
+    _compare(spark, duck, membership_to_df(spark, SF_SMOKE, spec), membership_to_sql(spec), spec)
