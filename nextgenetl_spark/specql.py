@@ -113,6 +113,7 @@ class QuerySpec:
     select: list = field(default_factory=list)  # projection when not aggregating
     distinct: bool = False
     having_min_count: int | None = None  # HAVING count(*) >= n (grouped specs only)
+    group_mode: str = "plain"  # "plain" | "rollup" | "cube" (grouped specs only)
 
     def columns(self) -> dict[str, str]:
         cols = dict(SCHEMA[self.table])
@@ -205,7 +206,12 @@ def spec_to_df(spark: SparkSession, sf_dir: str, spec: QuerySpec) -> DataFrame:
                 exprs.append(F.max(col).alias(a))
             else:
                 raise ValueError(f"unknown agg fn {fn!r}")
-        grouped = df.groupBy(*spec.group_by) if spec.group_by else df.groupBy()
+        if spec.group_mode == "rollup" and spec.group_by:
+            grouped = df.rollup(*spec.group_by)
+        elif spec.group_mode == "cube" and spec.group_by:
+            grouped = df.cube(*spec.group_by)
+        else:
+            grouped = df.groupBy(*spec.group_by) if spec.group_by else df.groupBy()
         if spec.having_min_count is not None:
             df = (
                 grouped.agg(*exprs, F.count(F.lit(1)).alias("_hc"))
@@ -254,9 +260,25 @@ def spec_to_sql(spec: QuerySpec) -> str:
         if where:
             sql += f" WHERE {where}"
         if spec.group_by:
-            sql += f" GROUP BY {', '.join(spec.group_by)}"
+            keys = ", ".join(spec.group_by)
+            if spec.group_mode == "rollup":
+                sql += f" GROUP BY ROLLUP ({keys})"
+            elif spec.group_mode == "cube":
+                sql += f" GROUP BY CUBE ({keys})"
+            else:
+                sql += f" GROUP BY {keys}"
         if spec.having_min_count is not None:
             sql += f" HAVING COUNT(*) >= {spec.having_min_count}"
+        if spec.group_mode in ("rollup", "cube") and spec.group_by:
+            # Cross-engine edge the fuzz surfaced: over an EMPTY input,
+            # DuckDB/Postgres emit the () grouping set's grand-total row
+            # (SQL standard), while Spark — DataFrame rollup/cube AND
+            # GROUP BY ROLLUP in Spark SQL — returns zero rows. The engine
+            # exposes Spark's semantics, so the oracle side gates rollup
+            # output on input non-emptiness to be an exact twin; pinned by
+            # test_rollup_empty_input_divergence_is_canonicalized.
+            guard = f"SELECT 1 FROM {frm}" + (f" WHERE {where}" if where else "")
+            sql = f"SELECT * FROM ({sql}) WHERE EXISTS ({guard})"
         return sql
     cols = spec.select or sorted(spec.columns())
     head = "SELECT DISTINCT" if spec.distinct else "SELECT"

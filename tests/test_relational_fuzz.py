@@ -117,9 +117,14 @@ def query_specs(draw):
                 fn = "count_distinct"
             aggs.append((fn, col))
         having = draw(st.sampled_from([None, None, None, 2])) if group_by else None
+        group_mode = (
+            draw(st.sampled_from(["plain", "plain", "plain", "rollup", "cube"]))
+            if group_by
+            else "plain"
+        )
         return QuerySpec(
             table=table, join=join, filters=filters, group_by=group_by, aggs=aggs,
-            having_min_count=having,
+            having_min_count=having, group_mode=group_mode,
         )
     # projection query
     select = draw(
@@ -419,3 +424,25 @@ def membership_specs(draw):
 @given(spec=membership_specs())
 def test_membership_differential(spark, duck, spec):
     _compare(spark, duck, membership_to_df(spark, SF_SMOKE, spec), membership_to_sql(spec), spec)
+
+
+def test_rollup_empty_input_divergence_is_canonicalized(spark, duck):
+    """Pinned fuzz find: GROUP BY ROLLUP over an EMPTY input returns the
+    grand-total row on DuckDB (SQL standard) but zero rows on Spark (both
+    the DataFrame rollup and Spark SQL). The SQL renderer gates rollup
+    output on input non-emptiness so the twins agree in all cases."""
+    spec = QuerySpec(
+        table="nation",
+        filters=[("n_name", "=", "NATION_0"), ("n_name", "=", "NATION_1")],
+        group_by=["n_name"],
+        aggs=[("count", None)],
+        group_mode="rollup",
+    )
+    _compare(spark, duck, spec_to_df(spark, SF_SMOKE, spec), spec_to_sql(spec), spec)
+    # and the non-empty case still carries the subtotal rows through
+    spec2 = QuerySpec(
+        table="nation", group_by=["n_regionkey"], aggs=[("count", None)], group_mode="cube"
+    )
+    sdf = spec_to_df(spark, SF_SMOKE, spec2)
+    assert any(r[0] is None for r in sdf.collect())
+    _compare(spark, duck, sdf, spec_to_sql(spec2), spec2)
