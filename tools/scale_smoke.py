@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from nextgenetl_spark.catalog import load
 from nextgenetl_spark.operators import dedup as D
-from nextgenetl_spark.operators.similarity import blocked_near_dup_pairs_vectorized, ivf_topk
+from nextgenetl_spark.operators.similarity import blocked_near_dup_pairs_auto, ivf_topk
 from nextgenetl_spark.session import get_spark
 
 
@@ -95,7 +95,12 @@ def main() -> None:
             "exact_dedup": lambda: D.exact_dedup_groups(d).count(),
             "minhash_lsh": lambda: D.minhash_near_dup_pairs(d, threshold=0.5).count(),
             "simhash": lambda: D.simhash_fingerprints(d).count(),
-            "emb_near_dup": lambda: blocked_near_dup_pairs_vectorized(e, threshold=0.3).count(),
+            # size-routed: label blocks within the 8192-row bound get the
+            # exact per-block GEMM; beyond it (x50: ~10.9k-row blocks) the
+            # oversized blocks sub-bucket by hyperplane signature — the
+            # reroute the guard's error message points at, demonstrated
+            # in-curve instead of crashing the smoke
+            "emb_near_dup": lambda: blocked_near_dup_pairs_auto(e, dim=64, threshold=0.3).count(),
             "ivf_topk": lambda: ivf_topk(
                 e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding"),
                 e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
