@@ -111,6 +111,54 @@ def _max_size_expr(rel_path: list) -> Column:
     return nested_max(F.col(head), rel_path[1:])
 
 
+def _single_cols(
+    elem: Column,
+    elem_type: T.StructType,
+    path: str,
+    config: FlattenConfig,
+    structure: dict,
+    counts: bool,
+) -> list:
+    """Columns contributed to the closest one-to-many ancestor's table by an
+    inlined single-entry group at ``path`` — RECURSIVE, because the
+    reference merges every single-entry field group into
+    ``get_parent_fg(tables, fg)``, the nearest ancestor that is itself a
+    one-to-many table, cascading through single-entry parents
+    (build_gdc_api_clinical_program_tables.py:867-894), and attaches every
+    one-to-many group's count column the same way (:896-939). A
+    single-under-single chain therefore inlines all the way up, and a
+    one-to-many group under an inlined single parent lands its __count on
+    this ancestor (found by the flatten differential fuzz; previously the
+    nested single's fields were silently dropped)."""
+    cols: list = []
+    for sub in elem_type.fields:
+        sub_path = f"{path}.{sub.name}"
+        if isinstance(sub.dataType, T.ArrayType) and isinstance(sub.dataType.elementType, T.StructType):
+            n = structure.get(sub_path, 0)
+            if counts and n > 1:
+                cols.append(
+                    F.coalesce(F.size(elem.getField(sub.name)), F.lit(0)).alias(
+                        config.colname(sub_path, "count")
+                    )
+                )
+            elif 0 < n <= 1:
+                cols.extend(
+                    _single_cols(
+                        F.try_element_at(elem.getField(sub.name), F.lit(1)),
+                        sub.dataType.elementType,
+                        sub_path,
+                        config,
+                        structure,
+                        counts,
+                    )
+                )
+            continue
+        if sub.name in config.excluded.get(path, []):
+            continue
+        cols.append(elem.getField(sub.name).alias(config.colname(path, sub.name)))
+    return cols
+
+
 def flatten(df: DataFrame, config: FlattenConfig, counts: bool = True) -> dict:
     """Nested base DataFrame → {table_name: DataFrame} per the reference's
     flatten + merge + counts pipeline. The base table carries inlined
@@ -129,23 +177,16 @@ def flatten(df: DataFrame, config: FlattenConfig, counts: bool = True) -> dict:
         path = f"{config.base}.{f.name}"
         if isinstance(f.dataType, T.ArrayType) and isinstance(f.dataType.elementType, T.StructType):
             if path in single:
-                elem = F.element_at(F.col(f.name), 1)
-                for sub in f.dataType.elementType.fields:
-                    sub_path = f"{path}.{sub.name}"
-                    if isinstance(sub.dataType, T.ArrayType) and isinstance(sub.dataType.elementType, T.StructType):
-                        # one-to-many grandchild under an inlined single-entry
-                        # group: its rows become a child table (explode below),
-                        # but its count column lands here on the base row
-                        if counts and structure.get(sub_path, 0) > 1:
-                            base_cols.append(
-                                F.coalesce(F.size(elem.getField(sub.name)), F.lit(0)).alias(
-                                    config.colname(sub_path, "count")
-                                )
-                            )
-                        continue
-                    if sub.name in config.excluded.get(path, []):
-                        continue
-                    base_cols.append(elem.getField(sub.name).alias(config.colname(path, sub.name)))
+                base_cols.extend(
+                    _single_cols(
+                        F.try_element_at(F.col(f.name), F.lit(1)),
+                        f.dataType.elementType,
+                        path,
+                        config,
+                        structure,
+                        counts,
+                    )
+                )
             if counts and path in one_to_many:
                 base_cols.append(
                     F.coalesce(F.size(F.col(f.name)), F.lit(0)).alias(config.colname(path, "count"))
@@ -203,13 +244,16 @@ def _child_table(df: DataFrame, config: FlattenConfig, path: str, structure: dic
                     F.coalesce(F.size(node.getField(sub.name)), F.lit(0)).alias(config.colname(sub_path, "count"))
                 )
             elif sub_path in structure and 0 < structure[sub_path] <= 1:
-                elem = F.element_at(node.getField(sub.name), 1)
-                for s2 in sub.dataType.elementType.fields:
-                    if isinstance(s2.dataType, T.ArrayType):
-                        continue
-                    if s2.name in config.excluded.get(sub_path, []):
-                        continue
-                    out_cols.append(elem.getField(s2.name).alias(config.colname(sub_path, s2.name)))
+                out_cols.extend(
+                    _single_cols(
+                        F.try_element_at(node.getField(sub.name), F.lit(1)),
+                        sub.dataType.elementType,
+                        sub_path,
+                        config,
+                        structure,
+                        counts,
+                    )
+                )
             continue
         if sub.name in config.excluded.get(path, []):
             continue
