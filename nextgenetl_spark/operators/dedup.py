@@ -903,10 +903,23 @@ def connected_components_star(
         prev = cur
         sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # Fixed point = stars: src→dst is node→component-min; roots label themselves.
-    return (
+    out = (
         e.select(F.col("src").alias("node"), F.col("dst").alias("label"))
         .union(e.select(F.col("dst").alias("node"), F.col("dst").alias("label")))
         .distinct()
+    )
+    # Self-loop-only nodes: the src != dst prefilter drops them from the
+    # contraction, but the contract ("every node that appears in an edge")
+    # and the label-prop twin both keep them (found by the graph fuzz —
+    # LSH pair output never emits self-pairs, so this is contract parity,
+    # not a production path). Shuffle cost is the self-loop row count.
+    loops = (
+        edges.where(F.col(a_col) == F.col(b_col))
+        .select(F.col(a_col).alias("node"))
+        .distinct()
+    )
+    return out.union(
+        loops.join(out, "node", "left_anti").select("node", F.col("node").alias("label"))
     )
 
 
