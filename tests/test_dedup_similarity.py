@@ -286,13 +286,15 @@ def test_star_cc_long_chain_converges(spark):
 
 
 def test_star_cc_duplicate_and_reversed_edges(spark):
-    """Duplicate edges, both orientations, and self-loops must not change
-    the result."""
+    """Duplicate edges and both orientations must not change the result,
+    and a self-loop-only node is its own singleton component — the same
+    contract as the label-propagation twin (pinned by the graph fuzz,
+    tests/test_graph_fuzz.py; star contraction used to drop node 5)."""
     base = [(1, 2), (2, 3), (7, 8)]
     noisy = base + [(2, 1), (3, 2), (1, 2), (5, 5)]
     df = spark.createDataFrame(noisy, "a_id long, b_id long")
     got = {r["node"]: r["label"] for r in D.connected_components_star(df).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7}
 
 
 def test_compression_ratio_matches_direct_zlib(spark):
