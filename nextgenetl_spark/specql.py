@@ -299,7 +299,13 @@ PRIMARY_KEYS: dict[str, str] = {
 }
 
 SET_OPS = ("union_all", "union", "except", "intersect")
-WINDOW_FNS = ("row_number", "rank", "lag", "sum_over", "count_over", "max_over")
+WINDOW_FNS = (
+    "row_number", "rank", "lag", "sum_over", "count_over", "max_over",
+    # frame/offset/bucket shapes: running sum over an explicit
+    # unbounded-preceding..current-row frame, lead, and ntile(4) — all
+    # deterministic because the ORDER BY key is the table's unique PK
+    "running_sum", "lead", "ntile4",
+)
 
 
 @dataclass
@@ -387,6 +393,15 @@ def window_to_df(spark: SparkSession, sf_dir: str, spec: WindowSpec) -> DataFram
         w = F.sum(spec.value_col).over(unordered)
         if typ == "double":
             w = F.round(w, 2)
+    elif spec.fn == "running_sum":
+        frame = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w = F.sum(spec.value_col).over(frame)
+        if typ == "double":
+            w = F.round(w, 2)
+    elif spec.fn == "lead":
+        w = F.lead(spec.value_col).over(ordered)
+    elif spec.fn == "ntile4":
+        w = F.ntile(4).over(ordered)
     elif spec.fn == "count_over":
         w = F.count(F.lit(1)).over(unordered)
     elif spec.fn == "max_over":
@@ -416,6 +431,14 @@ def window_to_sql(spec: WindowSpec) -> str:
             w = f"CAST({inner} AS BIGINT)"
     elif spec.fn == "count_over":
         w = f"COUNT(*) {over_unordered}"
+    elif spec.fn == "running_sum":
+        frame = f"OVER (PARTITION BY {spec.partition_col} ORDER BY {pk} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        inner = f"SUM({spec.value_col}) {frame}"
+        w = f"ROUND({inner}, 2)" if typ == "double" else f"CAST({inner} AS BIGINT)"
+    elif spec.fn == "lead":
+        w = f"LEAD({spec.value_col}) {over_ordered}"
+    elif spec.fn == "ntile4":
+        w = f"NTILE(4) {over_ordered}"
     elif spec.fn == "max_over":
         w = f"MAX({spec.value_col}) {over_unordered}"
     else:

@@ -225,9 +225,9 @@ def window_specs(draw):
     fn = draw(st.sampled_from(WINDOW_FNS))
     partition_col = draw(st.sampled_from([c for c in sorted(cols) if cols[c] != "double"]))
     value_col = None
-    if fn in ("lag", "max_over"):
+    if fn in ("lag", "lead", "max_over"):
         value_col = draw(st.sampled_from(sorted(cols)))
-    elif fn == "sum_over":
+    elif fn in ("sum_over", "running_sum"):
         value_col = draw(st.sampled_from([c for c in sorted(cols) if cols[c] in ("int", "double")]))
     select = draw(
         st.lists(st.sampled_from(sorted(cols)), min_size=1, max_size=3, unique=True)
