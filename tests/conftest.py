@@ -11,6 +11,15 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_T2 = "/root/testdata/sf0.01"
 
 
+def fuzz_examples(deep: int, quick: int) -> int:
+    """Per-surface hypothesis budget: the quick tier keeps the whole suite
+    CI-sized; SPARK_GRAFT_DEEP_FUZZ=1 restores the deep budgets every
+    surface was originally validated with (run it after touching a fuzzed
+    operator). Derandomized settings make the quick tier a strict prefix
+    of the deep tier, so quick never explores cases deep has not."""
+    return deep if os.environ.get("SPARK_GRAFT_DEEP_FUZZ") == "1" else quick
+
+
 @pytest.fixture(scope="session")
 def spark():
     from nextgenetl_spark.session import get_spark

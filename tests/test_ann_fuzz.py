@@ -21,6 +21,8 @@ from hypothesis import strategies as st
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tests.conftest import fuzz_examples
+
 from nextgenetl_spark.operators.similarity import cosine_topk, ivf_topk
 
 
@@ -54,7 +56,7 @@ def _numpy_topk(queries, corpus, k):
 
 
 @settings(
-    max_examples=40,
+    max_examples=fuzz_examples(40, 15),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],

@@ -30,6 +30,8 @@ from pyspark.sql import types as T
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tests.conftest import fuzz_examples
+
 from nextgenetl_spark.flatten import FlattenConfig, flatten
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
@@ -253,7 +255,7 @@ def _oracle_tables(base_scalars, groups, excluded, records):
 
 
 @settings(
-    max_examples=120,
+    max_examples=fuzz_examples(120, 60),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],

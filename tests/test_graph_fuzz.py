@@ -18,6 +18,8 @@ from hypothesis import strategies as st
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tests.conftest import fuzz_examples
+
 from nextgenetl_spark.operators.dedup import connected_components, connected_components_star
 
 
@@ -55,7 +57,7 @@ def _graphs(draw):
 
 
 @settings(
-    max_examples=60,
+    max_examples=fuzz_examples(60, 20),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],

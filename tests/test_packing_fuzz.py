@@ -20,6 +20,8 @@ from hypothesis import strategies as st
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tests.conftest import fuzz_examples
+
 from nextgenetl_spark.operators.packing import context_window_chunks, greedy_bin_pack
 
 
@@ -55,7 +57,7 @@ def _ref_windows(rows_in_part, budget):
 
 
 @settings(
-    max_examples=60,
+    max_examples=fuzz_examples(60, 25),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],

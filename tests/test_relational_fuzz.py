@@ -31,7 +31,7 @@ from nextgenetl_spark.specql import (
     spec_to_df,
     spec_to_sql,
 )
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, fuzz_examples
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 from check import table_hash  # noqa: E402  (driver-identical hash compare)
@@ -144,7 +144,7 @@ def duck():
 
 
 @settings(
-    max_examples=220,
+    max_examples=fuzz_examples(220, 120),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
@@ -259,7 +259,7 @@ def _compare(spark, duck, sdf, sql, spec):
 
 
 @settings(
-    max_examples=100,
+    max_examples=fuzz_examples(100, 60),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
@@ -270,7 +270,7 @@ def test_setop_differential(spark, duck, spec):
 
 
 @settings(
-    max_examples=100,
+    max_examples=fuzz_examples(100, 60),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
@@ -387,7 +387,7 @@ def scalar_specs(draw):
 
 
 @settings(
-    max_examples=150,
+    max_examples=fuzz_examples(150, 80),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
@@ -416,7 +416,7 @@ def membership_specs(draw):
 
 
 @settings(
-    max_examples=120,
+    max_examples=fuzz_examples(120, 60),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tests.conftest import fuzz_examples
+
 from nextgenetl_spark.streaming import session_window_agg, sliding_window_agg, tumbling_window_agg
 from nextgenetl_spark.streaming.windows import with_watermark
 
@@ -76,7 +78,7 @@ def _apply(op, params, df):
 
 
 @settings(
-    max_examples=25,
+    max_examples=fuzz_examples(25, 10),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
