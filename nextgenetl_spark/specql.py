@@ -97,6 +97,17 @@ FOREIGN_KEYS: dict[str, list[tuple[str, str, str]]] = {
     "supplier": [("nation", "s_nationkey", "n_nationkey")],
 }
 
+# multi-hop FK paths for chain joins (each hop: other, base_key, other_key)
+JOIN_CHAINS: list[list[tuple]] = [
+    [("orders", "l_orderkey", "o_orderkey"), ("customer", "o_custkey", "c_custkey")],
+    [("orders", "l_orderkey", "o_orderkey"), ("customer", "o_custkey", "c_custkey"),
+     ("nation", "c_nationkey", "n_nationkey")],
+    [("customer", "o_custkey", "c_custkey"), ("nation", "c_nationkey", "n_nationkey")],
+    [("supplier", "l_suppkey", "s_suppkey"), ("nation", "s_nationkey", "n_nationkey")],
+]
+# base table each chain starts from
+CHAIN_BASES = ["lineitem", "lineitem", "orders", "lineitem"]
+
 FILTER_OPS = ("=", "<>", "<", "<=", ">", ">=", "in", "like", "isnull", "notnull")
 AGG_FNS = ("count", "sum", "min", "max", "count_distinct")
 
@@ -107,6 +118,7 @@ class QuerySpec:
 
     table: str
     join: tuple | None = None  # (other_table, base_key, other_key, "inner"|"left")
+    chain: list = field(default_factory=list)  # multi-hop FK joins, same tuple shape, applied in order after `join`
     filters: list = field(default_factory=list)  # [(col, op, value)]
     group_by: list = field(default_factory=list)
     aggs: list = field(default_factory=list)  # [(fn, col)] — col None for count(*)
@@ -119,6 +131,8 @@ class QuerySpec:
         cols = dict(SCHEMA[self.table])
         if self.join:
             cols.update(SCHEMA[self.join[0]])
+        for other, _bk, _ok, _how in self.chain:
+            cols.update(SCHEMA[other])
         return cols
 
 
@@ -185,6 +199,9 @@ def spec_to_df(spark: SparkSession, sf_dir: str, spec: QuerySpec) -> DataFrame:
         other_table, base_key, other_key, how = spec.join
         other = load(spark, sf_dir, other_table)
         df = df.join(other, on=F.col(base_key) == F.col(other_key), how=how)
+    for other_table, base_key, other_key, how in spec.chain:
+        other = load(spark, sf_dir, other_table)
+        df = df.join(other, on=F.col(base_key) == F.col(other_key), how=how)
     for col, op, value in spec.filters:
         df = df.filter(_spark_filter(col, op, value, _col_type(spec, col)))
     if spec.aggs:
@@ -236,6 +253,9 @@ def spec_to_sql(spec: QuerySpec) -> str:
         other_table, base_key, other_key, how = spec.join
         kw = "JOIN" if how == "inner" else "LEFT JOIN"
         frm = f"{spec.table} {kw} {other_table} ON {base_key} = {other_key}"
+    for other_table, base_key, other_key, how in spec.chain:
+        kw = "JOIN" if how == "inner" else "LEFT JOIN"
+        frm = f"{frm} {kw} {other_table} ON {base_key} = {other_key}"
     where = " AND ".join(
         _sql_filter(col, op, value, _col_type(spec, col)) for col, op, value in spec.filters
     )

@@ -25,7 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nextgenetl_spark.specql import (
     AGG_FNS,
+    CHAIN_BASES,
     FOREIGN_KEYS,
+    JOIN_CHAINS,
     SCHEMA,
     QuerySpec,
     spec_to_df,
@@ -63,23 +65,41 @@ VALUES = _sample_values()
 
 @st.composite
 def query_specs(draw):
-    table = draw(st.sampled_from(_TABLES))
     join = None
-    if table in FOREIGN_KEYS and draw(st.booleans()):
-        other, bk, ok = draw(st.sampled_from(FOREIGN_KEYS[table]))
-        how = draw(st.sampled_from(["inner", "left"]))
-        join = (other, bk, ok, how)
+    chain = []
+    if draw(st.integers(0, 3)) == 0:
+        # multi-hop FK chain (lineitem→orders→customer→nation etc.) — the
+        # join-reordering surface single-FK specs never exercise
+        ci = draw(st.integers(0, len(JOIN_CHAINS) - 1))
+        table = CHAIN_BASES[ci]
+        chain = [h + (draw(st.sampled_from(["inner", "left"])),) for h in JOIN_CHAINS[ci]]
+    else:
+        table = draw(st.sampled_from(_TABLES))
+        if table in FOREIGN_KEYS and draw(st.booleans()):
+            other, bk, ok = draw(st.sampled_from(FOREIGN_KEYS[table]))
+            how = draw(st.sampled_from(["inner", "left"]))
+            join = (other, bk, ok, how)
 
     cols = dict(SCHEMA[table])
     if join:
         cols.update(SCHEMA[join[0]])
+    for other, _bk, _ok, _how in chain:
+        cols.update(SCHEMA[other])
     col_names = sorted(cols)
+
+    def _home_table(col):
+        if col in SCHEMA[table]:
+            return table
+        for other, _bk, _ok, _how in chain:
+            if col in SCHEMA[other]:
+                return other
+        return join[0]
 
     filters = []
     for _ in range(draw(st.integers(0, 3))):
         col = draw(st.sampled_from(col_names))
         typ = cols[col]
-        vals = VALUES[(table if col in SCHEMA[table] else join[0], col)]
+        vals = VALUES[(_home_table(col), col)]
         if not vals:
             continue
         if typ == "str":
@@ -123,15 +143,15 @@ def query_specs(draw):
             else "plain"
         )
         return QuerySpec(
-            table=table, join=join, filters=filters, group_by=group_by, aggs=aggs,
-            having_min_count=having, group_mode=group_mode,
+            table=table, join=join, chain=chain, filters=filters, group_by=group_by,
+            aggs=aggs, having_min_count=having, group_mode=group_mode,
         )
     # projection query
     select = draw(
         st.lists(st.sampled_from(col_names), min_size=1, max_size=4, unique=True)
     )
     distinct = draw(st.booleans())
-    return QuerySpec(table=table, join=join, filters=filters, select=select, distinct=distinct)
+    return QuerySpec(table=table, join=join, chain=chain, filters=filters, select=select, distinct=distinct)
 
 
 @pytest.fixture(scope="module")
