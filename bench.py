@@ -120,6 +120,7 @@ HEADLINE = {
     "tsv_export_roundtrip": "count",
     "csv_load_disposition": "count",
     "flatten_merged_single": "count",
+    "flatten_deep_single": "count",
     "wide_group_dedup_140": "count",
     "phash_pixels_near_dup": "count",
     "info_schema_columns": "collect",

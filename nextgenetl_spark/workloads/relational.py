@@ -1859,3 +1859,96 @@ def wide_group_dedup_140(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pooled_ids"),
         F.count(F.lit(1)).alias("n_pooled"),
     )
+
+
+@workload(
+    "flatten_deep_single",
+    oracle="""
+    SELECT o.o_orderkey AS order_id, o.o_orderstatus,
+           c.c_custkey AS cust__cust_id, c.c_name AS cust__name,
+           n.n_nationkey AS cust__geo__geo_id, n.n_name AS cust__geo__nname,
+           CAST(COALESCE(l.cnt, 0) AS INT) AS cust__lines__count
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1) l
+      ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def flatten_deep_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y2 merge cascade at depth — the round-5 flatten-fuzz find, pinned
+    through the driver gate: a single-entry group (``geo``) nested UNDER
+    another single-entry group (``cust``) must inline all the way up into
+    the base table (reference merges every single-entry field group into
+    the nearest one-to-many ANCESTOR, build_gdc_api_clinical_program_
+    tables.py:867-894 — before the fix those fields were silently
+    dropped), and a one-to-many group under the single parent
+    (``cust.lines``) must land its zero-filled __count on the base row
+    while still emitting its own child table. The oracle restates the
+    cascaded base-row shape relationally. Fixture staged
+    content-fingerprinted like flatten_merged_single's."""
+    import os
+
+    from nextgenetl_spark.flatten import FlattenConfig, flatten
+    from nextgenetl_spark.staging import mark_complete, staged_dir
+
+    stage, complete = staged_dir("ngetl_nested_deep", sf_dir)
+    if not complete:
+        o = load(spark, sf_dir, "orders")
+        c = load(spark, sf_dir, "customer")
+        n = load(spark, sf_dir, "nation")
+        li = load(spark, sf_dir, "lineitem")
+        lines = (
+            li.select(
+                "l_orderkey",
+                F.struct(
+                    F.col("l_linenumber").alias("line_id"),
+                    F.col("l_quantity").alias("qty"),
+                ).alias("line"),
+            )
+            .groupBy("l_orderkey")
+            .agg(F.collect_list("line").alias("lines"))
+        )
+        (
+            o.select(F.col("o_orderkey").alias("order_id"), "o_orderstatus", "o_custkey")
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(lines, F.col("order_id") == F.col("l_orderkey"), "left")
+            .select(
+                "order_id",
+                "o_orderstatus",
+                F.array(
+                    F.struct(
+                        F.col("c_custkey").alias("cust_id"),
+                        F.col("c_name").alias("name"),
+                        F.array(
+                            F.struct(
+                                F.col("n_nationkey").alias("geo_id"),
+                                F.col("n_name").alias("nname"),
+                            )
+                        ).alias("geo"),
+                        F.coalesce("lines", F.array()).alias("lines"),
+                    )
+                ).alias("cust"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, "nested.parquet"))
+        )
+        mark_complete(stage)
+    nested = spark.read.parquet(os.path.join(stage, "nested.parquet"))
+    cfg = FlattenConfig(
+        base="orders",
+        id_keys={
+            "orders": "order_id",
+            "orders.cust": "cust_id",
+            "orders.cust.geo": "geo_id",
+            "orders.cust.lines": "line_id",
+        },
+    )
+    tables = flatten(nested, cfg)
+    for forbidden in ("orders_cust", "orders_cust_geo"):
+        if forbidden in tables:
+            raise AssertionError(f"single-entry group produced child table {forbidden}")
+    if "orders_cust_lines" not in tables:
+        raise AssertionError("one-to-many group under a single parent lost its child table")
+    return tables["orders"]
