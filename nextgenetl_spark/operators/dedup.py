@@ -786,11 +786,19 @@ def connected_components(
     Kiveris-style guarantee — while dedup-shaped graphs (cliques/short
     chains) still converge in ~3 rounds. ``localCheckpoint`` cuts lineage
     each round so the plan does not grow with iterations."""
+    # DISK_ONLY checkpoints: the symmetric edge list and per-round label
+    # tables are each read back once per round — sequential disk reads —
+    # while MEMORY_AND_DISK materialization of a 50M+-row edge set under a
+    # modest heap is exactly what OOMed the x100 scale run (checkpoint
+    # block storage competes with the distinct's execution memory). Heap
+    # stays bounded at ANY edge volume; sf0.1 cost is unmeasurable.
+    from pyspark.storagelevel import StorageLevel
+
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     # Min-label propagation is monotone (labels only decrease), so the label
@@ -821,7 +829,7 @@ def connected_components(
         labels = (
             labels.join(l2, labels.label == l2.n2, "left")
             .select("node", F.coalesce("l2", "label").alias("label"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
         # decimal(38,0) sum: exact at any node count (a long sum could
         # overflow, a double sum could absorb a small change at ~1e18 scale)
@@ -881,18 +889,22 @@ def connected_components_star(
     is a forest of stars pointing at component minima. Detected by an
     order-insensitive xxhash64 checksum + count — one 1-row aggregate per
     round, no anti-join."""
+    from pyspark.storagelevel import StorageLevel
+
+    # DISK_ONLY for the same reason as connected_components: per-round
+    # edge sets are read once each; heap stays bounded at any edge volume.
     e = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     prev = None
     for _ in range(max_iters):
         big = _large_star(sym)
         # lazy: the convergence aggregate right below materializes the round
-        e = _small_star(big).localCheckpoint(eager=False)
+        e = _small_star(big).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
