@@ -1947,19 +1947,23 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression summed per doc. Rounds BEFORE ranking so the top-k frontier
     is engine-stable. At scale nothing here is wider than (doc × query
     term): the corpus shuffles once on doc_id for lengths, query terms are
-    filtered at the scan, and stats broadcast."""
+    filtered at the scan, and stats broadcast. The global top-20 runs as
+    orderBy().limit() → TakeOrderedAndProject (per-partition partial top-k
+    merged on the driver, never a full-data single-partition window — the
+    vocab_build pattern); only the 20 survivors pass through the
+    rank-numbering window."""
     from pyspark.sql.window import Window
 
     scores = TS.bm25_scores(
         load(spark, sf_dir, "documents"), terms=["hash", "join", "vector"], k1=1.2, b=0.75
     )
-    w = Window.orderBy(F.desc(F.round(F.col("score"), 4)), F.col("doc_id"))
-    return (
-        scores.select("doc_id", F.round("score", 4).alias("score"),
-                      F.row_number().over(w).cast("int").alias("rank"))
-        .filter(F.col("rank") <= 20)
-        .orderBy("rank")
+    top = (
+        scores.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
     )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # 20 rows only
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).orderBy("rank")
 
 
 @workload(

@@ -54,3 +54,27 @@ def test_no_single_partition_exchange_in_topk_paths(spark):
     for name in ("manifest_filter", "ann_ivf_topk", "doc_length_quantiles"):
         plan = _plan(spark, name)
         assert "Exchange SinglePartition" not in plan, name
+
+
+def test_global_rank_windows_ride_on_bounded_topk(spark):
+    """The round-5 verdict's bm25_topk nit: a global row_number window over
+    the FULL data merges everything into one partition inside the window
+    exchange — which the plain no-SinglePartition assertion above misses
+    when the rank-filter rewrite (InferWindowGroupLimit) kicks in, because
+    the exchange hides inside the window, and loses silently on refactor.
+    The safe idiom is orderBy().limit(k) → TakeOrderedAndProject first, so
+    the only single-partition stage ever sees k rows. Pin it: the top-k
+    must come from TakeOrderedAndProject, and the one allowed
+    single-partition exchange feeds a window above a GlobalLimit/
+    TakeOrderedAndProject, never the raw scan."""
+    for name in ("bm25_topk", "vocab_build"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        # the bounded final merge is the only single-partition exchange
+        assert plan.count("Exchange SinglePartition") <= 1, name
+        # and the window must NOT be fed by a raw Sort-everything exchange:
+        # in formatted mode children print below parents, so the
+        # TakeOrderedAndProject (the bound) must appear deeper in the tree
+        # (= later in the text) than the Window node it feeds.
+        if "Window" in plan and "Exchange SinglePartition" in plan:
+            assert plan.index("TakeOrderedAndProject") > plan.index("Window"), name
