@@ -25,6 +25,7 @@ from nextgenetl_spark.workloads import load_all
 HEADLINE = {
     "pricing_summary": "collect",
     "multiway_star": "collect",
+    "clinical_wide_join": "count",
     "left_join_counts": "count",
     "pull_list_join": "count",
     "window_max": "count",

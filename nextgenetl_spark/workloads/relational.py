@@ -142,6 +142,148 @@ def multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "clinical_wide_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           o.o_orderpriority                AS order_priority,
+           c.c_name                         AS cust_name,
+           c.c_mktsegment                   AS cust_segment,
+           s.s_name                         AS supp_name,
+           p.p_name                         AS part_name,
+           p.p_brand                        AS part_brand,
+           cn.n_name                        AS cust_nation,
+           cr.r_name                        AS cust_region,
+           sn.n_name                        AS supp_nation,
+           sr.r_name                        AS supp_region,
+           dn.n_name                        AS disc_code,
+           dr.r_name                        AS disc_region,
+           qn.n_name                        AS qty_code,
+           qr.r_name                        AS qty_region,
+           tn.n_name                        AS tax_code,
+           tr.r_name                        AS tax_region,
+           rn.n_name                        AS route_code,
+           rr.r_name                        AS route_region,
+           s2.s_name                        AS backup_supp,
+           c2.c_name                        AS referrer,
+           p2.p_name                        AS alt_part
+    FROM lineitem l
+    INNER JOIN orders   o  ON l.l_orderkey = o.o_orderkey
+    INNER JOIN customer c  ON o.o_custkey = c.c_custkey
+    INNER JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    INNER JOIN part     p  ON l.l_partkey = p.p_partkey
+    INNER JOIN nation   cn ON c.c_nationkey = cn.n_nationkey
+    INNER JOIN region   cr ON cn.n_regionkey = cr.r_regionkey
+    INNER JOIN nation   sn ON s.s_nationkey = sn.n_nationkey
+    INNER JOIN region   sr ON sn.n_regionkey = sr.r_regionkey
+    INNER JOIN nation   dn ON CAST(ROUND(l.l_discount * 100) AS INT) % 25 = dn.n_nationkey
+    INNER JOIN region   dr ON dn.n_regionkey = dr.r_regionkey
+    INNER JOIN nation   qn ON CAST(ROUND(l.l_quantity) AS INT) % 25 = qn.n_nationkey
+    INNER JOIN region   qr ON qn.n_regionkey = qr.r_regionkey
+    INNER JOIN nation   tn ON CAST(ROUND(l.l_tax * 100) AS INT) % 25 = tn.n_nationkey
+    INNER JOIN region   tr ON tn.n_regionkey = tr.r_regionkey
+    INNER JOIN nation   rn ON CAST(l.l_orderkey % 25 AS INT) = rn.n_nationkey
+    INNER JOIN region   rr ON rn.n_regionkey = rr.r_regionkey
+    LEFT  JOIN supplier s2 ON s2.s_suppkey = l.l_suppkey + 1
+    LEFT  JOIN customer c2 ON c2.c_custkey = c.c_custkey + 1
+    LEFT  JOIN part     p2 ON p2.p_partkey = l.l_partkey + 1
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND l.l_quantity <= 10
+    """,
+)
+def clinical_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 at REFERENCE width: 20 relations / 19 chained INNER+LEFT joins —
+    the exact join count of the reference's worst real view
+    (TP53/TP53_Scripts/create_views.py:204-290, 19 INNER JOINs; the PDC
+    clinical build chains 21: BQ_Table_Building/CDA/PDC/
+    create_tables_clinical_pdc.py). Reproduces every structural element of
+    that shape on the TPC-H tables:
+
+    - one central fact (lineitem ~ S_MUTATION/S_SAMPLE) with FK chains into
+      scaling entities (orders→customer ~ Sample→Individual),
+    - the same dictionary re-joined under MULTIPLE roles (nation×5,
+      region×5 ~ the reference's *_dic tables),
+    - coded-value decode joins on DERIVED keys (discount/quantity/tax/
+      orderkey codes ~ ``m.Mutant_codon = code.Codon`` in Genetic_code),
+    - dict-of-dict chains (each decode nation → its region ~
+      Morphology_dic → Morphogroup_dic, Subtopography → Topography),
+    - LEFT-joined optional roles on shifted keys (backup supplier /
+      referrer customer / alternate part ~ optional clinical annotations).
+
+    Scale shape: at 19 joins Catalyst's cost-based reorder is the stress
+    (greedy cutoffs) — but the plan must keep every fixed-size dictionary
+    (nation=25, region=5 rows at ANY sf) broadcast so the fact table
+    shuffles only on its true FK chain (orders, customer); the LEFT roles
+    into scaling dims (supplier/part) broadcast at bench sf and gracefully
+    become shuffle joins at 100 TB. tests/test_plan_shapes.py pins: ≥12
+    BroadcastHashJoins, zero CartesianProduct/BroadcastNestedLoopJoin.
+    Derived keys ROUND before CAST on both engines (Spark casts truncate,
+    DuckDB casts round — rounding first pins the comparable integer)."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 10).alias("l")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .alias("o")
+    )
+    c = load(spark, sf_dir, "customer").alias("c")
+    s = load(spark, sf_dir, "supplier").alias("s")
+    p = load(spark, sf_dir, "part").alias("p")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    s2 = load(spark, sf_dir, "supplier").alias("s2")
+    c2 = load(spark, sf_dir, "customer").alias("c2")
+    p2 = load(spark, sf_dir, "part").alias("p2")
+
+    def code(col):  # coded-value decode key: ROUND first (see docstring)
+        return F.round(col).cast("int") % 25
+
+    df = (
+        l.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .join(c, F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .join(F.broadcast(s), F.col("l.l_suppkey") == F.col("s.s_suppkey"))
+        .join(F.broadcast(p), F.col("l.l_partkey") == F.col("p.p_partkey"))
+        .join(F.broadcast(nat.alias("cn")), F.col("c.c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(reg.alias("cr")), F.col("cn.n_regionkey") == F.col("cr.r_regionkey"))
+        .join(F.broadcast(nat.alias("sn")), F.col("s.s_nationkey") == F.col("sn.n_nationkey"))
+        .join(F.broadcast(reg.alias("sr")), F.col("sn.n_regionkey") == F.col("sr.r_regionkey"))
+        .join(F.broadcast(nat.alias("dn")), code(F.col("l.l_discount") * 100) == F.col("dn.n_nationkey"))
+        .join(F.broadcast(reg.alias("dr")), F.col("dn.n_regionkey") == F.col("dr.r_regionkey"))
+        .join(F.broadcast(nat.alias("qn")), code(F.col("l.l_quantity")) == F.col("qn.n_nationkey"))
+        .join(F.broadcast(reg.alias("qr")), F.col("qn.n_regionkey") == F.col("qr.r_regionkey"))
+        .join(F.broadcast(nat.alias("tn")), code(F.col("l.l_tax") * 100) == F.col("tn.n_nationkey"))
+        .join(F.broadcast(reg.alias("tr")), F.col("tn.n_regionkey") == F.col("tr.r_regionkey"))
+        .join(F.broadcast(nat.alias("rn")), (F.col("l.l_orderkey") % 25).cast("int") == F.col("rn.n_nationkey"))
+        .join(F.broadcast(reg.alias("rr")), F.col("rn.n_regionkey") == F.col("rr.r_regionkey"))
+        .join(F.broadcast(s2), F.col("s2.s_suppkey") == F.col("l.l_suppkey") + 1, "left")
+        .join(F.broadcast(c2), F.col("c2.c_custkey") == F.col("c.c_custkey") + 1, "left")
+        .join(F.broadcast(p2), F.col("p2.p_partkey") == F.col("l.l_partkey") + 1, "left")
+    )
+    return df.select(
+        F.col("l.l_orderkey").alias("l_orderkey"),
+        F.col("l.l_linenumber").alias("l_linenumber"),
+        F.col("o.o_orderpriority").alias("order_priority"),
+        F.col("c.c_name").alias("cust_name"),
+        F.col("c.c_mktsegment").alias("cust_segment"),
+        F.col("s.s_name").alias("supp_name"),
+        F.col("p.p_name").alias("part_name"),
+        F.col("p.p_brand").alias("part_brand"),
+        F.col("cn.n_name").alias("cust_nation"),
+        F.col("cr.r_name").alias("cust_region"),
+        F.col("sn.n_name").alias("supp_nation"),
+        F.col("sr.r_name").alias("supp_region"),
+        F.col("dn.n_name").alias("disc_code"),
+        F.col("dr.r_name").alias("disc_region"),
+        F.col("qn.n_name").alias("qty_code"),
+        F.col("qr.r_name").alias("qty_region"),
+        F.col("tn.n_name").alias("tax_code"),
+        F.col("tr.r_name").alias("tax_region"),
+        F.col("rn.n_name").alias("route_code"),
+        F.col("rr.r_name").alias("route_region"),
+        F.col("s2.s_name").alias("backup_supp"),
+        F.col("c2.c_name").alias("referrer"),
+        F.col("p2.p_name").alias("alt_part"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Outer joins / membership / self-joins
 # ---------------------------------------------------------------------------

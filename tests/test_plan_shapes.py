@@ -45,6 +45,22 @@ def test_multiway_star_broadcasts_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
 
 
+def test_clinical_wide_join_stays_broadcast_at_reference_width(spark):
+    """J2 at the reference's real width (19 joins / 20 relations — the
+    TP53 create_views shape). At ~20 relations Catalyst's cost-based
+    reorder runs into its greedy cutoffs, so pin the properties that
+    matter: every fixed-size dictionary role stays a BroadcastHashJoin
+    (nation=25 / region=5 rows at ANY sf — at smoke sf ALL 19 are
+    broadcast, one streamed probe chain with zero exchanges), and the
+    reorder never degrades to a cartesian or nested-loop plan. At 100 TB
+    only the orders/customer FK legs may retire to shuffle joins."""
+    plan = _plan(spark, "clinical_wide_join")
+    assert plan.count("BroadcastHashJoin") >= 12
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 3
+
+
 def test_time_grid_fill_broadcast_lands_on_build_side(spark):
     plan = _plan(spark, "time_grid_fill")
     assert "BroadcastHashJoin LeftOuter BuildRight" in plan

@@ -50,7 +50,8 @@ COPIED = ["region", "nation", "documents", "embeddings"]
 # headline queries that touch only the TPC-H/events tables (the documents/
 # embeddings scale story is tools/scale_smoke.py's job)
 QUERIES = [
-    "pricing_summary", "multiway_star", "left_join_counts", "pull_list_join",
+    "pricing_summary", "multiway_star", "clinical_wide_join",
+    "left_join_counts", "pull_list_join",
     "window_max", "window_rank_family", "symmetric_diff", "wide_group_dedup",
     "keep_latest_per_key", "merge_upsert_orders", "scd2_order_history",
     "shipping_priority", "forecast_revenue_delta", "funnel_conversion",
