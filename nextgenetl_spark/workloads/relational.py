@@ -1179,19 +1179,31 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full window-function family (§2.5 beyond the reference's single W1
     site): row_number/rank top-k per partition, lag/lead neighbors, and a
     running-sum frame spec. Ordering is made deterministic with the unique
-    o_orderkey tiebreak so lag/lead are oracle-stable. One shuffle on
-    o_custkey serves all five window expressions (same Window spec →
-    single Exchange + sort in the plan); at 100 TB top-k-per-group stays
-    a single pass, vs the self-join a SQL-92 rewrite would need."""
+    o_orderkey tiebreak so lag/lead are oracle-stable.
+
+    Two-stage: a bare ``row_number() <= 4`` first — exactly the pattern
+    Spark's InferWindowGroupLimit rewrites into a WindowGroupLimit, whose
+    PARTIAL mode prunes every map task to 4 rows per group BEFORE the
+    o_custkey exchange, so the shuffle and sort carry ≤4 rows/group
+    instead of the whole table. Every surviving expression is
+    prefix-determined (rank/lag/run_sum read only rows before the current
+    one; lead(1) at rn=3 reads row 4 — which is why the prefilter keeps 4,
+    not 3), so recomputing them over the 4-row prefixes is exact. Round-5
+    BASELINE §4.1 measured the single-stage form at 45.8× wall at 100×
+    data — the worst curve in the suite; this bounds post-shuffle volume
+    by 4×|custkeys|."""
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
+    top4 = (
         o.select("o_custkey", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w).cast("long"))
-        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rn") <= 4)
+    )
+    return (
+        top4.withColumn("rnk", F.rank().over(w).cast("long"))
         .withColumn("prev_price", F.round(F.lag("o_totalprice", 1).over(w), 2))
         .withColumn("next_key", F.lead("o_orderkey", 1).over(w))
         .withColumn("run_sum", F.round(F.sum("o_totalprice").over(wrun), 2))

@@ -61,6 +61,35 @@ def test_clinical_wide_join_stays_broadcast_at_reference_width(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 3
 
 
+def test_window_rank_family_prunes_groups_before_shuffle(spark):
+    """Round-5 scale finding: the single-stage window form was the worst
+    100× curve in the suite (45.8×). The two-stage rewrite must keep the
+    WindowGroupLimit pair — Partial mode BEFORE the o_custkey exchange
+    (map tasks emit ≤4 rows/group into the shuffle) and Final after. A
+    refactor that breaks the bare row_number()<=k filter pattern loses
+    the rewrite silently; this pins it."""
+    plan = _plan(spark, "window_rank_family")
+    # formatted mode prints each node in the tree AND the detail section,
+    # so 2 physical WindowGroupLimit nodes (Partial + Final) → ≥2 hits;
+    # the hashpartitioning arguments line appears once per Exchange node
+    assert plan.count("WindowGroupLimit") >= 2
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_sliding_window_expands_partials_not_raw_rows(spark):
+    """The hop-divides-width rewrite: the 3× Expand must sit ABOVE the
+    tumbling partial aggregate (expanding |buckets×types| partial rows),
+    never directly over the events scan. In formatted mode children print
+    below parents, so the first HashAggregate (reading the scan) must
+    appear AFTER the Expand in the text."""
+    plan = _plan(spark, "sliding_window")
+    assert "Expand" in plan
+    scan_pos = plan.rindex("Scan parquet")
+    expand_pos = plan.index("Expand")
+    # at least one aggregate between the Expand and the scan
+    assert "HashAggregate" in plan[expand_pos:scan_pos]
+
+
 def test_time_grid_fill_broadcast_lands_on_build_side(spark):
     plan = _plan(spark, "time_grid_fill")
     assert "BroadcastHashJoin LeftOuter BuildRight" in plan
