@@ -129,7 +129,16 @@ def _single_cols(
     single-under-single chain therefore inlines all the way up, and a
     one-to-many group under an inlined single parent lands its __count on
     this ancestor (found by the flatten differential fuzz; previously the
-    nested single's fields were silently dropped)."""
+    nested single's fields were silently dropped).
+
+    Primitive-array fields (array<long/string/...>, NOT array<struct>) are
+    intentionally emitted as raw array columns of the ancestor table, the
+    same way a primitive array at the base or in a child table passes
+    through untouched — they are values, not field groups, so they never
+    spawn child tables or counts. This is a deliberate, uniform rule
+    (round-5 ADVICE asked for it to be pinned); the flatten differential
+    fuzz now generates primitive-array fields at every nesting position
+    and the row-wise oracle carries them as plain lists."""
     cols: list = []
     for sub in elem_type.fields:
         sub_path = f"{path}.{sub.name}"

@@ -55,15 +55,40 @@ def _path_key(src_path: str) -> str:
     return hashlib.md5(os.path.abspath(src_path).encode()).hexdigest()[:8]
 
 
-def staged_dir(prefix: str, src_path: str) -> tuple[str, bool]:
+def code_token(*objs) -> str:
+    """Version token over the SOURCE of the code that computes a staged
+    artifact (round-5 ADVICE: a cache keyed on input content alone serves
+    stale results after the operator implementation changes — only the
+    slow oracle run would notice). Pass the functions whose behavior the
+    artifact bakes in; their ``inspect.getsource`` text is hashed, so any
+    edit — even a constant tweak — produces a new token and therefore a
+    new staged_dir fingerprint, and ``mark_complete`` reaps the old
+    build."""
+    import inspect
+
+    parts = []
+    for o in objs:
+        try:
+            parts.append(inspect.getsource(o))
+        except (OSError, TypeError):
+            parts.append(repr(o))
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:8]
+
+
+def staged_dir(prefix: str, src_path: str, code: str | None = None) -> tuple[str, bool]:
     """(cache_dir, complete) for a derived artifact of ``src_path``.
 
     ``complete`` is True only when a prior build of the SAME source content
     finished (marker present); on False the caller must build into the dir
-    and then call ``mark_complete``."""
+    and then call ``mark_complete``. ``code`` (from :func:`code_token`)
+    folds the generating code's version into the fingerprint so
+    implementation changes invalidate the cache like data changes do."""
+    fp = content_fingerprint(src_path)
+    if code:
+        fp = f"{fp}-{code}"
     d = os.path.join(
         tempfile.gettempdir(),
-        f"{prefix}_{_path_key(src_path)}_{content_fingerprint(src_path)}",
+        f"{prefix}_{_path_key(src_path)}_{fp}",
     )
     return d, os.path.exists(os.path.join(d, _MARKER))
 

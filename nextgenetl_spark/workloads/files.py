@@ -350,9 +350,13 @@ def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned read, exactly like a real lake where the layout already exists,
     while an in-place regeneration of orders.parquet restages instead of
     silently serving the old lake."""
-    from nextgenetl_spark.staging import mark_complete, staged_dir
+    from nextgenetl_spark.staging import code_token, mark_complete, staged_dir
 
-    stage, complete = staged_dir("ngetl_part", os.path.join(sf_dir, "orders.parquet"))
+    stage, complete = staged_dir(
+        "ngetl_part",
+        os.path.join(sf_dir, "orders.parquet"),
+        code=code_token(partition_pruning),
+    )
     if not complete:
         o = spark.read.parquet(f"{sf_dir}/orders.parquet")
         (

@@ -1891,9 +1891,11 @@ def flatten_merged_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from nextgenetl_spark.flatten import FlattenConfig, flatten
-    from nextgenetl_spark.staging import mark_complete, staged_dir
+    from nextgenetl_spark.staging import code_token, mark_complete, staged_dir
 
-    stage, complete = staged_dir("ngetl_nested_fix", sf_dir)
+    stage, complete = staged_dir(
+        "ngetl_nested_fix", sf_dir, code=code_token(flatten_merged_single)
+    )
     if not complete:
         o = load(spark, sf_dir, "orders")
         c = load(spark, sf_dir, "customer")
@@ -2044,9 +2046,11 @@ def flatten_deep_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from nextgenetl_spark.flatten import FlattenConfig, flatten
-    from nextgenetl_spark.staging import mark_complete, staged_dir
+    from nextgenetl_spark.staging import code_token, mark_complete, staged_dir
 
-    stage, complete = staged_dir("ngetl_nested_deep", sf_dir)
+    stage, complete = staged_dir(
+        "ngetl_nested_deep", sf_dir, code=code_token(flatten_deep_single)
+    )
     if not complete:
         o = load(spark, sf_dir, "orders")
         c = load(spark, sf_dir, "customer")

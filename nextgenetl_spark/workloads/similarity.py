@@ -282,10 +282,14 @@ def stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from nextgenetl_spark.operators.similarity import build_ivf_index, ivf_query_index
-    from nextgenetl_spark.staging import mark_complete, staged_dir
+    from nextgenetl_spark.staging import code_token, mark_complete, staged_dir
     from nextgenetl_spark.streaming.source import embeddings_stream
 
-    idx, complete = staged_dir("ngetl_ivf", os.path.join(sf_dir, "embeddings.parquet"))
+    idx, complete = staged_dir(
+        "ngetl_ivf",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        code=code_token(build_ivf_index),
+    )
     if not complete:
         build_ivf_index(load(spark, sf_dir, "embeddings"), idx, k_centroids=16, refine_iters=1)
         mark_complete(idx)

@@ -27,9 +27,13 @@ def _staged_md5_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     values stay cross-engine-verified end-to-end."""
     import os
 
-    from nextgenetl_spark.staging import mark_complete, staged_dir
+    from nextgenetl_spark.staging import code_token, mark_complete, staged_dir
 
-    stage, complete = staged_dir("ngetl_md5_scan", os.path.join(sf_dir, "documents.parquet"))
+    stage, complete = staged_dir(
+        "ngetl_md5_scan",
+        os.path.join(sf_dir, "documents.parquet"),
+        code=code_token(_staged_md5_scan, TS.tokens),
+    )
     path = os.path.join(stage, "scan.parquet")
     if not complete:
         d = load(spark, sf_dir, "documents")
@@ -1863,7 +1867,13 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebuild. The _COMPLETE marker is written only after
     # build_minhash_index returns, so a crashed partial build is rebuilt,
     # never probed.
-    index_dir, complete = staged_dir("ngetl_minhash_idx", os.path.join(sf_dir, "documents.parquet"))
+    from nextgenetl_spark.staging import code_token
+
+    index_dir, complete = staged_dir(
+        "ngetl_minhash_idx",
+        os.path.join(sf_dir, "documents.parquet"),
+        code=code_token(D.build_minhash_index),
+    )
     if not complete:
         D.build_minhash_index(index_dir, hist)
         mark_complete(index_dir)

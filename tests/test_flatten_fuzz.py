@@ -47,11 +47,14 @@ from check import table_hash  # noqa: E402
 
 @st.composite
 def _group(draw, name, depth):
+    # "list" = array<long> — primitive-array fields pass through as raw
+    # array columns wherever their group lands (inlined single OR child
+    # table); round-5 ADVICE flagged that the fuzz never generated them
     scalars = draw(
         st.lists(
-            st.sampled_from([("va", "int"), ("vb", "str"), ("vc", "int")]),
+            st.sampled_from([("va", "int"), ("vb", "str"), ("vc", "int"), ("vd", "list")]),
             min_size=1,
-            max_size=2,
+            max_size=3,
             unique=True,
         )
     )
@@ -81,6 +84,8 @@ def flatten_cases(draw):
     def _scalar(typ):
         if draw(st.booleans()):
             counter[0] += 1
+            if typ == "list":
+                return [] if draw(st.booleans()) else [counter[0], counter[0] + 7]
             return counter[0] if typ == "int" else f"v{counter[0]}"
         return None
 
@@ -120,19 +125,29 @@ def _group_schema(spec) -> T.ArrayType:
     name, scalars, _, children = spec
     fields = [T.StructField(f"{name}_id", T.LongType())]
     for fld, typ in scalars:
-        fields.append(T.StructField(fld, T.LongType() if typ == "int" else T.StringType()))
+        fields.append(T.StructField(fld, _scalar_type(typ)))
     for ch in children:
         fields.append(T.StructField(ch[0], _group_schema(ch)))
     return T.ArrayType(T.StructType(fields))
+
+
+def _scalar_type(typ) -> T.DataType:
+    if typ == "list":
+        return T.ArrayType(T.LongType())
+    return T.LongType() if typ == "int" else T.StringType()
 
 
 def _to_tuple(rec, schema: T.StructType):
     out = []
     for f in schema.fields:
         v = rec.get(f.name)
-        if isinstance(f.dataType, T.ArrayType) and v is not None:
+        if (
+            isinstance(f.dataType, T.ArrayType)
+            and isinstance(f.dataType.elementType, T.StructType)
+            and v is not None
+        ):
             v = [_to_tuple(e, f.dataType.elementType) for e in v]
-        out.append(v)
+        out.append(v)  # primitive arrays pass through as plain lists
     return tuple(out)
 
 

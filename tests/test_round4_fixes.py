@@ -145,6 +145,42 @@ def test_staging_fingerprint_tracks_content(tmp_path):
     shutil.rmtree(d_other, ignore_errors=True)
 
 
+def test_staging_code_token_invalidates_on_impl_change(tmp_path):
+    """Round-5 ADVICE: a staged artifact keyed on input content alone
+    silently serves stale results after the GENERATING CODE changes. The
+    code token (hash of the operator source) must fold into the cache key,
+    and completing a build under a new token must reap the old one."""
+    from nextgenetl_spark.staging import code_token, mark_complete, staged_dir
+
+    src = tmp_path / "t.parquet"
+    src.write_bytes(b"v1")
+
+    def impl_v1(x):
+        return x + 1
+
+    def impl_v2(x):
+        return x + 2
+
+    t1, t2 = code_token(impl_v1), code_token(impl_v2)
+    assert t1 != t2
+    # token is stable across calls for the same source
+    assert code_token(impl_v1) == t1
+
+    d1, complete = staged_dir("ngetl_test_code", str(src), code=t1)
+    assert not complete
+    mark_complete(d1)
+    _, complete = staged_dir("ngetl_test_code", str(src), code=t1)
+    assert complete
+
+    # same data, new implementation → different dir, not complete
+    d2, complete = staged_dir("ngetl_test_code", str(src), code=t2)
+    assert d2 != d1 and not complete
+    mark_complete(d2)
+    assert not os.path.exists(d1), "stale-code build not reaped"
+
+    shutil.rmtree(d2, ignore_errors=True)
+
+
 def test_fixed_width_short_first_file_raises(spark, tmp_path):
     """A first file shorter than skip_leading_rows gets a clear error, not
     a StopIteration surfacing as an opaque RuntimeError."""

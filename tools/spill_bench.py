@@ -80,11 +80,15 @@ def main():
     # 1. global sort: range partition + per-partition external sort.
     # The noop sink executes the full sorted plan and discards rows —
     # a bare count() would let Catalyst eliminate the sort entirely.
+    # rows is counted BEFORE the metrics window opens: the dict-literal
+    # form evaluated big.count() inside [s0, now), polluting the reported
+    # sort spill bytes with the count job's stages (round-5 ADVICE).
+    rows = big.count()
     s0 = stage_floor()
     t0 = time.time()
     big.orderBy("payload", "k").write.format("noop").mode("overwrite").save()
     wall = round(time.time() - t0, 2)
-    out["global_sort"] = {"wall_s": wall, "rows": big.count(), **_spill_metrics(spark, s0)}
+    out["global_sort"] = {"wall_s": wall, "rows": rows, **_spill_metrics(spark, s0)}
 
     # 2. high-cardinality hash agg (every key distinct => map exceeds heap)
     s0 = stage_floor()
