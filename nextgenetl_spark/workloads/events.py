@@ -28,19 +28,19 @@ from nextgenetl_spark.workloads import workload
     """,
 )
 def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 5-minute window aggregate — Spark-native ``F.window``; the
-    identical plan runs under Structured Streaming with a watermark
-    (streaming/windows.py)."""
+    """Tumbling 5-minute window aggregate. The group key is the LONG epoch
+    bucket, not the ``F.window`` struct: HashAggregate's vectorized fast
+    hash map only handles primitive key types, so struct keys silently
+    fall back to the slower UnsafeRow map — measured 2.3× at ×100 data
+    (15.1s struct vs 6.4s long, round-6 BASELINE §4.1). unix_timestamp
+    truncation to seconds lands every sub-second event in the same bucket
+    ``F.window`` would pick, so the output is value-identical. The
+    STREAMING twin (streaming/windows.py, stream_tumbling_window) keeps
+    ``F.window`` — watermark eviction needs the window struct."""
     e = load(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
-            "event_type",
-            "n_events",
-            "value_sum",
-        )
+    bucket = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+    return e.groupBy(bucket.alias("window_start"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum")
     )
 
 
@@ -130,23 +130,23 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan stage. SUM and COUNT re-aggregate losslessly. At 100 TB the
     3× row expansion and the shuffle now happen on |buckets × types| rows
     (bounded by the time span, NOT the event volume); the raw scan does
-    one map-side-combined tumbling agg. This took the 100× scale curve
-    from 41.5× (round-5 BASELINE §4.1) to the tumbling query's shape."""
+    one map-side-combined tumbling agg. Like tumbling_window, the group
+    keys are LONG epoch buckets, not ``F.window`` structs (struct keys
+    miss HashAggregate's vectorized fast hash map — 2.3× measured at
+    ×100); a 15-min hop window covers 3 buckets, so bucket b feeds the
+    windows starting at (b-2)·300, (b-1)·300, b·300."""
     e = load(spark, sf_dir, "events")
-    partial = e.groupBy(F.window("ts", "5 minutes").alias("b"), "event_type").agg(
+    bucket = F.floor(F.unix_timestamp("ts") / 300).cast("long")
+    partial = e.groupBy(bucket.alias("b"), "event_type").agg(
         F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
     )
+    k = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
     return (
-        partial.groupBy(
-            F.window(F.col("b.start"), "15 minutes", "5 minutes").alias("w"), "event_type"
+        partial.select("b", "event_type", "pn", "pv", k)
+        .groupBy(
+            ((F.col("b") - F.col("k")) * 300).cast("long").alias("window_start"), "event_type"
         )
         .agg(F.sum("pn").alias("n_events"), F.round(F.sum("pv"), 2).alias("value_sum"))
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
-            "event_type",
-            "n_events",
-            "value_sum",
-        )
     )
 
 

@@ -77,17 +77,24 @@ def test_window_rank_family_prunes_groups_before_shuffle(spark):
 
 
 def test_sliding_window_expands_partials_not_raw_rows(spark):
-    """The hop-divides-width rewrite: the 3× Expand must sit ABOVE the
-    tumbling partial aggregate (expanding |buckets×types| partial rows),
-    never directly over the events scan. In formatted mode children print
-    below parents, so the first HashAggregate (reading the scan) must
-    appear AFTER the Expand in the text."""
+    """The hop-divides-width rewrite: the 3× row expansion (Generate/
+    explode of the hop offsets) must sit ABOVE the tumbling partial
+    aggregate — expanding |buckets×types| partial rows, never the raw
+    events scan. In formatted mode children print below parents, so the
+    first HashAggregate (reading the scan) must appear AFTER the
+    expansion node in the text. Also pin the primitive group keys: no
+    window-struct `named_struct(start, ...)` key anywhere (struct keys
+    miss HashAggregate's vectorized fast hash map — 2.3× at ×100)."""
     plan = _plan(spark, "sliding_window")
-    assert "Expand" in plan
+    expand_pos = min(
+        (plan.index(tok) for tok in ("Expand", "Generate") if tok in plan),
+        default=None,
+    )
+    assert expand_pos is not None, "no row-expansion node in the plan"
     scan_pos = plan.rindex("Scan parquet")
-    expand_pos = plan.index("Expand")
-    # at least one aggregate between the Expand and the scan
+    # at least one aggregate between the expansion and the scan
     assert "HashAggregate" in plan[expand_pos:scan_pos]
+    assert "named_struct(start" not in plan
 
 
 def test_time_grid_fill_broadcast_lands_on_build_side(spark):
