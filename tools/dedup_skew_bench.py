@@ -42,8 +42,12 @@ def build_edges(spark, n_hub: int, n_bg_chains: int):
     """(a_id, b_id) edge list: hub star + member ring, plus uniform
     background chains. Node 0 is the template representative with degree
     n_hub-1 — every min-label round shuffles all its edges to one reducer."""
+    # center gets a HIGH id (real template representatives are arbitrary
+    # ids): the component minimum is a leaf, so the min label must flow
+    # leaf -> center -> every member instead of converging in one round
+    center = BG_BASE * 2
     hub_star = spark.range(1, n_hub).select(
-        F.lit(0).cast("long").alias("a_id"), F.col("id").alias("b_id")
+        F.lit(center).cast("long").alias("a_id"), F.col("id").alias("b_id")
     )
     hub_ring = spark.range(1, n_hub - 1).select(
         F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
