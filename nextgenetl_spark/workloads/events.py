@@ -698,15 +698,25 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def keep_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-newest-record-per-key dedup (ties break on event_id): the
     current-state extract every CDC/ingest pipeline runs before publishing a
-    snapshot — the inverse of exact_dedup's keep-first. One shuffle on the
-    key; at scale the window sort is per-partition and the payload never
-    shuffles twice."""
+    snapshot — the inverse of exact_dedup's keep-first. Top-1-per-key needs
+    no ordering pass at all: ``max_by(payload, (ts, event_id))`` is a hash
+    aggregate — map-side partials keep one candidate per key per task, the
+    shuffle carries |keys|×tasks single rows, and nothing is ever sorted.
+    The row_number()==1 window form this replaces does get the
+    WindowGroupLimit rewrite, but its partial limit still LOCALLY SORTS
+    every map partition — the cost that made this the fourth-steepest
+    curve in BASELINE §4.1 (29.6× at ×100 data)."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", "ts", F.round("value", 2).alias("value"))
+    latest = F.max_by(
+        F.struct("event_id", "event_type", "ts", "value"),
+        F.struct("ts", "event_id"),
+    ).alias("r")
+    return e.groupBy("user_id").agg(latest).select(
+        "user_id",
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.event_type").alias("event_type"),
+        F.col("r.ts").alias("ts"),
+        F.round("r.value", 2).alias("value"),
     )
 
 
@@ -744,7 +754,15 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction, so the milestone side is broadcast at small scale (Catalyst's
     choice here) and flips to a co-partitioned join on the same user_id
     hashing the aggregates already use when the user count outgrows the
-    broadcast threshold."""
+    broadcast threshold.
+
+    Round-6 plan audit: this join form IS the optimum of the three
+    candidate plans at ×100 data (10.4s): chained unsorted-frame window
+    minima over one user_id shuffle measured 13.1s (three WindowExec nodes
+    each re-buffer the full partition), and a single collect_list
+    aggregation + array_min(filter(...)) measured 16.8s
+    (ObjectHashAggregate leaves whole-stage codegen). The 23.5× §4.1
+    curve is honest re-join volume, not a plan defect."""
     e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     v = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
