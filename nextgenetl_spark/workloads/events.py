@@ -956,17 +956,24 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outlier flagging — the metric-anomaly sweep over a
-    telemetry table. Mean and sample-stddev come from one window partitioned
-    by event_type (a single hash shuffle on the type key); the z filter then
-    runs on the windowed rows. At 100 TB swap the window for a tiny
-    per-type aggregate broadcast back onto the scan (two passes, no wide
-    shuffle) — semantics identical; the window form keeps it one-pass
-    here."""
+    telemetry table. Mean and sample-stddev are a |types|-row aggregate
+    BROADCAST back onto the scan, and the z filter is a scan-stage
+    expression. The window form (``AVG(value) OVER (PARTITION BY
+    event_type)``, what the oracle spells) is a parallelism trap this
+    workload exists to avoid: with a handful of event types the window
+    exchange funnels EVERY row into |types| partitions — 5-way parallelism
+    on a 32-core box, catastrophic on a 1000-executor cluster — while the
+    map-side-combined aggregate never shuffles more than |types| rows per
+    task. Two scans of a columnar projection beat one 5-partition pass at
+    every scale (round-6 ×100: 5.41s → 2.62s)."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sigma")
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sigma")
     return (
-        e.select("event_id", "event_type", "value", z.alias("z"))
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs("z") > 2)
         .select("event_id", "event_type", "value", F.round("z", 4).alias("z"))
     )
