@@ -1104,16 +1104,20 @@ def trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group linear trend via the SQL regression family (regr_slope /
     regr_intercept / regr_r2) — drift detection over a metric stream. The
     regressor is hours since the group's first event, derived from exact
-    integer microseconds (a window min) so both engines regress identical
-    inputs; the regression aggregates themselves are single-pass moment
-    sums — mergeable, map-side partial, one row per group shuffled."""
+    integer microseconds so both engines regress identical inputs; the
+    regression aggregates themselves are single-pass moment sums —
+    mergeable, map-side partial, one row per group shuffled. The per-type
+    epoch comes from a |types|-row aggregate broadcast onto the scan, NOT
+    a ``MIN OVER (PARTITION BY event_type)`` window — same
+    low-cardinality-window parallelism trap as value_outliers (every row
+    funneled into |types| partitions)."""
     e = load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("event_type")
-    x = e.select(
+    t0 = e.groupBy("event_type").agg(F.min(us).alias("_t0"))
+    x = e.join(F.broadcast(t0), "event_type").select(
         "event_type",
         "value",
-        ((us - F.min(us).over(w)).cast("double") / 3.6e9).alias("h"),
+        ((us - F.col("_t0")).cast("double") / 3.6e9).alias("h"),
     )
     return x.groupBy("event_type").agg(
         F.regr_count("value", "h").alias("n"),
