@@ -382,3 +382,65 @@ def test_events_stream_accepts_directory_shaped_table(spark, tmp_path):
     got = run_memory_replay(spark, out, "t_dir_events")
     assert got.count() == src.count()
     assert dict(got.dtypes)["ts"].startswith("timestamp")
+
+
+def test_stateful_debounce_incremental_batches_match_single_batch(spark, tmp_path):
+    """Cross-batch state correctness of the per-USER debounce rekeying
+    (round 6): the same events replayed as THREE chronological micro-
+    batches (maxFilesPerTrigger=1, state carried across batches) must
+    keep exactly the rows the single-batch replay keeps — the single-
+    batch result is itself oracle-pinned (stream_debounce), so this
+    transitively pins the incremental path. Slicing is by event time,
+    matching the operator's documented contract (batches arrive in
+    per-key event-time order)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.streaming.source import run_memory_replay
+    from nextgenetl_spark.streaming.stateful import debounce_against_last_kept
+
+    e = load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    land = tmp_path / "land"
+    land.mkdir()
+    span = (hi - lo).total_seconds() + 1
+    for k in range(3):
+        cut_lo = F.lit(lo) + F.expr(f"INTERVAL {int(k * span / 3)} SECONDS")
+        cut_hi = F.lit(lo) + F.expr(f"INTERVAL {int((k + 1) * span / 3)} SECONDS")
+        e.filter((F.col("ts") >= cut_lo) & (F.col("ts") < cut_hi)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(land / f"b{k}"))
+        # flatten the single part file into the landing dir so the file
+        # source sees 3 files; mtime spacing fixes the batch order
+        import glob as _glob
+        import os as _os
+
+        part = next(p for p in _glob.glob(str(land / f"b{k}" / "*.parquet")))
+        _os.rename(part, str(land / f"slice_{k}.parquet"))
+        import shutil as _shutil
+
+        _shutil.rmtree(land / f"b{k}")
+        _time.sleep(1.1)
+
+    schema = spark.read.parquet(str(land / "slice_0.parquet")).schema
+    inc_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "slice_*.parquet"))
+    )
+    inc = run_memory_replay(
+        spark, debounce_against_last_kept(inc_stream), "t_debounce_inc"
+    )
+
+    single_stream = spark.readStream.schema(schema).parquet(str(land / "slice_*.parquet"))
+    single = run_memory_replay(
+        spark, debounce_against_last_kept(single_stream), "t_debounce_single"
+    )
+
+    got = sorted(tuple(r) for r in inc.collect())
+    want = sorted(tuple(r) for r in single.collect())
+    assert len(got) > 0
+    assert got == want
