@@ -74,6 +74,12 @@ def _bucketed_running_tokens(df: DataFrame, group_col: str, weight_col: str, id_
     even on local[32], where timesharing hides most of the funnel."""
     from pyspark.sql.window import Window
 
+    clash = {"__bkt", "__bw", "__off"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries internal column(s) {sorted(clash)}; "
+            "rename them before token-budget sampling"
+        )
     md5 = F.md5(F.col(id_col).cast("string"))
     base = df.withColumn("__bkt", F.substring(md5, 1, 2))
     per = base.groupBy(group_col, "__bkt").agg(F.sum(weight_col).alias("__bw"))

@@ -182,13 +182,23 @@ class Pipeline:
             path = os.path.join(self.warehouse, dest)
             mode = step.get("mode", "overwrite")
             if step.get("force_skew_join"):
+                # NOTE: the override is SESSION-GLOBAL for the duration of
+                # this write — Spark has no per-query conf scope, so any
+                # concurrent query on the same SparkSession also runs with
+                # skew-join forced (round-6 ADVICE; the pipeline runner is
+                # single-threaded, so in practice the window is this write).
+                # Restore by UNSETTING when the key was absent, so we never
+                # convert "unset" into an explicit "false".
                 key = "spark.sql.adaptive.forceOptimizeSkewedJoin"
-                prev = self.spark.conf.get(key, "false")
+                prev = self.spark.conf.get(key, None)
                 self.spark.conf.set(key, "true")
                 try:
                     df.write.mode(mode).parquet(path)
                 finally:
-                    self.spark.conf.set(key, prev)
+                    if prev is None:
+                        self.spark.conf.unset(key)
+                    else:
+                        self.spark.conf.set(key, prev)
             else:
                 df.write.mode(mode).parquet(path)
             df = self.spark.read.parquet(path)

@@ -71,7 +71,18 @@ def code_token(*objs) -> str:
         try:
             parts.append(inspect.getsource(o))
         except (OSError, TypeError):
-            parts.append(repr(o))
+            # No retrievable source (builtins, C-accelerated, exec'd code).
+            # repr() would embed the per-process memory address and break
+            # cache hits across runs (round-6 ADVICE) — fall back to the
+            # bytecode hash when there is code, else the stable dotted name.
+            co = getattr(o, "__code__", None)
+            if co is not None:
+                parts.append(hashlib.md5(co.co_code).hexdigest())
+            else:
+                parts.append(
+                    f"{getattr(o, '__module__', '')}."
+                    f"{getattr(o, '__qualname__', type(o).__qualname__)}"
+                )
     return hashlib.md5("\n".join(parts).encode()).hexdigest()[:8]
 
 

@@ -115,7 +115,7 @@ def packed_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE * k) AS BIGINT) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS value_sum
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS value_sum
     FROM events, unnest([0, 1, 2]) AS t(k)
     GROUP BY window_start, event_type
     """,
@@ -134,11 +134,16 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys are LONG epoch buckets, not ``F.window`` structs (struct keys
     miss HashAggregate's vectorized fast hash map — 2.3× measured at
     ×100); a 15-min hop window covers 3 buckets, so bucket b feeds the
-    windows starting at (b-2)·300, (b-1)·300, b·300."""
+    windows starting at (b-2)·300, (b-1)·300, b·300. The value sum runs in
+    DECIMAL(20,6) end-to-end (round-6 ADVICE): decimal addition is exact and
+    order-independent, so the partial-then-reaggregate grouping can never
+    flip a ROUND(…, 2) boundary relative to the oracle's direct per-window
+    SUM — the one double cast happens after rounding."""
     e = load(spark, sf_dir, "events")
     bucket = F.floor(F.unix_timestamp("ts") / 300).cast("long")
     partial = e.groupBy(bucket.alias("b"), "event_type").agg(
-        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(20,6)")).alias("pv"),
     )
     k = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
     return (
@@ -146,7 +151,10 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             ((F.col("b") - F.col("k")) * 300).cast("long").alias("window_start"), "event_type"
         )
-        .agg(F.sum("pn").alias("n_events"), F.round(F.sum("pv"), 2).alias("value_sum"))
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv"), 2).cast("double").alias("value_sum"),
+        )
     )
 
 

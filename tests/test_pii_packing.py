@@ -88,3 +88,17 @@ def test_temperature_budget_sample_flattens_the_mix(spark):
     a = {r["doc_id"] for r in out.collect()}
     b = {r["doc_id"] for r in temperature_budget_sample(df, base_budget=400, alpha=0.5).collect()}
     assert a == b
+
+def test_token_budget_sample_rejects_internal_column_clash(spark):
+    """Round-6 ADVICE: inputs already carrying __bkt/__bw/__off would be
+    silently overwritten inside the running-sum bucketing — the guard must
+    fail loudly instead."""
+    import pytest
+
+    from nextgenetl_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", 10, "x")], "doc_id long, source string, n_tokens long, __bkt string"
+    )
+    with pytest.raises(ValueError, match="__bkt"):
+        token_budget_sample(df, budget=100)
