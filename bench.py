@@ -26,6 +26,7 @@ HEADLINE = {
     "pricing_summary": "collect",
     "multiway_star": "collect",
     "clinical_wide_join": "count",
+    "clinical_wide_join_pdc": "count",
     "left_join_counts": "count",
     "pull_list_join": "count",
     "window_max": "count",

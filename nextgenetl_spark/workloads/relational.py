@@ -218,6 +218,10 @@ def clinical_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastHashJoins, zero CartesianProduct/BroadcastNestedLoopJoin.
     Derived keys ROUND before CAST on both engines (Spark casts truncate,
     DuckDB casts round — rounding first pins the comparable integer)."""
+    return _clinical_wide(spark, sf_dir, pdc_width=False)
+
+
+def _clinical_wide(spark: SparkSession, sf_dir: str, pdc_width: bool) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 10).alias("l")
     o = (
         load(spark, sf_dir, "orders")
@@ -257,6 +261,28 @@ def clinical_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c2), F.col("c2.c_custkey") == F.col("c.c_custkey") + 1, "left")
         .join(F.broadcast(p2), F.col("p2.p_partkey") == F.col("l.l_partkey") + 1, "left")
     )
+    extra = []
+    if pdc_width:
+        # Joins 20-21 (PDC width): a LEFT dict-of-dict chain on a derived
+        # key over a WIDER code space (% 30) so keys 25-29 genuinely miss —
+        # the reference's optional bridge→entity hop
+        # (LEFT JOIN case_diagnosis_id → LEFT JOIN diagnosis,
+        # CDA/PDC/create_tables_clinical_pdc.py:56-58) where a case without
+        # a diagnosis carries NULLs through both hops.
+        en_key = (F.round(F.col("l.l_extendedprice")).cast("int") % 30).cast("int")
+        df = df.join(
+            F.broadcast(load(spark, sf_dir, "nation").alias("en")),
+            en_key == F.col("en.n_nationkey"),
+            "left",
+        ).join(
+            F.broadcast(load(spark, sf_dir, "region").alias("er")),
+            F.col("en.n_regionkey") == F.col("er.r_regionkey"),
+            "left",
+        )
+        extra = [
+            F.col("en.n_name").alias("price_code"),
+            F.col("er.r_name").alias("price_region"),
+        ]
     return df.select(
         F.col("l.l_orderkey").alias("l_orderkey"),
         F.col("l.l_linenumber").alias("l_linenumber"),
@@ -281,7 +307,77 @@ def clinical_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2.s_name").alias("backup_supp"),
         F.col("c2.c_name").alias("referrer"),
         F.col("p2.p_name").alias("alt_part"),
+        *extra,
     )
+
+
+@workload(
+    "clinical_wide_join_pdc",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           o.o_orderpriority                AS order_priority,
+           c.c_name                         AS cust_name,
+           c.c_mktsegment                   AS cust_segment,
+           s.s_name                         AS supp_name,
+           p.p_name                         AS part_name,
+           p.p_brand                        AS part_brand,
+           cn.n_name                        AS cust_nation,
+           cr.r_name                        AS cust_region,
+           sn.n_name                        AS supp_nation,
+           sr.r_name                        AS supp_region,
+           dn.n_name                        AS disc_code,
+           dr.r_name                        AS disc_region,
+           qn.n_name                        AS qty_code,
+           qr.r_name                        AS qty_region,
+           tn.n_name                        AS tax_code,
+           tr.r_name                        AS tax_region,
+           rn.n_name                        AS route_code,
+           rr.r_name                        AS route_region,
+           s2.s_name                        AS backup_supp,
+           c2.c_name                        AS referrer,
+           p2.p_name                        AS alt_part,
+           en.n_name                        AS price_code,
+           er.r_name                        AS price_region
+    FROM lineitem l
+    INNER JOIN orders   o  ON l.l_orderkey = o.o_orderkey
+    INNER JOIN customer c  ON o.o_custkey = c.c_custkey
+    INNER JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    INNER JOIN part     p  ON l.l_partkey = p.p_partkey
+    INNER JOIN nation   cn ON c.c_nationkey = cn.n_nationkey
+    INNER JOIN region   cr ON cn.n_regionkey = cr.r_regionkey
+    INNER JOIN nation   sn ON s.s_nationkey = sn.n_nationkey
+    INNER JOIN region   sr ON sn.n_regionkey = sr.r_regionkey
+    INNER JOIN nation   dn ON CAST(ROUND(l.l_discount * 100) AS INT) % 25 = dn.n_nationkey
+    INNER JOIN region   dr ON dn.n_regionkey = dr.r_regionkey
+    INNER JOIN nation   qn ON CAST(ROUND(l.l_quantity) AS INT) % 25 = qn.n_nationkey
+    INNER JOIN region   qr ON qn.n_regionkey = qr.r_regionkey
+    INNER JOIN nation   tn ON CAST(ROUND(l.l_tax * 100) AS INT) % 25 = tn.n_nationkey
+    INNER JOIN region   tr ON tn.n_regionkey = tr.r_regionkey
+    INNER JOIN nation   rn ON CAST(l.l_orderkey % 25 AS INT) = rn.n_nationkey
+    INNER JOIN region   rr ON rn.n_regionkey = rr.r_regionkey
+    LEFT  JOIN supplier s2 ON s2.s_suppkey = l.l_suppkey + 1
+    LEFT  JOIN customer c2 ON c2.c_custkey = c.c_custkey + 1
+    LEFT  JOIN part     p2 ON p2.p_partkey = l.l_partkey + 1
+    LEFT  JOIN nation   en ON CAST(ROUND(l.l_extendedprice) AS INT) % 30 = en.n_nationkey
+    LEFT  JOIN region   er ON en.n_regionkey = er.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND l.l_quantity <= 10
+    """,
+)
+def clinical_wide_join_pdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 at the reference's LITERAL MAXIMUM width: 22 relations / 21
+    chained joins — the PDC clinical build's join count
+    (BQ_Table_Building/CDA/PDC/create_tables_clinical_pdc.py, 21 JOINs
+    across the case→project/demographic/diagnosis bridge chains). Same
+    structural catalog as :func:`clinical_wide_join` (dims under multiple
+    roles, coded-value decodes on derived keys, dict-of-dict chains,
+    LEFT optional roles) plus the PDC-specific element: a LEFT
+    bridge→entity chain whose derived key (% 30 over a 25-key dictionary)
+    genuinely misses, carrying NULLs through BOTH hops — the reference's
+    case-without-diagnosis path (create_tables_clinical_pdc.py:56-58).
+    Plan pin (tests/test_plan_shapes.py): ≥13 BroadcastHashJoins, zero
+    CartesianProduct / BroadcastNestedLoopJoin at 21 joins — Catalyst's
+    reorder behavior holds past the 19-join TP53 shape."""
+    return _clinical_wide(spark, sf_dir, pdc_width=True)
 
 
 # ---------------------------------------------------------------------------

@@ -865,13 +865,35 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("compression_ratio")  # no SQL oracle: zlib isn't SQL; pytest pins values against direct zlib
+def _compression_oracle() -> str:
+    """Literal-VALUES oracle for compression_ratio (round-6 verdict ask
+    #6): zlib isn't SQL, but the sf0.01 corpus is fixed, so the expected
+    rows are precomputed once by tools/gen_compression_oracle.py with the
+    operator's exact pipeline (utf-8 → zlib level 6 → pandas .round(4))
+    and pinned as a VALUES table — a true cross-engine hash check instead
+    of the previous rows-only ∅. tests/test_workloads.py re-asserts the
+    corpus md5 so a silently regenerated corpus fails by name."""
+    from nextgenetl_spark.workloads._compression_expected import EXPECTED
+
+    vals = ",\n           ".join(f"({d}, {nb}, {nc}, {r!r})" for d, nb, nc, r in EXPECTED)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT)       AS doc_id,
+           CAST(n_bytes AS INTEGER)     AS n_bytes,
+           CAST(n_compressed AS INTEGER) AS n_compressed,
+           CAST(ratio AS DOUBLE)        AS ratio
+    FROM (VALUES {vals}) AS t(doc_id, n_bytes, n_compressed, ratio)
+    """
+
+
+@workload("compression_ratio", oracle=_compression_oracle())
 def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (repetition / low-entropy
     filter) via Arrow-batched mapInPandas — the canonical 'Python library
     in the hot path done right' shape: vectorized batches, typed schema,
-    no driver round-trip. Rows-only driver check; the pytest recomputes
-    ratios with direct zlib on collected text and pins equality."""
+    no driver round-trip. Cross-engine check: a literal-VALUES oracle
+    precomputed over the fixed sf0.01 corpus (see _compression_oracle);
+    the pytest additionally recomputes ratios with direct zlib on
+    collected text and pins equality at any sf."""
     d = load(spark, sf_dir, "documents")
     return TS.compression_ratio_stats(d)
 

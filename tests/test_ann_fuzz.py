@@ -81,3 +81,40 @@ def test_brute_force_topk_matches_numpy_and_full_probe_ivf(spark, case):
         for r in ivf_topk(qdf, cdf, k_centroids=4, nprobe=4, k=k).collect()
     }
     assert full_probe == brute, f"full-probe IVF != brute force; case={case}"
+
+@settings(
+    max_examples=fuzz_examples(15, 6),
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(case=_vector_sets())
+def test_ivf_recall_monotone_in_nprobe(spark, case):
+    """The property the ANN_RECALL.json curves rely on (round-6 verdict ask
+    #1): a larger nprobe probes a SUPERSET of cells per query, and the
+    ranking contract is one fixed total order (-sim, id) — so any candidate
+    that displaces a true-top-k member from the result must itself be in
+    the true top-k, and recall@k can never decrease in nprobe. Deterministic
+    (no statistical tolerance): this is an algebraic consequence, fuzzed
+    over random corpora."""
+    dim, corpus, queries, k = case
+    to_df = lambda rows, idc: spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], f"{idc} long, embedding array<double>"
+    )
+    qdf = to_df(queries, "query_id")
+    cdf = to_df(corpus, "neighbor_id")
+
+    def sets(df):
+        out = {}
+        for r in df.select("query_id", "neighbor_id").collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = sets(cosine_topk(qdf, cdf, k=k))
+    prev = -1.0
+    for nprobe in (1, 2, 4):
+        ann = sets(ivf_topk(qdf, cdf, k_centroids=4, nprobe=nprobe, k=k))
+        rec = sum(len(ann.get(q, set()) & t) / k for q, t in truth.items()) / len(truth)
+        assert rec >= prev - 1e-12, f"recall dropped at nprobe={nprobe}: {prev} -> {rec}; case={case}"
+        prev = rec
+    assert prev == 1.0, f"full probe (nprobe=k_centroids) must be exact; case={case}"

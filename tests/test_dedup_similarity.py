@@ -1029,3 +1029,24 @@ def test_bloom_probe_with_duplicate_items_has_no_false_negative(spark):
     got = {r["f"]: r["might_contain"] for r in
            bloom_might_contain(bloom, items, "f", m_bits=256, k_hashes=4).collect()}
     assert got["a"] is True  # was a false negative before the distinct()
+
+def test_compression_oracle_corpus_fingerprint():
+    """The compression_ratio VALUES oracle is precomputed over the FIXED
+    sf0.01 corpus (tools/gen_compression_oracle.py). If the driver ever
+    regenerates documents.parquet with different content, this fails BY
+    NAME instead of surfacing as a confusing oracle hash mismatch —
+    rerun the generator to refresh _compression_expected.py."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from nextgenetl_spark.workloads._compression_expected import CORPUS_MD5, EXPECTED
+    from tools.gen_compression_oracle import corpus_md5
+
+    pdf = (
+        pq.read_table("/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert corpus_md5(pdf) == CORPUS_MD5
+    assert len(EXPECTED) == len(pdf)

@@ -61,6 +61,19 @@ def test_clinical_wide_join_stays_broadcast_at_reference_width(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 3
 
 
+def test_clinical_wide_join_pdc_holds_at_21_joins(spark):
+    """The reference's LITERAL MAXIMUM width (PDC clinical build, 21 joins
+    — round-6 verdict ask #5): the same plan properties must hold two
+    joins past the pinned TP53 shape, including through the LEFT
+    bridge→entity chain whose derived key can miss (NULL n_regionkey
+    feeding the second hop must not degrade it to nested-loop)."""
+    plan = _plan(spark, "clinical_wide_join_pdc")
+    assert plan.count("BroadcastHashJoin") >= 13
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 3
+
+
 def test_window_rank_family_prunes_groups_before_shuffle(spark):
     """Round-5 scale finding: the single-stage window form was the worst
     100× curve in the suite (45.8×). The two-stage rewrite must keep the

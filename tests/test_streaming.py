@@ -385,8 +385,8 @@ def test_events_stream_accepts_directory_shaped_table(spark, tmp_path):
 
 
 def test_stateful_debounce_incremental_batches_match_single_batch(spark, tmp_path):
-    """Cross-batch state correctness of the per-USER debounce rekeying
-    (round 6): the same events replayed as THREE chronological micro-
+    """Cross-batch state correctness of the debounce keying (round 6:
+    per-user; round 7: sharded): the same events replayed as THREE chronological micro-
     batches (maxFilesPerTrigger=1, state carried across batches) must
     keep exactly the rows the single-batch replay keeps — the single-
     batch result is itself oracle-pinned (stream_debounce), so this
@@ -442,5 +442,45 @@ def test_stateful_debounce_incremental_batches_match_single_batch(spark, tmp_pat
 
     got = sorted(tuple(r) for r in inc.collect())
     want = sorted(tuple(r) for r in single.collect())
+    assert len(got) > 0
+    assert got == want
+
+def test_sharded_debounce_equals_per_user_keyed(spark):
+    """The round-7 shard rekeying (xxhash64(user) % n_shards) must keep
+    EXACTLY the rows the per-user-keyed form keeps — the debounce clock is
+    per (user, type) either way; only the stateful-group granularity
+    changes. Run at n_shards=3 so real shards hold many users (collisions
+    exercised), against the per-user variant wired up explicitly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from nextgenetl_spark.streaming.source import events_stream, run_memory_replay
+    from nextgenetl_spark.streaming.stateful import (
+        DEBOUNCE_OUTPUT_SCHEMA,
+        DEBOUNCE_USER_STATE_SCHEMA,
+        _debounce_user_group,
+        debounce_against_last_kept,
+    )
+
+    sharded = run_memory_replay(
+        spark,
+        debounce_against_last_kept(events_stream(spark, SF_SMOKE), n_shards=3),
+        "t_debounce_sharded",
+    )
+    per_user_plan = (
+        events_stream(spark, SF_SMOKE)
+        .select("event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _debounce_user_group,
+            outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+            stateStructType=DEBOUNCE_USER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    per_user = run_memory_replay(spark, per_user_plan, "t_debounce_per_user")
+    got = sorted(tuple(r) for r in sharded.collect())
+    want = sorted(tuple(r) for r in per_user.collect())
     assert len(got) > 0
     assert got == want
