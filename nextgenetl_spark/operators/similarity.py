@@ -298,7 +298,10 @@ def lsh_topk(
     """Approximate top-k: bucket both sides by hyperplane signature and only
     score within matching buckets. Recall < 1.0 by construction; used when
     the corpus is too large to brute-force per query. The bucket join
-    shuffles on the signature, so each task scores one bucket."""
+    shuffles on the signature, so each task scores one bucket. MEASURED
+    recall@10 falls as planes rise (0.41/0.27/0.15 at 8/12/16 planes on
+    the 40k corpus — buckets shrink 2^-planes); prefer lsh_topk_multiprobe,
+    which roughly doubles each of those (ANN_RECALL.json, BASELINE §4.2)."""
     sig = lambda df, idc: df.select(
         F.col(idc), F.col(vec_col), hyperplane_signature(F.col(vec_col), planes).alias("bucket")
     )
@@ -422,6 +425,10 @@ def ivf_topk(
     path when the corpus is too large to brute-force: the cell join shuffles
     on cell_id, so each task scores one cell's slice, and recall is tuned by
     nprobe (nprobe == k_centroids degenerates to exact brute force).
+    MEASURED recall@10 (tools/ann_recall.py, 40k-vector near-dup-crowded
+    corpus, k_centroids=16): 0.64 / 0.83 / 0.95 / 0.99 / 1.00 at nprobe
+    1/2/4/8/16 — nprobe=4 is the knee (0.95 recall, ~1/6 the full-probe
+    wall); see BASELINE §4.2 and ANN_RECALL.json for the full grid.
     ``refine_iters`` > 0 runs that many Lloyd iterations on the seed
     centroids (``refine_centroids``) — better recall at the same nprobe for
     the cost of ``iters`` extra linear passes at index-build time.
@@ -538,7 +545,10 @@ def lsh_topk_multiprobe(
     small fan-out (1 + flips buckets per query) for the recall that would
     otherwise need many independent hash tables. The corpus is still
     bucketed ONCE; only the query side explodes, so the join stays one
-    bucket-keyed shuffle."""
+    bucket-keyed shuffle. MEASURED recall@10 (tools/ann_recall.py, 40k
+    corpus): ~2× the single-probe recall at every plane count — 0.75 vs
+    0.41 (8 planes), 0.53 vs 0.27 (12), 0.33 vs 0.15 (16) — for ~1.5× the
+    wall; see BASELINE §4.2 and ANN_RECALL.json."""
     margins = []
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])

@@ -71,8 +71,14 @@ def _oracle_verified() -> dict[str, int]:
             # records `err: no_oracle` forever. Count that recorded row as
             # "checked" so these entries stop squatting the unverified tier
             # and burning check-budget slots every round (round-2 verdict #1).
+            # Negative round number marks "checked but never hash-green":
+            # load_all() honors it ONLY while the workload still has no
+            # oracle, so an entry that later GAINS an oracle (round 7:
+            # compression_ratio's literal-VALUES oracle) auto-promotes back
+            # to the unverified tier and earns a real green row.
             if row.get("err") == "no_oracle":
-                green[name] = max(green.get(name, 0), rnd)
+                if green.get(name, 0) <= 0:
+                    green[name] = min(green.get(name, 0), -rnd)
                 continue
             if row.get("err"):
                 continue
@@ -98,7 +104,15 @@ def load_all() -> dict[str, Workload]:
         pipelines,
     )
 
-    verified = _oracle_verified()
+    green = _oracle_verified()
+    # A negative round number means "checked but only ever as no_oracle":
+    # that counts as settled ONLY while the entry still has no oracle — an
+    # entry that gained one since re-enters the unverified tier.
+    verified = {
+        n: abs(rnd)
+        for n, rnd in green.items()
+        if rnd > 0 or (n in REGISTRY and REGISTRY[n].oracle is None)
+    }
     # The driver's check may stop at a fixed budget (round 1: exactly 50).
     # Within the unverified tier, ALTERNATE between the SURVEY §2 core
     # modules (relational/arrays/files/pipelines/multimodal — the judge's

@@ -51,6 +51,7 @@ COPIED = ["region", "nation", "documents", "embeddings"]
 # embeddings scale story is tools/scale_smoke.py's job)
 QUERIES = [
     "pricing_summary", "multiway_star", "clinical_wide_join",
+    "clinical_wide_join_pdc",
     "left_join_counts", "pull_list_join",
     "window_max", "window_rank_family", "symmetric_diff", "wide_group_dedup",
     "keep_latest_per_key", "merge_upsert_orders", "scd2_order_history",
