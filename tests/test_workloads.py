@@ -475,3 +475,27 @@ def test_catalog_load_never_writes_session_conf(spark):
         load(ns, SF_SMOKE, name)
     after = {k: ns.conf.get(k, None) for k in probes}
     assert before == after
+
+def test_rotation_promotes_entry_that_gained_an_oracle():
+    """Round-7 rotation fix: an entry whose only CORRECTNESS history is
+    `err: no_oracle` must re-enter the UNVERIFIED tier (front of the
+    registry order) once its workload carries an oracle — otherwise the
+    driver's 50-query budget would never earn it a real green hash row.
+    compression_ratio is the live instance this round; the assertions stay
+    valid afterward because hash-green evidence then keeps it verified."""
+    from nextgenetl_spark.workloads import _oracle_verified, load_all
+
+    green = _oracle_verified()
+    reg = load_all()
+    order = list(reg)
+    # every name whose history is no_oracle-only is encoded as a NEGATIVE
+    # round by _oracle_verified ...
+    neg = [n for n, rnd in green.items() if rnd < 0]
+    for n in neg:
+        if n in reg and reg[n].oracle is not None:
+            # ... and, having an oracle now, must sort into the unverified
+            # tier: ahead of every hash-green verified entry
+            first_verified = min(
+                order.index(v) for v, rnd in green.items() if rnd > 0 and v in reg
+            )
+            assert order.index(n) < first_verified, n

@@ -97,7 +97,13 @@ def main() -> None:
     results = {"corpus": n_corpus, "n_queries": len(truth), "k": K,
                "brute_force_sec": round(t_brute, 1), "ivf": [], "lsh": []}
 
-    for refine in (0, 2):
+    # SPARK_GRAFT_ANN_REFINE=0 skips the refine=2 row — used for the big-
+    # corpus confirmation run where Lloyd passes double the wall for a
+    # tuning nuance already measured at ×20
+    import os
+
+    refines = (0,) if os.environ.get("SPARK_GRAFT_ANN_REFINE") == "0" else (0, 2)
+    for refine in refines:
         for nprobe in (1, 2, 4, 8, 16):
             t0 = time.time()
             ann = topk_sets(
@@ -108,6 +114,22 @@ def main() -> None:
                    "sec": round(time.time() - t0, 1)}
             results["ivf"].append(row)
             print(f"IVF  nprobe={nprobe:>2} refine={refine}: recall@10={row['recall_at_10']:.3f} ({row['sec']}s)", flush=True)
+
+    # index-growth guidance: when the corpus grows, do you grow cells or
+    # probes? Measure k_centroids x nprobe at a FIXED probe fraction (1/4)
+    # and at fixed nprobe — the cells-vs-probes tradeoff a user faces when
+    # scaling the index with the corpus.
+    results["ivf_k_sweep"] = []
+    for k_cent, nprobe in ((16, 4), (64, 4), (64, 16)):
+        t0 = time.time()
+        ann = topk_sets(
+            ivf_topk(queries, c, k_centroids=k_cent, nprobe=nprobe, k=K, refine_iters=0)
+        )
+        row = {"k_centroids": k_cent, "nprobe": nprobe,
+               "recall_at_10": round(recall(ann, truth), 3),
+               "sec": round(time.time() - t0, 1)}
+        results["ivf_k_sweep"].append(row)
+        print(f"IVF  k={k_cent:>2} nprobe={nprobe:>2}: recall@10={row['recall_at_10']:.3f} ({row['sec']}s)", flush=True)
 
     for n_planes in (8, 12, 16):
         rng = random.Random(42)
@@ -127,9 +149,10 @@ def main() -> None:
             tag = "multi(2 flips)" if multi else "single       "
             print(f"LSH  planes={n_planes:>2} {tag}: recall@10={row['recall_at_10']:.3f} ({row['sec']}s)", flush=True)
 
-    with open("/root/repo/ANN_RECALL.json", "w", encoding="utf-8") as fh:
+    out = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/ANN_RECALL.json"
+    with open(out, "w", encoding="utf-8") as fh:
         json.dump(results, fh, indent=1)
-    print("wrote /root/repo/ANN_RECALL.json")
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
