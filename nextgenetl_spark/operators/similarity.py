@@ -474,7 +474,10 @@ def build_ivf_index(
     query batch reads ONLY its probed cells' partitions — the index-reuse
     workflow that makes IVF pay off at 100 TB, where re-deriving cells per
     query batch (ivf_topk's self-contained form) would re-scan the corpus
-    every time."""
+    every time. Sizing, measured (ANN_RECALL_100X.json k-sweep): grow
+    k_centroids with the corpus (k ∝ √N bracket) and hold the probe
+    FRACTION — at 200k vectors, 4× the cells at the same 1/4 fraction
+    read recall 1.000 in 0.6× the wall vs the 16-cell index."""
     cents = pick_centroids(corpus, k_centroids, id_col, vec_col)
     if refine_iters > 0:
         cents = refine_centroids(corpus, cents, refine_iters, id_col, vec_col)
