@@ -43,10 +43,34 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "sim", "rank")
 
 
-@workload("ann_lsh_topk")  # approximate by construction → rows-only check; pytest measures recall vs exact
+def _lsh_values_oracle(which: str) -> str:
+    """Literal-VALUES oracle for the hyperplane-LSH workloads (round 7,
+    compression_ratio's discipline applied to the last SQL-inexpressible
+    ANN entries): every arithmetic step of the operator is plain IEEE
+    double in a fixed fold order, so tools/gen_lsh_oracle.py — an
+    INDEPENDENT pure-Python reimplementation (no Spark, no numpy) —
+    reproduces the exact rows over the fixed sf0.01 corpus, frozen here
+    for the driver's cross-engine hash compare. The corpus md5 is guarded
+    by a named pytest so a regenerated corpus fails loudly."""
+    from nextgenetl_spark.workloads import _lsh_expected as L
+
+    rows = L.SINGLE if which == "single" else L.MULTI
+    vals = ",\n           ".join(f"({q}, {n}, {s!r}, {r})" for q, n, s, r in rows)
+    return f"""
+    SELECT CAST(query_id AS BIGINT)    AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(sim AS DOUBLE)         AS sim,
+           CAST(rank AS INT)           AS rank
+    FROM (VALUES {vals}) AS t(query_id, neighbor_id, sim, rank)
+    """
+
+
+@workload("ann_lsh_topk", oracle=_lsh_values_oracle("single"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed top-k (the 100-TB path: score only within
-    buckets). Deterministic planes from a fixed seed."""
+    buckets). Deterministic planes from a fixed seed. Cross-engine check:
+    an independently-computed literal-VALUES oracle (_lsh_values_oracle);
+    measured recall curves live in ANN_RECALL*.json / BASELINE §4.2."""
     import random
 
     rng = random.Random(42)
@@ -319,13 +343,16 @@ def stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("ann_lsh_multiprobe")  # approximate by construction → rows-only; pytest proves recall >= single-probe
+@workload("ann_lsh_multiprobe", oracle=_lsh_values_oracle("multi"))
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe hyperplane LSH (operators/similarity.py
     lsh_topk_multiprobe): each query also probes the buckets across its two
     lowest-margin hyperplanes — the recall of several hash tables for the
     cost of a small query-side fan-out, with the corpus still bucketed
-    once."""
+    once. Cross-engine check: independently-computed literal-VALUES oracle
+    (_lsh_values_oracle — probes, margins, fold arithmetic and HALF_UP
+    rounding re-walked in pure Python); pytest additionally proves
+    recall >= single-probe at any sf."""
     import random
 
     from nextgenetl_spark.operators.similarity import lsh_topk_multiprobe

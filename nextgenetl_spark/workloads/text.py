@@ -188,11 +188,46 @@ def near_dup_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_pairs_auto(d, "source", threshold=0.5)
 
 
-@workload("minhash_near_dup")  # no SQL oracle: LSH banding is not SQL-expressible; pytest checks recall vs the exact baseline
+def _hashpath_values_oracle(which: str) -> str:
+    """Literal-VALUES oracles for the xxhash64-path workloads (round 7):
+    xxHash64 is a PUBLICLY SPECIFIED algorithm, so
+    tools/gen_hashpath_oracle.py — an independent pure-Python XXH64 +
+    integer/set reimplementation of the tokenize → hash → vote/band/verify
+    walks, no Spark — reproduces the exact rows over the fixed sf0.01
+    corpus, frozen here for the driver's cross-engine hash compare. A
+    named pytest guards the corpus md5. These entries previously had only
+    rows-only checks plus md5-family FULL-oracle twins."""
+    from nextgenetl_spark.workloads import _hashpath_expected as H
+
+    if which == "fp":
+        vals = ",\n           ".join(f"({d}, {fp})" for d, fp in H.DOC_FP)
+        return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(fp AS BIGINT) AS fp
+    FROM (VALUES {vals}) AS t(doc_id, fp)
+    """
+    if which == "simhash":
+        vals = ",\n           ".join(f"({fp}, {nd}, {cid})" for fp, nd, cid in H.SIMHASH)
+        return f"""
+    SELECT CAST(fp AS BIGINT) AS fp, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(canonical_id AS BIGINT) AS canonical_id
+    FROM (VALUES {vals}) AS t(fp, n_docs, canonical_id)
+    """
+    vals = ",\n           ".join(f"({a}, {b}, {j!r})" for a, b, j in H.MINHASH_PAIRS)
+    return f"""
+    SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+           CAST(jac AS DOUBLE) AS jac
+    FROM (VALUES {vals}) AS t(a_id, b_id, jac)
+    """
+
+
+@workload("minhash_near_dup", oracle=_hashpath_values_oracle("minhash"))
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (scale path: banded bucket join instead of
-    all-pairs). Driver does a rows-only check; tests/test_dedup.py verifies
-    candidate recall against the exact Jaccard baseline."""
+    all-pairs). Cross-engine check: an independently-computed literal-VALUES
+    oracle (_hashpath_values_oracle — pure-Python XXH64 from the public
+    spec, shingle/band/verify walk re-implemented from scratch);
+    tests/test_dedup.py additionally verifies candidate recall against the
+    exact Jaccard baseline at any sf."""
     d = load(spark, sf_dir, "documents")
     return D.minhash_near_dup_pairs(d, threshold=0.5)
 
@@ -233,15 +268,17 @@ def simhash_md5_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "doc_fingerprint",
-    oracle=None,  # xxhash64 is Spark-specific; rows-only check + pytest determinism test
+    oracle=_hashpath_values_oracle("fp"),
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit rolling content fingerprint per document."""
+    """64-bit rolling content fingerprint per document. Cross-engine check:
+    independently-computed literal-VALUES oracle (pure-Python XXH64 over
+    the token-normalized text — _hashpath_values_oracle)."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", TS.fingerprint("text").alias("fp"))
 
 
-@workload("simhash_dedup")  # no SQL oracle: xxhash64 is Spark-specific; pytest pins determinism + hamming locality
+@workload("simhash_dedup", oracle=_hashpath_values_oracle("simhash"))
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup groups: 64-bit per-bit-majority fingerprint computed
     in one linear expression pass (operators/dedup.py simhash64), grouped on

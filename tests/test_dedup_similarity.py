@@ -1050,3 +1050,83 @@ def test_compression_oracle_corpus_fingerprint():
     )
     assert corpus_md5(pdf) == CORPUS_MD5
     assert len(EXPECTED) == len(pdf)
+
+def test_lsh_oracle_corpus_fingerprint():
+    """The ann_lsh_topk / ann_lsh_multiprobe VALUES oracles are frozen over
+    the FIXED sf0.01 embeddings (tools/gen_lsh_oracle.py — an independent
+    pure-Python walk). Fails BY NAME if the corpus content changes; rerun
+    the generator to refresh _lsh_expected.py."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from nextgenetl_spark.workloads._lsh_expected import CORPUS_MD5, MULTI, SINGLE
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    h = hashlib.md5()
+    for vid in sorted(vecs):
+        h.update(str(vid).encode() + b"\x00" + str(vecs[vid]).encode() + b"\x01")
+    assert h.hexdigest() == CORPUS_MD5
+    # 10 queries x top-5 on both variants
+    assert len(SINGLE) == 50 and len(MULTI) == 50
+    # multiprobe candidates are a superset per query, so at equal rank its
+    # sim can never be lower
+    s1 = {(q, r): s for q, _, s, r in SINGLE}
+    for q, _, s, r in MULTI:
+        if (q, r) in s1:
+            assert s >= s1[(q, r)]
+
+def test_hashpath_oracle_corpus_fingerprint():
+    """The doc_fingerprint / simhash_dedup / minhash_near_dup VALUES
+    oracles are frozen over the FIXED sf0.01 documents
+    (tools/gen_hashpath_oracle.py — independent pure-Python XXH64 walk).
+    Fails BY NAME if the corpus content changes; rerun the generator."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from nextgenetl_spark.workloads._hashpath_expected import (
+        CORPUS_MD5,
+        DOC_FP,
+        MINHASH_PAIRS,
+        SIMHASH,
+    )
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    h = hashlib.md5()
+    for did in sorted(docs):
+        h.update(f"{did}\x00{docs[did]}\x01".encode())
+    assert h.hexdigest() == CORPUS_MD5
+    assert len(DOC_FP) == len(docs)
+    # simhash groups partition the corpus; every verified pair clears 0.5
+    assert sum(nd for _, nd, _ in SIMHASH) == len(docs)
+    assert all(j >= 0.5 for _, _, j in MINHASH_PAIRS)
+
+
+def test_hashpath_oracle_xxh64_matches_spark(spark):
+    """The generator's from-scratch XXH64 must equal Spark's xxhash64 on
+    every path the oracles use: string bytes, (long, int-seed) chains, and
+    (array<long>, int) band hashing — pinned on adversarial lengths around
+    the 4/8/32-byte boundaries and on negative longs."""
+    from pyspark.sql import functions as F
+
+    from tools.gen_hashpath_oracle import xxh_long_int, xxh_longarray_int, xxh_str
+
+    samples = ["", "a", "abc", "abcd", "abcdefg", "abcdefgh", "x" * 31, "y" * 32,
+               "z" * 33, "word " * 13, "日本語テキストと emoji 🚀"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    for r in df.select("s", F.xxhash64("s").alias("h")).collect():
+        assert xxh_str(r["s"]) == r["h"], repr(r["s"])
+    longs = [0, 1, -1, 2**62, -(2**62), -5721346551340422899]
+    ldf = spark.createDataFrame([(l,) for l in longs], "l long")
+    for r in ldf.select(
+        "l",
+        F.xxhash64(F.col("l"), F.lit(7)).alias("li"),
+        F.xxhash64(F.array(F.col("l"), F.lit(3).cast("long")), F.lit(5)).alias("ai"),
+    ).collect():
+        assert xxh_long_int(r["l"], 7) == r["li"]
+        assert xxh_longarray_int([r["l"], 3], 5) == r["ai"]
