@@ -669,7 +669,25 @@ def stream_history_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_memory_replay(spark, out, name, "append")
 
 
-@workload("stream_near_dup_ingest")  # no SQL oracle: LSH banding is not SQL-expressible; pytest proves equality with the batch MinHash pairs
+def _stream_neardup_oracle() -> str:
+    """Literal-VALUES oracle (round 7): the streaming probe is STATELESS —
+    per-row signatures, a stream-static band join, and the first-matching-
+    band filter — so its output is the same deterministic integer walk as
+    the batch MinHash path, reproduced from scratch by
+    tools/gen_hashpath_oracle.py's pure-Python XXH64 implementation over
+    the fixed sf0.01 corpus (new docs ≥ 250 vs history < 250, pair emitted
+    iff any band hash matches, Jaccard ≥ 0.5)."""
+    from nextgenetl_spark.workloads._hashpath_expected import STREAM_PAIRS
+
+    vals = ",\n           ".join(f"({n}, {h}, {j!r})" for n, h, j in STREAM_PAIRS)
+    return f"""
+    SELECT CAST(new_id AS BIGINT) AS new_id, CAST(hist_id AS BIGINT) AS hist_id,
+           CAST(jac AS DOUBLE) AS jac
+    FROM (VALUES {vals}) AS t(new_id, hist_id, jac)
+    """
+
+
+@workload("stream_near_dup_ingest", oracle=_stream_neardup_oracle())
 def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACTUAL streaming NEAR-dup-on-ingest: the documents stream is
     MinHash-banded per row (``minhash_signature_expr`` — a Column HOF, legal
@@ -678,8 +696,10 @@ def stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shingle-set Jaccard. Every step is a stateless projection or
     stream-static join — no watermark, no state store, and multi-band pair
     duplicates are collapsed by the first-matching-band filter instead of a
-    stateful dropDuplicates (streaming/neardup.py). Rows-only check; pytest
-    pins equality with the batch MinHash pairs on the same split."""
+    stateful dropDuplicates (streaming/neardup.py). Cross-engine check:
+    an independently-computed literal-VALUES oracle (_stream_neardup_oracle,
+    pure-Python XXH64 walk); pytest additionally pins equality with the
+    batch MinHash pairs on the same split at any sf."""
     from nextgenetl_spark.streaming.neardup import history_index, near_dup_against_history
     from nextgenetl_spark.streaming.source import docs_stream
 

@@ -1,5 +1,8 @@
 """Independent pure-Python oracle generator for the three xxhash64-path
-workloads (`doc_fingerprint`, `simhash_dedup`, `minhash_near_dup`) —
+workloads (`doc_fingerprint`, `simhash_dedup`, `minhash_near_dup`,
+`stream_near_dup_ingest` — the streaming probe is stateless, so its
+output is the same integer walk: new docs ≥ 250 vs history < 250,
+pair emitted iff any band hash matches, Jaccard-verified ≥ 0.5) —
 closing the last ∅-oracle rows that CAN be closed: xxHash64 is a publicly
 specified algorithm (Cyan4973/xxHash spec; Spark's XxHash64Function uses
 the same primitives with fixed seed 42 and per-type byte layouts), so a
@@ -179,10 +182,16 @@ def main() -> None:
         sh_sets[did] = set(h0s)
         sigs[did] = [min(xxh_long_int(h, p) for h in h0s) for p in range(NUM_PERM)]
 
+    band_hashes = {
+        did: [
+            xxh_longarray_int(sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND], b)
+            for b in range(NUM_BANDS)
+        ]
+        for did, sig in sigs.items()
+    }
     buckets = {}
-    for did, sig in sigs.items():
-        for b in range(NUM_BANDS):
-            bh = xxh_longarray_int(sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND], b)
+    for did, bhs in band_hashes.items():
+        for b, bh in enumerate(bhs):
             buckets.setdefault((b, bh), []).append(did)
     cands = set()
     for ids in buckets.values():
@@ -190,13 +199,31 @@ def main() -> None:
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 cands.add((ids[i], ids[j]))
+
+    def _jac(a, b):
+        return round_half_up(len(sh_sets[a] & sh_sets[b]) / len(sh_sets[a] | sh_sets[b]))
+
     pairs = []
     for a, b in sorted(cands):
-        inter = len(sh_sets[a] & sh_sets[b])
-        union = len(sh_sets[a] | sh_sets[b])
-        jac = round_half_up(inter / union)
+        jac = _jac(a, b)
         if jac >= THRESHOLD:
             pairs.append((a, b, jac))
+
+    # stream_near_dup_ingest: new docs (id >= SPLIT) probed against the
+    # already-ingested history (id < SPLIT); a pair is emitted once iff ANY
+    # band hash matches (the operator's first-matching-band filter is a
+    # stateless dedup of exactly this), then Jaccard-verified.
+    SPLIT = 250
+    stream_pairs = []
+    for new_id in sorted(d for d in docs if d >= SPLIT):
+        for hist_id in sorted(d for d in docs if d < SPLIT):
+            if any(
+                band_hashes[new_id][b] == band_hashes[hist_id][b]
+                for b in range(NUM_BANDS)
+            ):
+                jac = _jac(new_id, hist_id)
+                if jac >= THRESHOLD:
+                    stream_pairs.append((new_id, hist_id, jac))
 
     h = hashlib.md5()
     for did in sorted(docs):
@@ -221,8 +248,14 @@ def main() -> None:
         fh.write("]\n\nMINHASH_PAIRS = [\n")
         for a, b, jac in pairs:
             fh.write(f"    ({a}, {b}, {jac!r}),\n")
+        fh.write("]\n\nSTREAM_PAIRS = [\n")
+        for n, hst, jac in stream_pairs:
+            fh.write(f"    ({n}, {hst}, {jac!r}),\n")
         fh.write("]\n")
-    print(f"wrote fp={len(doc_fp)} simhash={len(sim_rows)} pairs={len(pairs)} -> {os.path.abspath(OUT)}")
+    print(
+        f"wrote fp={len(doc_fp)} simhash={len(sim_rows)} pairs={len(pairs)} "
+        f"stream={len(stream_pairs)} -> {os.path.abspath(OUT)}"
+    )
 
 
 if __name__ == "__main__":
