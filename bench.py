@@ -203,9 +203,18 @@ def main() -> None:
                   "lineitem", "events", "documents", "embeddings"]:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         duck: dict[str, float] = {}
+        pins: list[str] = []
         for name in HEADLINE:
             sql = registry[name].oracle
             if sql is None:
+                continue
+            # Literal-VALUES oracles (round 7: compression_ratio, the LSH/
+            # xxhash-path entries) are CORRECTNESS pins — DuckDB just selects
+            # frozen literals, so timing it says nothing about the operator.
+            # Exclude them from the comparative totals and list them so the
+            # record shows which entries are pinned rather than raced.
+            if "FROM (VALUES" in sql:
+                pins.append(name)
                 continue
             # single run: DuckDB has no JIT warm-up, and the recursive-CTE
             # oracles cost minutes at sf0.1 — don't pay them twice
@@ -213,6 +222,7 @@ def main() -> None:
             con.execute(sql).fetchall()
             duck[name] = round(time.time() - t0, 3)
         out["duckdb"] = duck
+        out["values_pinned"] = sorted(pins)
         out["duckdb_total"] = round(sum(duck.values()), 3)
         out["paired_spark_total"] = round(sum(timings[n] for n in duck), 3)
 

@@ -1093,6 +1093,7 @@ def test_hashpath_oracle_corpus_fingerprint():
         DOC_FP,
         MINHASH_PAIRS,
         SIMHASH,
+        STREAM_PAIRS,
     )
 
     t = pq.read_table("/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"])
@@ -1105,6 +1106,11 @@ def test_hashpath_oracle_corpus_fingerprint():
     # simhash groups partition the corpus; every verified pair clears 0.5
     assert sum(nd for _, nd, _ in SIMHASH) == len(docs)
     assert all(j >= 0.5 for _, _, j in MINHASH_PAIRS)
+    # streaming pairs: new (>=250) vs history (<250), threshold holds; the
+    # cross-split subset of the batch pair list must appear here too
+    assert all(n >= 250 > h and j >= 0.5 for n, h, j in STREAM_PAIRS)
+    batch_cross = {(max(a, b), min(a, b)) for a, b, _ in MINHASH_PAIRS if (a < 250) != (b < 250)}
+    assert batch_cross <= {(n, h) for n, h, _ in STREAM_PAIRS}
 
 
 def test_hashpath_oracle_xxh64_matches_spark(spark):
