@@ -139,7 +139,11 @@ _WS = re.compile(r"[ \t\n\x0B\f\r]+")  # Java ASCII \s
 
 
 def tokens(text: str) -> list[str]:
-    return _WS.split(text.strip())
+    # Spark's trim() strips ONLY the space character (0x20) — a leading
+    # tab/newline survives and yields a leading "" token from the split,
+    # exactly like F.split(F.trim(c), "\\s+"). (Found by the edge-doc
+    # differential test; Python's bare .strip() removes all whitespace.)
+    return _WS.split(text.strip(" "))
 
 
 def shingles3(toks: list[str]) -> list[str]:
