@@ -149,6 +149,34 @@ def main() -> None:
             tag = "multi(2 flips)" if multi else "single       "
             print(f"LSH  planes={n_planes:>2} {tag}: recall@10={row['recall_at_10']:.3f} ({row['sec']}s)", flush=True)
 
+    # persisted-index path: build once (hive-partitioned by cell_id), query
+    # with the same nprobe grid — pins that the partition-pruned index path
+    # hits the same recall as the self-contained ivf_topk (identical
+    # machinery, but the claim is now measured, not inferred).
+    import shutil
+    import tempfile
+
+    from nextgenetl_spark.operators.similarity import build_ivf_index, ivf_query_index
+
+    idx_dir = tempfile.mkdtemp(prefix="ann_recall_idx_")
+    try:
+        build_ivf_index(
+            corpus.select(F.col("vec_id"), "embedding"), idx_dir,
+            k_centroids=16, refine_iters=0, id_col="vec_id",
+        )
+        results["ivf_index"] = []
+        for nprobe in (1, 4, 16):
+            t0 = time.time()
+            ann = topk_sets(
+                ivf_query_index(spark, idx_dir, queries, nprobe=nprobe, k=K)
+            )
+            row = {"nprobe": nprobe, "recall_at_10": round(recall(ann, truth), 3),
+                   "sec": round(time.time() - t0, 1)}
+            results["ivf_index"].append(row)
+            print(f"IVF-index nprobe={nprobe:>2}: recall@10={row['recall_at_10']:.3f} ({row['sec']}s)", flush=True)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     out = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/ANN_RECALL.json"
     with open(out, "w", encoding="utf-8") as fh:
         json.dump(results, fh, indent=1)
