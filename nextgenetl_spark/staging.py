@@ -73,11 +73,24 @@ def code_token(*objs) -> str:
         except (OSError, TypeError):
             # No retrievable source (builtins, C-accelerated, exec'd code).
             # repr() would embed the per-process memory address and break
-            # cache hits across runs (round-6 ADVICE) — fall back to the
-            # bytecode hash when there is code, else the stable dotted name.
+            # cache hits across runs (round-6 ADVICE) — fall back to a hash
+            # of the full code identity when there is code, else the stable
+            # dotted name. co_code alone is NOT enough (round-7 ADVICE):
+            # two exec'd functions differing only in a constant (a threshold
+            # tweak) share bytecode, so fold co_consts, co_names, and any
+            # closure cell contents into the hash too — the docstring's
+            # "even a constant tweak produces a new token" contract.
             co = getattr(o, "__code__", None)
             if co is not None:
-                parts.append(hashlib.md5(co.co_code).hexdigest())
+                h = hashlib.md5(co.co_code)
+                h.update(repr(co.co_consts).encode())
+                h.update(repr(co.co_names).encode())
+                for cell in getattr(o, "__closure__", None) or ():
+                    try:
+                        h.update(repr(cell.cell_contents).encode())
+                    except ValueError:  # empty cell (unresolved free var)
+                        h.update(b"<empty-cell>")
+                parts.append(h.hexdigest())
             else:
                 parts.append(
                     f"{getattr(o, '__module__', '')}."

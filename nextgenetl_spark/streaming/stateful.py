@@ -90,6 +90,15 @@ DEBOUNCE_OUTPUT_SCHEMA = T.StructType(
 
 DEBOUNCE_GAP_US = 300_000_000  # 5 minutes
 
+# How far behind a shard's observed max event time a late event may still
+# arrive (the repo's standard stream watermark delay). Entries whose
+# last-kept is older than GAP + ALLOWANCE relative to the shard's max are
+# evicted: any event inside the allowance has ts > last_kept + GAP, which
+# is KEPT whether the entry exists or not — observationally equivalent
+# (round-7 ADVICE: under NoTimeout the shard map is otherwise append-only
+# and round-trips whole every micro-batch for the stream's lifetime).
+DEBOUNCE_LATE_ALLOWANCE_US = 600_000_000  # 10 minutes
+
 # per-SHARD state: parallel arrays mapping (user_id, event_type) -> last
 # kept ts, user ids and types as aligned columns. One stateful group per
 # shard (default 64) instead of per user — the round-6 rekeying
@@ -206,7 +215,14 @@ def _debounce_shard_group(
     ts = rows["ts_us"].to_numpy()
     uid = rows["user_id"].to_numpy()
     et = rows["event_type"].to_numpy()
-    order = np.lexsort((ev, ts, et, uid))
+    # event_type is a SORT key here (unlike the per-user path): a NULL in
+    # the object array would raise None-vs-str in lexsort, so nulls sort
+    # as "" — grouping below still keys on the real None value.
+    et_sort = et
+    null_mask = pd.isna(et)
+    if null_mask.any():
+        et_sort = np.where(null_mask, "", et)
+    order = np.lexsort((ev, ts, et_sort, uid))
     keep: list[int] = []
     cur_key: tuple | None = None
     last: int | None = None
@@ -223,6 +239,17 @@ def _debounce_shard_group(
             last = t
     if cur_key is not None:
         last_map[cur_key] = last
+    # Age-based eviction before the state write-back: an entry whose
+    # last-kept timestamp is GAP + ALLOWANCE behind this shard's max
+    # observed event time can never suppress a future in-allowance event
+    # differently from an absent entry (any such event's ts already
+    # exceeds last + GAP → kept either way), so dropping it bounds the
+    # per-batch state round-trip by the shard's RECENT (user, type)
+    # cardinality instead of its lifetime cardinality.
+    if len(ts):
+        horizon = int(ts.max()) - DEBOUNCE_GAP_US - DEBOUNCE_LATE_ALLOWANCE_US
+        if horizon > 0:
+            last_map = {k: v for k, v in last_map.items() if v >= horizon}
     state.update(
         (
             [int(u) for u, _ in last_map],
@@ -261,6 +288,12 @@ def debounce_against_last_kept(events: DataFrame, n_shards: int = 64) -> DataFra
     All of a user's events still land in one group, so semantics are
     unchanged (pinned: the 3-micro-batch cross-batch equality test and
     the sharded ≡ per-user-keyed equality test in tests/test_streaming.py).
+    State is bounded by age-based eviction (round-7 ADVICE): entries whose
+    last-kept timestamp trails the shard's max observed event time by more
+    than GAP + LATE_ALLOWANCE are dropped at write-back — provably
+    decision-equivalent for any event arriving within the allowance (its
+    ts already clears last + GAP, so it is kept with or without the
+    entry), and exactly the bound a watermark would enforce upstream.
     n_shards is the state-store parallelism knob — at 100 TB set it like
     shuffle partitions; 64 saturates local[32] while cutting the per-group
     fixed cost ~30× vs per-user keying."""

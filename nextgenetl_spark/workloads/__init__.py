@@ -82,9 +82,17 @@ def _oracle_verified() -> dict[str, int]:
                 continue
             if row.get("err"):
                 continue
-            # full match, or rows-only pass for ∅-oracle entries
-            if row.get("hash_match") or (row.get("rows_match") and "hash_match" not in row):
+            if row.get("hash_match"):
                 green[name] = max(green.get(name, 0), rnd)
+            elif row.get("rows_match") and "hash_match" not in row:
+                # rows-only pass (the driver's weaker check for ∅-oracle
+                # entries). Encoded NEGATIVE like no_oracle rows (round-7
+                # ADVICE): a rows-only green settles the entry only while
+                # it still has no oracle — once it gains one, load_all()
+                # re-promotes it to the unverified tier for a real
+                # hash-green row, same as the no_oracle history path.
+                if green.get(name, 0) <= 0:
+                    green[name] = min(green.get(name, 0), -rnd)
     return green
 
 
