@@ -352,18 +352,35 @@ def refine_centroids(
     higher recall at the same nprobe.
 
     Scale shape: the per-cell mean is ``posexplode`` + groupBy(cell_id, pos)
-    AVG, which hash-aggregates map-side — the shuffle carries only
+    SUM/COUNT, which hash-aggregates map-side — the shuffle carries only
     k × dim partial rows per task, never the corpus. At 100 TB you run this on
     a sample of the corpus (k-means training does not need every vector); the
     assignment GEMM is the same linear pass either way. Cells that lose all
-    members keep their previous centroid, so the cell count is stable."""
+    members keep their previous centroid, so the cell count is stable.
+
+    ORDER-DETERMINISM (round-8): the per-component sum runs in
+    decimal(27,18) — exact, associative, partition-order-independent — and
+    the mean is one double division of the decimal sum (the sliding_window
+    decimal discipline, measured to cost nothing at ×100). A double AVG
+    here would accumulate in partition order, making the refined centroids
+    (and so the nprobe<k cell routing) run-dependent; with the decimal sum
+    the whole Lloyd walk is reproducible bit-for-bit by the pure-Python
+    oracle generator (tools/gen_ivf_oracle.py), which is what admits
+    ann_ivf_topk's independent literal-VALUES oracle. Map-side partial
+    aggregation is preserved: decimal SUM combines partially."""
     base = centroids.select("cell_id", F.col("cvec").cast("array<double>").alias("cvec"))
     for _ in range(iters):
         assigned = assign_cells(corpus, base, id_col, vec_col)
         means = (
             assigned.select("cell_id", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cell_id", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(
+                F.sum(F.col("v").cast("double").cast("decimal(27,18)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell_id", "pos", (F.col("s").cast("double") / F.col("n")).alias("m")
+            )
         )
         refined = (
             means.groupBy("cell_id")

@@ -125,11 +125,38 @@ def embedding_near_dup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("ann_ivf_topk")  # approximate by construction → rows-only; pytest proves nprobe=ALL == brute force
+def _ivf_values_oracle() -> str:
+    """Literal-VALUES oracle for ann_ivf_topk (round 8, closing the last
+    closable ∅ row): round 8 made the Lloyd refinement order-deterministic
+    (decimal(27,18)-exact sums in operators/similarity.py
+    refine_centroids), so tools/gen_ivf_oracle.py — an INDEPENDENT
+    pure-Python IVF/Lloyd walk (pure-Python XXH64 seed pick, fold-cosine
+    assignment with every decision margin asserted > 1e-9, Decimal-exact
+    means, HALF_UP rounding) — reproduces the exact rows over the fixed
+    sf0.01 corpus, frozen here for the driver's cross-engine hash compare.
+    Corpus md5 guarded by a named pytest; the generator walk is
+    differentially fuzzed against Spark on random corpora
+    (tests/test_oracle_generators_fuzz.py)."""
+    from nextgenetl_spark.workloads import _ivf_expected as I
+
+    vals = ",\n           ".join(f"({q}, {n}, {s!r}, {r})" for q, n, s, r in I.IVF_TOPK)
+    return f"""
+    SELECT CAST(query_id AS BIGINT)    AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(sim AS DOUBLE)         AS sim,
+           CAST(rank AS INT)           AS rank
+    FROM (VALUES {vals}) AS t(query_id, neighbor_id, sim, rank)
+    """
+
+
+@workload("ann_ivf_topk", oracle=_ivf_values_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN top-5 for 10 query vectors (nprobe=4 of 16 cells, 2 Lloyd
     refinement iterations on the seed centroids): the inverted-file scale
-    path next to the hyperplane-LSH one."""
+    path next to the hyperplane-LSH one. Cross-engine check: an
+    independently-computed literal-VALUES oracle (_ivf_values_oracle) —
+    admissible since round 8's order-deterministic refinement; nprobe=ALL
+    ≡ brute force stays pinned by ann_ivf_full_probe's FULL oracle."""
     from nextgenetl_spark.operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")

@@ -1136,3 +1136,41 @@ def test_hashpath_oracle_xxh64_matches_spark(spark):
     ).collect():
         assert xxh_long_int(r["l"], 7) == r["li"]
         assert xxh_longarray_int([r["l"], 3], 5) == r["ai"]
+
+def test_ivf_oracle_corpus_fingerprint():
+    """The ann_ivf_topk VALUES oracle is frozen over the FIXED sf0.01
+    embeddings (tools/gen_ivf_oracle.py — independent pure-Python
+    XXH64-seed + deterministic-Lloyd IVF walk). Fails BY NAME if the
+    corpus content changes; rerun the generator to refresh
+    _ivf_expected.py."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from nextgenetl_spark.workloads._ivf_expected import (
+        CORPUS_MD5,
+        IVF_TOPK,
+        MIN_DECISION_MARGIN,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    h = hashlib.md5()
+    for vid in sorted(vecs):
+        h.update(str(vid).encode() + b"\x00" + str(vecs[vid]).encode() + b"\x01")
+    assert h.hexdigest() == CORPUS_MD5
+    # 10 queries x top-5; ranks contiguous from 1 per query
+    assert len(IVF_TOPK) == 50
+    by_q: dict = {}
+    for q, _, _, r in IVF_TOPK:
+        by_q.setdefault(q, []).append(r)
+    assert all(sorted(rs) == [1, 2, 3, 4, 5] for rs in by_q.values())
+    # the frozen walk certified fold-vs-GEMM order equivalence
+    assert MIN_DECISION_MARGIN > 1e-9
+    # sims are valid cosines, ordered desc within each query
+    assert all(-1.0 <= s <= 1.0 for _, _, s, _ in IVF_TOPK)
+    for q in by_q:
+        sims = [s for qq, _, s, r in sorted(IVF_TOPK, key=lambda t: (t[0], t[3])) if qq == q]
+        assert sims == sorted(sims, reverse=True)

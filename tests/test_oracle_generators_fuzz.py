@@ -142,3 +142,35 @@ def test_lsh_generator_matches_spark_on_random_vectors(spark):
         for r in lsh_topk_multiprobe(q, c, planes, k=5, nprobe_flips=2).collect()
     }
     assert got_multi == expected(True)
+
+
+def test_ivf_generator_matches_spark_on_random_vectors(spark):
+    """Round-8: the pure-Python IVF/Lloyd walk in tools/gen_ivf_oracle.py
+    must stay bit-identical to ivf_topk on LIVE random corpora — seed pick
+    (XXH64), deterministic-decimal Lloyd refinement, cell assignment,
+    probe ranking, and HALF_UP-rounded scoring. The walk asserts every
+    argmax/probe margin > 1e-9, certifying that its fold-cosine ordering
+    equals assign_cells' normalized-GEMM ordering."""
+    import tools.gen_ivf_oracle as G
+    from nextgenetl_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(11)
+    dim, n = 12, 60
+    # clustered corpus (3 loose clusters) so cells are non-degenerate
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(3)]
+    vecs = {
+        i: [c + rng.gauss(0, 0.3) for c in centers[i % 3]] for i in range(n)
+    }
+    exp_rows, margin = G.ivf_topk_expected(
+        vecs, [i for i in range(6)], k_centroids=4, nprobe=2, k=3, refine_iters=2
+    )
+    assert margin > G.MIN_MARGIN, "degenerate random draw — tighten the seed"
+
+    emb = spark.createDataFrame(list(vecs.items()), "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 6).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in ivf_topk(q, c, k_centroids=4, nprobe=2, k=3, refine_iters=2).collect()
+    )
+    assert got == sorted(exp_rows)

@@ -499,3 +499,25 @@ def test_rotation_promotes_entry_that_gained_an_oracle():
                 order.index(v) for v, rnd in green.items() if rnd > 0 and v in reg
             )
             assert order.index(n) < first_verified, n
+
+def test_rotation_promotes_rows_only_green_that_gained_an_oracle():
+    """Round-8 rotation fix (round-7 ADVICE #3): an entry whose green
+    history is ROWS-ONLY (the driver's weaker ∅-oracle check records
+    rows_match with no hash_match key) must re-enter the unverified tier
+    once its workload carries an oracle — symmetric with the no_oracle
+    path. ann_ivf_topk is the live instance this round (rows-only greens
+    r1-r7, VALUES oracle gained in r8); the assertion stays valid
+    afterward because a real hash-green row then keeps it verified."""
+    from nextgenetl_spark.workloads import _oracle_verified, load_all
+
+    green = _oracle_verified()
+    reg = load_all()
+    order = list(reg)
+    # ann_ivf_topk carries an oracle now
+    assert reg["ann_ivf_topk"].oracle is not None
+    if green.get("ann_ivf_topk", 0) < 0:
+        # rows-only history ⇒ must sort ahead of every hash-green entry
+        first_verified = min(
+            order.index(v) for v, rnd in green.items() if rnd > 0 and v in reg
+        )
+        assert order.index("ann_ivf_topk") < first_verified

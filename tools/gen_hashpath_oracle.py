@@ -10,11 +10,11 @@ from-scratch Python implementation reproduces every hash, and the rest of
 each operator is integer/set arithmetic in a fixed order. The expected
 rows over the fixed sf0.01 corpus are frozen as VALUES tables for the
 driver's cross-engine hash compare — exactly the compression_ratio /
-ann_lsh discipline. (The remaining ∅ entries are genuinely closed off:
-approx_distinct_profile / hll_user_rollup estimate via Spark-internal
-HLL++ / DataSketches state with no independent path, ann_ivf_topk's
-Lloyd refinement averages floats in partition order, and
-stream_near_dup_ingest is a streaming replay with an md5 twin.)
+ann_lsh discipline. (ann_ivf_topk joined this family in round 8 via
+tools/gen_ivf_oracle.py once its Lloyd refinement became
+order-deterministic; the remaining ∅ entries — approx_distinct_profile /
+hll_user_rollup — estimate via Spark-internal HLL++ / DataSketches state
+with no independent path.)
 
 Replicated contracts:
 - tokens: split(trim(text), \\s+) with Java ASCII \\s = [ \\t\\n\\x0B\\f\\r]
