@@ -480,7 +480,7 @@ def ivf_topk(
 def build_ivf_index(
     corpus: DataFrame,
     index_dir: str,
-    k_centroids: int = 16,
+    k_centroids: int | None = None,
     refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -491,10 +491,22 @@ def build_ivf_index(
     query batch reads ONLY its probed cells' partitions — the index-reuse
     workflow that makes IVF pay off at 100 TB, where re-deriving cells per
     query batch (ivf_topk's self-contained form) would re-scan the corpus
-    every time. Sizing, measured (ANN_RECALL_100X.json k-sweep): grow
-    k_centroids with the corpus (k ∝ √N bracket) and hold the probe
-    FRACTION — at 200k vectors, 4× the cells at the same 1/4 fraction
-    read recall 1.000 in 0.6× the wall vs the 16-cell index."""
+    every time.
+
+    ``k_centroids=None`` (the round-8 default) sizes the index as
+    round(√N) — the PRODUCT form of the measured k-sweep
+    (ANN_RECALL_100X.json, BASELINE §4.2): grow cells with the corpus and
+    hold the probe FRACTION, because at 200k vectors the √N-bracket index
+    (k=64, nprobe=16 = the same 1/4 fraction) read recall 1.000 in 0.6×
+    the wall of the fixed 16-cell index (which needed nprobe 4 for 0.985).
+    More, smaller cells = finer pruning at equal probe fraction AND less
+    wasted scan per probe; √N balances the centroid-ranking cost (k per
+    query) against the per-cell scan (N/k per probe). Sizing costs one
+    count() scan at build time; pass an explicit k to skip it."""
+    if k_centroids is None:
+        import math
+
+        k_centroids = max(1, round(math.sqrt(corpus.count())))
     cents = pick_centroids(corpus, k_centroids, id_col, vec_col)
     if refine_iters > 0:
         cents = refine_centroids(corpus, cents, refine_iters, id_col, vec_col)
@@ -674,4 +686,85 @@ def nearest_centroid(
 
     return corpus.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} long, centroid_id long, sim double"
+    )
+
+
+def relative_contrast_profile(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 200,
+    flag_below: float = 2.0,
+) -> DataFrame:
+    """Sampled CLUSTERABILITY diagnostic — the product form of the round-7
+    RAW-corpus finding (BASELINE §4.2 / ANN_RECALL_RAW.json): on a
+    near-isotropic embedding table, no IVF/LSH parameter choice can prune
+    well (measured: IVF recall 0.52 at the usual knee, LSH ≈0.03), so
+    "check your embeddings before your index parameters" becomes this
+    queryable signal, run BEFORE build_ivf_index.
+
+    Relative contrast (He et al.'s Dmean/Dnn in cosine form): mean
+    true-nearest-neighbor distance vs mean decorrelated-pair distance over
+    a deterministic sample (``id < sample_n``; at 100 TB use an xxhash64
+    threshold — same shape, still one scan). The pair partner is the
+    sample member half the ring away in md5(id) ORDER — pseudo-random,
+    engine-portable, and decorrelated from id adjacency/stride so replica
+    blocks can't masquerade as 'random' pairs. Means are e4 fixed-point
+    (exact integer sums — partition-order-free), so a SQL oracle replays
+    the whole diagnostic value-for-value. MEASURED separation: a
+    20×-replicated near-dup corpus reads ~13.6, an isotropic gauss corpus
+    ~1.50 — the ``near_isotropic`` flag trips below ``flag_below``=2.0.
+
+    Cost: one sample scan + a sample_n² broadcast cross join (bounded by
+    construction, 40k pairs at the default) — nothing corpus-sized moves."""
+    s = (
+        df.filter(F.col(id_col) < sample_n)
+        .select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"))
+    )
+    w = Window.orderBy(F.md5(F.col("a_id").cast("string")), F.col("a_id"))
+    s = s.withColumn("arn", F.row_number().over(w) - 1).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    b = s.select(
+        F.col("a_id").alias("b_id"), F.col("av").alias("bv"), F.col("arn").alias("brn")
+    )
+    sims = (
+        F.broadcast(s)
+        .crossJoin(F.broadcast(b))
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id", "b_id", "arn", "brn", "m",
+            F.round(cosine(F.col("av"), F.col("bv")), 4).alias("sim"),
+        )
+    )
+    wn = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+    nn = sims.withColumn("r", F.row_number().over(wn)).filter(F.col("r") == 1)
+    rnd = sims.filter(
+        F.col("brn") == (F.col("arn") + F.floor(F.col("m") / 2).cast("long")) % F.col("m")
+    )
+
+    def _e4_mean(frame, out):
+        return frame.agg(
+            F.round(
+                F.sum(F.round(F.col("sim") * 10000).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 10000,
+                4,
+            ).alias(out),
+            F.count(F.lit(1)).alias(f"_n_{out}"),
+        )
+
+    nn_row = _e4_mean(nn, "mean_nn_sim")
+    rnd_row = _e4_mean(rnd, "mean_rand_sim")
+    joined = nn_row.crossJoin(rnd_row)  # two 1-row frames — constant-size
+    contrast = F.when(
+        F.col("mean_nn_sim") < 1.0,
+        F.round((F.lit(1.0) - F.col("mean_rand_sim")) / (F.lit(1.0) - F.col("mean_nn_sim")), 4),
+    )
+    return joined.select(
+        F.col("_n_mean_nn_sim").alias("n_sample"),
+        "mean_nn_sim",
+        "mean_rand_sim",
+        contrast.alias("relative_contrast"),
+        (contrast.isNotNull() & (contrast < F.lit(flag_below))).alias("near_isotropic"),
     )

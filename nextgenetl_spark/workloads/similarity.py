@@ -561,3 +561,58 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
         .agg(F.round(F.avg("x"), 4).alias("mean_val"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@workload(
+    "embedding_contrast_qc",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id AS a_id, embedding AS av,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS arn,
+               COUNT(*) OVER () AS m
+        FROM embeddings WHERE vec_id < 200
+    ),
+    sims AS (
+        SELECT a.a_id, b.a_id AS b_id, a.arn, b.arn AS brn, a.m,
+               ROUND(list_cosine_similarity(a.av::DOUBLE[], b.av::DOUBLE[]), 4) AS sim
+        FROM s a JOIN s b ON a.a_id <> b.a_id
+    ),
+    nn AS (
+        SELECT a_id, sim FROM (
+            SELECT a_id, sim, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS r
+            FROM sims) WHERE r = 1
+    ),
+    rnd AS (SELECT a_id, sim FROM sims WHERE brn = (arn + m // 2) % m),
+    agg AS (
+        SELECT
+            (SELECT COUNT(*) FROM nn) AS n_sample,
+            ROUND(CAST((SELECT SUM(CAST(ROUND(sim * 10000) AS BIGINT)) FROM nn) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM nn) / 10000, 4) AS mean_nn_sim,
+            ROUND(CAST((SELECT SUM(CAST(ROUND(sim * 10000) AS BIGINT)) FROM rnd) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM rnd) / 10000, 4) AS mean_rand_sim
+    )
+    SELECT n_sample, mean_nn_sim, mean_rand_sim,
+           CASE WHEN mean_nn_sim < 1.0
+                THEN ROUND((1.0 - mean_rand_sim) / (1.0 - mean_nn_sim), 4) END AS relative_contrast,
+           (mean_nn_sim < 1.0
+            AND ROUND((1.0 - mean_rand_sim) / (1.0 - mean_nn_sim), 4) < 2.0) AS near_isotropic
+    FROM agg
+    """,
+)
+def embedding_contrast_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusterability QC before index tuning (operators/similarity.py
+    relative_contrast_profile): sampled relative contrast — mean true-NN
+    distance vs mean decorrelated-pair distance — with a ``near_isotropic``
+    flag. The round-7 RAW finding as a queryable signal: when this flag is
+    on, IVF/LSH pruning structurally cannot reach high recall on this
+    table (BASELINE §4.2's measured 0.52/0.03 floors) and the fix is the
+    embedding model, not index parameters. The fixed sf tables are
+    isotropic by construction, so the flag is TRUE here; the pytest
+    distinguishes a replicated near-dup-crowded corpus (contrast ≈ 13.6,
+    flag off). FULL oracle: the diagnostic is plain aggregation over a
+    bounded deterministic sample — e4 fixed-point means, md5-ring pairing."""
+    from nextgenetl_spark.operators.similarity import relative_contrast_profile
+
+    return relative_contrast_profile(
+        load(spark, sf_dir, "embeddings"), sample_n=200, flag_below=2.0
+    )

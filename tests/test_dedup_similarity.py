@@ -1174,3 +1174,36 @@ def test_ivf_oracle_corpus_fingerprint():
     for q in by_q:
         sims = [s for qq, _, s, r in sorted(IVF_TOPK, key=lambda t: (t[0], t[3])) if qq == q]
         assert sims == sorted(sims, reverse=True)
+
+def test_relative_contrast_distinguishes_crowded_from_isotropic(spark):
+    """The round-8 clusterability QC must separate the two measured ANN
+    regimes (BASELINE §4.2): the RAW sf tables are isotropic by
+    construction (relative contrast ≈ 1.5 → near_isotropic, where IVF/LSH
+    recall floors at 0.52/0.03), while a replicated near-dup-crowded
+    corpus (the ann_recall build shape) reads contrast ≫ 2 with the flag
+    off — the regime where pruning works."""
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.catalog import load
+    from nextgenetl_spark.operators.similarity import relative_contrast_profile
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    raw = relative_contrast_profile(emb, sample_n=150).collect()[0]
+    assert raw["near_isotropic"] is True
+    assert raw["relative_contrast"] < 2.0
+
+    # near-dup-crowded: 4 perturbed replicas per base vector, re-idded so
+    # the sample holds whole replica groups
+    r = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("rep")
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, j: x.cast("double")
+        + F.lit(0.05) * F.sin((F.col("rep") + 1).cast("double") * (j + 1).cast("double")),
+    )
+    crowded = emb.select("vec_id", "embedding", r).select(
+        (F.col("vec_id") * 4 + F.col("rep")).alias("vec_id"), pert.alias("embedding")
+    )
+    cr = relative_contrast_profile(crowded, sample_n=150).collect()[0]
+    assert cr["near_isotropic"] is False
+    assert cr["relative_contrast"] > 2.0
+    assert cr["mean_nn_sim"] > raw["mean_nn_sim"]

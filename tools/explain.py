@@ -61,6 +61,11 @@ EXPECTED = {
     "fuzzy_best_match": {"BroadcastNestedLoopJoin"},
     # 1-row (min,max) bounds broadcast into the bucket expression
     "price_histogram": {"BroadcastNestedLoopJoin"},
+    # clusterability QC: the whole diagnostic runs on a ≤sample_n-row
+    # deterministic sample by contract — the sample² cross join (40k pairs),
+    # the md5-ring numbering window, and the final 1-row×1-row join are all
+    # bounded-deliberate; nothing corpus-sized enters any of them
+    "embedding_contrast_qc": {"BroadcastNestedLoopJoin", "Exchange SinglePartition"},
 }
 INTERESTING = (
     "Scan parquet",
