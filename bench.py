@@ -139,6 +139,13 @@ HEADLINE = {
     "time_ingest": "count",
     "stream_value_quantiles": "count",
     "temperature_mixture": "count",
+    # round 8: IVF with the now-deterministic Lloyd walk (VALUES-pinned —
+    # auto-excluded from comparative DuckDB totals), the KMV twins, and the
+    # clusterability QC
+    "ann_ivf_topk": "count",
+    "kmv_distinct_profile": "collect",
+    "kmv_user_rollup": "collect",
+    "embedding_contrast_qc": "collect",
 }
 
 
