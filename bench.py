@@ -146,6 +146,12 @@ HEADLINE = {
     "kmv_distinct_profile": "collect",
     "kmv_user_rollup": "collect",
     "embedding_contrast_qc": "collect",
+    # round 8 (cont.): the PQ compressed-ANN path (VALUES-pinned production
+    # point + its brute-force-equivalent machinery pin) and deterministic
+    # Efraimidis–Spirakis weighted sampling
+    "ann_pq_topk": "count",
+    "ann_pq_full_rerank": "count",
+    "weighted_source_sample": "count",
 }
 
 

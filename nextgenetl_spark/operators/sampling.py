@@ -196,3 +196,52 @@ def temperature_budget_sample(
         )
         .filter(F.col("cum_tokens") <= F.col("budget"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES, Inf. Process. Lett. 97(5), 2006): each row gets key
+    ``ln(u) / w`` with ``u`` uniform in (0, 1]; the k largest keys per
+    group are EXACTLY a weight-proportional sample without replacement
+    (the classic one-pass reservoir form uses u^(1/w); ln(u)/w is the
+    same ordering, numerically tamer). The use: quality- or
+    length-weighted corpus subsampling where plain uniform capping
+    (source_capped_sample) would under-represent long/high-value docs.
+
+    Determinism & oracle-portability: u is derived from the first 13 hex
+    chars of md5(id) — an integer < 16^13 = 2^52, EXACT in a double —
+    then ``u = (h + 1) / 2^52`` (power-of-two divide, exact, never 0).
+    ln + one divide are the only inexact ops and both are correctly
+    rounded from identical inputs, so the selected set and ranks
+    reproduce bit-for-bit across runs, engines, and repartitions —
+    df.sample(weights) could give none of that. Zero-weight/NULL rows
+    clamp to weight 1 so the key stays finite and NULL-free (engines
+    disagree on NULL/NaN ordering; a clamped tiny weight just makes the
+    row maximally unlikely, ~never sampled when real weights are large).
+
+    Scale shape: the key is a scan-stage expression; selection is ONE
+    window shuffle of (group, key, id) — never text/payload columns.
+    At 100 TB with small k per group, swap the window for a per-partition
+    partial top-k + merge (the TakeOrderedAndProject shape) if a single
+    group's rows overwhelm one reducer; groups here are sources, so the
+    per-group row count is bounded by the largest source."""
+    from pyspark.sql.window import Window
+
+    if "__es_key" in df.columns:
+        raise ValueError("input already carries internal column __es_key; rename it")
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(16**13))
+    w_eff = F.greatest(F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    win = Window.partitionBy(group_col).orderBy(F.desc("__es_key"), F.col(id_col))
+    return (
+        df.withColumn("__es_key", F.log(u) / w_eff)
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__es_key")
+    )

@@ -768,3 +768,290 @@ def relative_contrast_profile(
         contrast.alias("relative_contrast"),
         (contrast.isNotNull() & (contrast < F.lit(flag_below))).alias("near_isotropic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed ANN for corpora whose raw vectors
+# don't fit executor memory. Jégou/Douze/Schmid, "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI 33(1), 2011. The corpus is stored as
+# m small codebook indices per vector (m·log2(ks) bits, e.g. 64-dim float32
+# = 256 B -> m=8, ks=16 codes = 4 B: a 64x in-memory compression), queries
+# scan CODES with a per-query lookup table, and only a short candidate list
+# ever touches the raw vectors (asymmetric distance computation / ADC).
+#
+# Determinism (what admits the pure-Python VALUES oracle, the
+# gen_ivf_oracle.py discipline): vectors are unit-normalized by a LEFT-FOLD
+# aggregate expression (per-row, partition-order-free); codebook seeds are
+# the ks smallest (xxhash64(id), id); Lloyd means use decimal(27,18)-exact
+# sums; every argmin/shortlist decision is margin-asserted > 1e-9 by the
+# oracle generator (tools/gen_pq_oracle.py), so GEMM-vs-fold arithmetic
+# provably orders identically.
+# ---------------------------------------------------------------------------
+
+
+def _unit_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, __nv): L2-unit-normalized array<double>. The norm is ONE left-fold
+    ``aggregate`` expression — deterministic per row and exactly replayable
+    in pure Python (same IEEE add/mul sequence), unlike numpy's pairwise
+    summation. Zero-norm vectors carry no direction (cosine undefined) and
+    are dropped by contract."""
+    v = F.col(vec_col).cast("array<double>")
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        df.select(F.col(id_col), v.alias("__v"), n.alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(id_col, F.transform("__v", lambda x: x / F.col("__n")).alias("__nv"))
+    )
+
+
+def _collect_codebooks(cb: DataFrame, m: int, ks: int):
+    """Collect the (subspace, code, cvec) codebook table (m·ks rows — tiny,
+    bounded by construction) into an (m, ks, dsub) float64 ndarray."""
+    import numpy as np
+
+    rows = {(r["subspace"], r["code"]): r["cvec"] for r in cb.collect()}
+    return np.stack(
+        [np.stack([np.asarray(rows[(j, t)], dtype="float64") for t in range(ks)]) for j in range(m)]
+    )
+
+
+def _pq_assign_long(unit: DataFrame, CB, id_col: str) -> DataFrame:
+    """Per (vector, subspace): nearest codeword by L2 (argmin over
+    -2·v·c + |c|² — the |v|² term is constant per argmin; first minimum
+    wins ties = lowest code, matching the oracle's strict-< walk) plus the
+    subvector values for the Lloyd mean. One GEMM per subspace per Arrow
+    batch; the subvectors are SLICES of the already-normalized input —
+    no arithmetic — so the decimal mean's inputs are bit-identical to the
+    oracle's."""
+    import numpy as np
+    import pandas as pd
+
+    m, ks, dsub = CB.shape
+    c2 = (CB**2).sum(axis=2)  # (m, ks)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack([np.asarray(v, dtype="float64") for v in pdf["__nv"]])
+            ids = pdf[id_col]
+            frames = []
+            for j in range(m):
+                S = V[:, j * dsub : (j + 1) * dsub]
+                codes = np.argmin(-2.0 * (S @ CB[j].T) + c2[j][None, :], axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "subspace": j,
+                            "code": codes.astype("int32"),
+                            "subvec": list(S),
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    return unit.mapInPandas(
+        gen, f"{id_col} long, subspace int, code int, subvec array<double>"
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace PQ codebooks -> DataFrame(subspace, code, cvec).
+
+    Seeds are the ks unit vectors with the smallest (xxhash64(id), id) —
+    the pick_centroids discipline, sliced into m subvectors; ``iters``
+    Lloyd rounds then refine each subspace independently (assign = one
+    GEMM pass emitting ALL m subspaces per scan, mean = decimal(27,18)-
+    exact per-component sums / one double division — refine_centroids'
+    order-determinism discipline, so the whole walk replays in pure
+    Python). Codes that lose all members keep their previous codeword.
+
+    Scale: the shuffle carries m·ks·dsub partial rows per task, never the
+    corpus; at 100 TB train on a corpus sample (k-means training does not
+    need every vector) and encode the full corpus with the frozen books."""
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("train_pq_codebooks: empty corpus")
+    dim = dim_row["d"]
+    if dim % m != 0:
+        raise ValueError(f"train_pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    unit = _unit_vectors(corpus, id_col, vec_col)
+    seeds = (
+        unit.select(F.xxhash64(F.col(id_col).cast("string")).alias("__h"), id_col, "__nv")
+        .orderBy("__h", id_col)
+        .limit(ks)
+    )
+    w = Window.orderBy("__h", id_col)  # ks rows only
+    cb = (
+        seeds.withColumn("__r", F.row_number().over(w))
+        .select(
+            (F.col("__r") - 1).alias("code"),
+            F.posexplode(
+                F.array(*[F.slice("__nv", j * dsub + 1, dsub) for j in range(m)])
+            ).alias("subspace", "cvec"),
+        )
+        .select("subspace", "code", "cvec")
+    )
+    for _ in range(iters):
+        CB = _collect_codebooks(cb, m, ks)
+        assigned = _pq_assign_long(unit, CB, id_col)
+        means = (
+            assigned.select("subspace", "code", F.posexplode("subvec").alias("spos", "v"))
+            .groupBy("subspace", "code", "spos")
+            .agg(
+                F.sum(F.col("v").cast("decimal(27,18)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "subspace",
+                "code",
+                "spos",
+                (F.col("s").cast("double") / F.col("n")).alias("mv"),
+            )
+        )
+        refined = (
+            means.groupBy("subspace", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("spos", "mv"))).alias("pm"))
+            .select("subspace", "code", F.col("pm.mv").alias("cvec"))
+        )
+        cb = (
+            cb.withColumnRenamed("cvec", "prev")
+            .join(refined, ["subspace", "code"], "left")
+            .select("subspace", "code", F.coalesce("cvec", "prev").alias("cvec"))
+        )
+    return cb
+
+
+def pq_encode(corpus: DataFrame, CB, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Encode the corpus against frozen codebooks -> (id, codes array<int>).
+    This is the persisted artifact of a PQ index: m small ints per vector
+    (the 100-TB shape — the code table is what scans at query time; raw
+    vectors are only read for the shortlist re-rank)."""
+    import numpy as np
+    import pandas as pd
+
+    m, ks, dsub = CB.shape
+    c2 = (CB**2).sum(axis=2)
+    unit = _unit_vectors(corpus, id_col, vec_col)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack([np.asarray(v, dtype="float64") for v in pdf["__nv"]])
+            codes = np.empty((len(V), m), dtype="int32")
+            for j in range(m):
+                S = V[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = np.argmin(-2.0 * (S @ CB[j].T) + c2[j][None, :], axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return unit.mapInPandas(gen, f"{id_col} long, codes array<int>")
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    k: int = 5,
+    shortlist: int = 32,
+    train_iters: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact re-rank: shortlist candidates by
+    asymmetric-distance scores over the CODES (per query, a per-subspace
+    lookup table of query-subvector x codeword inner products; a corpus
+    vector's approximate cosine = the sum of m table lookups), then re-rank
+    only the shortlist with the exact fold-cosine and emit
+    (query_id, neighbor_id, sim, rank) — the ann_*_topk family schema, sim
+    HALF_UP-rounded at 4dp.
+
+    vs ivf_topk: IVF prunes WHICH vectors are scored (cells), PQ compresses
+    HOW they are scored (codes). At 100 TB they compose (IVF-PQ): this
+    standalone form scans every code but the scan is m bytes/vector, and
+    only queries x shortlist candidate rows ever touch raw vectors. The
+    ADC sum is an explicit left-to-right fold over subspaces, so scores are
+    partition-order-free and the whole walk replays in the pure-Python
+    VALUES-oracle generator (tools/gen_pq_oracle.py)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = train_pq_codebooks(corpus, m, ks, train_iters, corpus_id, vec_col)
+    CB = _collect_codebooks(cb, m, ks)
+    dsub = CB.shape[2]
+    codes = pq_encode(corpus, CB, corpus_id, vec_col)
+
+    qrows = queries.select(F.col(query_id), F.col(vec_col)).limit(MAX_QUERY_ROWS + 1).collect()
+    if len(qrows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"pq_topk: the query side is collected and broadcast in the UDF "
+            f"closure, but it has > MAX_QUERY_ROWS={MAX_QUERY_ROWS} rows. "
+            f"Swap the sides or batch the queries."
+        )
+    out_schema = f"{query_id} long, {corpus_id} long, approx double"
+    if not qrows:
+        empty = queries.sparkSession.createDataFrame([], out_schema)
+        return empty.select(query_id, corpus_id, F.lit(0.0).alias("sim"), F.lit(1).alias("rank")).limit(0)
+    qids = np.array([r[0] for r in qrows])
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
+    # LUT[q, j, t] = q_subvec_j . codeword[j][t] (raw query — per-query scale
+    # never changes that query's ranking)
+    LUT = np.stack(
+        [Q[:, j * dsub : (j + 1) * dsub] @ CB[j].T for j in range(m)], axis=1
+    )  # (nq, m, ks)
+
+    take = shortlist + 1
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[corpus_id].to_numpy()
+            Cd = np.stack([np.asarray(c, dtype="int64") for c in pdf["codes"]])  # (n, m)
+            # explicit left-to-right fold over subspaces: deterministic,
+            # replayed exactly by the oracle generator
+            S = LUT[:, 0, :][:, Cd[:, 0]]  # (nq, n)
+            for j in range(1, m):
+                S = S + LUT[:, j, :][:, Cd[:, j]]
+            S[qids[:, None] == ids[None, :]] = -np.inf  # self-match exclusion
+            tk = min(take, len(ids))
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, -S[qi]))[:tk]
+                keep = order[np.isfinite(S[qi][order])]
+                out_q.extend([qids[qi]] * len(keep))
+                out_n.extend(ids[keep])
+                out_s.extend(S[qi][keep])
+            yield pd.DataFrame({query_id: out_q, corpus_id: out_n, "approx": out_s})
+
+    cands = codes.mapInPandas(score, out_schema)
+    ws = Window.partitionBy(query_id).orderBy(F.desc("approx"), F.asc(corpus_id))
+    short = (
+        cands.withColumn("__sr", F.row_number().over(ws))
+        .filter(F.col("__sr") <= shortlist)
+        .select(query_id, corpus_id)
+    )
+    qdf = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    rerank = (
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
+        .join(F.broadcast(short.join(F.broadcast(qdf), query_id)), corpus_id)
+        .select(
+            query_id,
+            corpus_id,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("sim"),
+        )
+    )
+    wk = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return rerank.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)

@@ -199,6 +199,83 @@ def ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_values_oracle() -> str:
+    """Literal-VALUES oracle for ann_pq_topk: the entire PQ walk —
+    fold-normalization, XXH64 seed pick, per-subspace deterministic-decimal
+    Lloyd, L2-argmin encoding, per-query ADC lookup-table fold, shortlist,
+    exact-cosine re-rank — is order-deterministic, so
+    tools/gen_pq_oracle.py (an INDEPENDENT pure-Python replay with every
+    argmin/shortlist margin asserted > 1e-9) reproduces the exact rows over
+    the fixed sf0.01 corpus, frozen here for the driver's cross-engine hash
+    compare. Corpus md5 guarded by a named pytest; differentially fuzzed on
+    random corpora (tests/test_oracle_generators_fuzz.py)."""
+    from nextgenetl_spark.workloads import _pq_expected as P
+
+    vals = ",\n           ".join(f"({q}, {n}, {s!r}, {r})" for q, n, s, r in P.PQ_TOPK)
+    return f"""
+    SELECT CAST(query_id AS BIGINT)    AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(sim AS DOUBLE)         AS sim,
+           CAST(rank AS INT)           AS rank
+    FROM (VALUES {vals}) AS t(query_id, neighbor_id, sim, rank)
+    """
+
+
+@workload("ann_pq_topk", oracle=_pq_values_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN top-5 for 10 query vectors (m=8 subspaces,
+    ks=16 codewords, 2 Lloyd iterations, 32-candidate ADC shortlist, exact
+    re-rank): the COMPRESSED scale path next to IVF's pruned one — the
+    corpus scans as m·log2(ks) bits per vector (64-dim float32 256 B →
+    4 B, 64×), and raw vectors are only read for the shortlist
+    (operators/similarity.py pq_topk; Jégou et al., TPAMI 2011).
+    Cross-engine check: an independently-computed literal-VALUES oracle
+    (_pq_values_oracle), admissible because normalization, training,
+    encoding, and ADC are all fold/decimal order-deterministic."""
+    from nextgenetl_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return pq_topk(q, c, m=8, ks=16, k=5, shortlist=32, train_iters=2).select(
+        "query_id", "neighbor_id", "sim", "rank"
+    )
+
+
+@workload(
+    "ann_pq_full_rerank",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      ROUND(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 4) AS sim
+               FROM q, c WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id,
+           ROUND(sim, 4) AS sim,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pq_topk with a shortlist larger than any corpus: every candidate
+    survives ADC and reaches the exact-cosine re-rank, so the output
+    degenerates to exact brute-force top-k AT ANY SCALE FACTOR — which
+    value-hash-verifies the ENTIRE PQ machinery (fold normalization, seed
+    pick, Lloyd training, encoding, LUT fold scoring, shortlist window,
+    re-rank join) against a plain brute-force SQL oracle. The 32-candidate
+    variant (`ann_pq_topk`) is the production compression/recall point;
+    this one is its correctness pin — the ann_ivf_full_probe discipline."""
+    from nextgenetl_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return pq_topk(
+        q, c, m=8, ks=16, k=5, shortlist=1_000_000_000, train_iters=1
+    ).select("query_id", "neighbor_id", "sim", "rank")
+
+
 @workload(
     "embedding_norm_qc",
     oracle="""

@@ -863,6 +863,54 @@ def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_sample_oracle() -> str:
+    """DuckDB twin of operators/sampling.py weighted_sample: the identical
+    Efraimidis–Spirakis key — u from the first 13 md5 hex chars (an exact
+    2^52-denominator double, rebuilt by the engine-neutral instr
+    polynomial since DuckDB has no conv), ln(u) / clamped weight, top-k
+    per group by (key DESC, id). Every op in the key chain is exact or
+    correctly rounded from identical inputs, so both engines select the
+    same rows — see the operator docstring."""
+    from nextgenetl_spark.operators.dedup import _hex_prefix_int_sql
+
+    hexpr = _hex_prefix_int_sql("h", 13)
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((CAST({hexpr} AS DOUBLE) + 1.0) / 4503599627370496.0)
+                 / GREATEST(COALESCE(CAST(n_chars AS DOUBLE), 0.0), 1.0) AS es_key
+        FROM (SELECT doc_id, source, n_chars,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents)
+    )
+    SELECT doc_id, source, n_chars, CAST(rk AS INT) AS sample_rank
+    FROM (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY es_key DESC, doc_id) AS rk
+          FROM keyed)
+    WHERE rk <= 20
+    """
+
+
+@workload("weighted_source_sample", oracle=_weighted_sample_oracle())
+def weighted_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus subsample: per source, 20 documents drawn
+    WITHOUT replacement with probability proportional to n_chars
+    (operators/sampling.py weighted_sample — deterministic
+    Efraimidis–Spirakis keys from md5(doc_id)). The curation move the
+    uniform per-domain cap can't express: long documents carry more
+    training signal, so the sample should lean toward them while still
+    giving every doc a chance — and it must pick the SAME docs on every
+    run and engine for the data card to be reproducible. One (source,
+    key, id) window shuffle; text never moves."""
+    from nextgenetl_spark.operators.sampling import weighted_sample
+
+    d = load(spark, sf_dir, "documents")
+    return weighted_sample(
+        d.select("doc_id", "source", "n_chars"), k=20
+    ).select("doc_id", "source", "n_chars", "sample_rank")
+
+
 @workload(
     "mixture_token_budget",
     oracle="""

@@ -1207,3 +1207,67 @@ def test_relative_contrast_distinguishes_crowded_from_isotropic(spark):
     assert cr["near_isotropic"] is False
     assert cr["relative_contrast"] > 2.0
     assert cr["mean_nn_sim"] > raw["mean_nn_sim"]
+
+
+def test_pq_oracle_corpus_fingerprint():
+    """The ann_pq_topk VALUES oracle is frozen over the FIXED sf0.01
+    embeddings (tools/gen_pq_oracle.py — independent pure-Python PQ/ADC
+    walk). Fails BY NAME if the corpus content changes; rerun the
+    generator to refresh _pq_expected.py."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from nextgenetl_spark.workloads._pq_expected import (
+        CORPUS_MD5,
+        MIN_DECISION_MARGIN,
+        PQ_TOPK,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    h = hashlib.md5()
+    for vid in sorted(vecs):
+        h.update(str(vid).encode() + b"\x00" + str(vecs[vid]).encode() + b"\x01")
+    assert h.hexdigest() == CORPUS_MD5
+    assert len(PQ_TOPK) == 50  # 10 queries x top-5
+    by_q: dict = {}
+    for q, _, s, r in PQ_TOPK:
+        by_q.setdefault(q, []).append((r, s))
+    assert all(sorted(r for r, _ in rs) == [1, 2, 3, 4, 5] for rs in by_q.values())
+    assert MIN_DECISION_MARGIN > 1e-9
+    # sims are valid cosines, non-increasing within each query
+    assert all(-1.0 <= s <= 1.0 for _, _, s, _ in PQ_TOPK)
+    for rs in by_q.values():
+        sims = [s for _, s in sorted(rs)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_pq_full_shortlist_equals_brute_force(spark):
+    """With shortlist >= corpus, pq_topk degenerates to exact brute force:
+    the ADC shortlist passes everything through and the exact re-rank IS
+    the answer — so the full PQ pipeline must reproduce cosine_topk_gemm
+    row-for-row on a random corpus (codebook quality becomes irrelevant,
+    which is exactly what makes this a machinery pin)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.similarity import cosine_topk_gemm, pq_topk
+
+    rng = random.Random(23)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in pq_topk(q, c, m=4, ks=8, k=4, shortlist=10**9, train_iters=1).collect()
+    )
+    exp = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in cosine_topk_gemm(q, c, k=4).collect()
+    )
+    assert got == exp

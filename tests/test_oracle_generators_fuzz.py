@@ -174,3 +174,34 @@ def test_ivf_generator_matches_spark_on_random_vectors(spark):
         for r in ivf_topk(q, c, k_centroids=4, nprobe=2, k=3, refine_iters=2).collect()
     )
     assert got == sorted(exp_rows)
+
+
+def test_pq_generator_matches_spark_on_random_vectors(spark):
+    """Round-8: the pure-Python PQ/ADC walk in tools/gen_pq_oracle.py must
+    stay bit-identical to pq_topk on LIVE random corpora — fold
+    normalization, XXH64 seed pick, per-subspace deterministic-decimal
+    Lloyd, L2-argmin encoding, lookup-table ADC fold, shortlist, and
+    exact-cosine re-rank. The walk asserts every argmin/shortlist margin
+    > 1e-9, certifying its fold ordering equals the GEMM ordering."""
+    import tools.gen_pq_oracle as G
+    from nextgenetl_spark.operators.similarity import pq_topk
+
+    rng = random.Random(17)
+    dim, n = 12, 70
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    vecs = {
+        i: [c + rng.gauss(0, 0.35) for c in centers[i % 4]] for i in range(n)
+    }
+    exp_rows, margin = G.pq_topk_expected(
+        vecs, list(range(6)), m=3, ks=4, k=3, shortlist=10, train_iters=2
+    )
+    assert margin > G.MIN_MARGIN, "degenerate random draw — tighten the seed"
+
+    emb = spark.createDataFrame(list(vecs.items()), "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 6).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in pq_topk(q, c, m=3, ks=4, k=3, shortlist=10, train_iters=2).collect()
+    )
+    assert got == sorted(exp_rows)
