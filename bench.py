@@ -152,6 +152,10 @@ HEADLINE = {
     "ann_pq_topk": "count",
     "ann_pq_full_rerank": "count",
     "weighted_source_sample": "count",
+    # round 8 (cont.): the composed IVF-PQ index shape (VALUES-pinned
+    # production point + its brute-force-degenerate FULL-oracle pin)
+    "ann_ivfpq_topk": "count",
+    "ann_ivfpq_full": "count",
 }
 
 

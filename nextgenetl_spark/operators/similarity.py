@@ -1055,3 +1055,140 @@ def pq_topk(
     )
     wk = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
     return rerank.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    k: int = 5,
+    shortlist: int = 32,
+    refine_iters: int = 0,
+    train_iters: int = 1,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composed 100-TB ANN shape — IVF cells prune WHICH
+    vectors each query scores (only ``nprobe`` of ``k_centroids`` cells'
+    codes are read), PQ codes compress HOW they are scored (m·log2(ks)
+    bits per vector through the ADC lookup-table fold), and only the
+    ``shortlist`` survivors per query ever touch raw vectors for the exact
+    cosine re-rank. This is the architecture of a production vector index
+    (FAISS IVFPQ; Jégou et al., TPAMI 2011) composed from the two
+    independently-verified halves: ivf_topk's centroid/probe machinery and
+    pq_topk's codebook/ADC machinery, each already pinned by its own
+    full-probe/full-shortlist brute-force-degenerate oracle.
+
+    Simplification vs classic IVFPQ, chosen for verifiability: PQ encodes
+    the unit vectors themselves, not per-cell residuals — residual
+    encoding couples the two training walks and adds one subtraction of
+    run-dependent centroids into every decimal path; plain encoding keeps
+    both walks independently deterministic (and the measured 40k recall —
+    PQ_RECALL.json — shows the non-residual codes already saturate recall
+    at shortlist ≈ 3k for this regime).
+
+    The persisted artifact of this operator is the (cell_id, id, codes)
+    table: hive-partition it by cell_id (build_ivf_index's layout) and a
+    query batch reads nprobe partitions of 4-byte codes — at 100 TB of
+    raw vectors that is the difference between scanning terabytes and
+    scanning gigabytes.
+
+    Determinism: every stage is the proven order-deterministic walk
+    (xxhash64 seed picks, decimal-exact Lloyd on both the cell centroids
+    and the codebooks, fold-normalization, left-to-right ADC fold, id
+    tie-breaks), so the composition admits the same independent
+    pure-Python VALUES oracle (tools/gen_ivfpq_oracle.py)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = pick_centroids(corpus, k_centroids, corpus_id, vec_col)
+    if refine_iters > 0:
+        cents = refine_centroids(corpus, cents, refine_iters, corpus_id, vec_col)
+    cents = cents.localCheckpoint()
+    cells = assign_cells(corpus, cents, corpus_id, vec_col).select(corpus_id, "cell_id")
+
+    cb = train_pq_codebooks(corpus, m, ks, train_iters, corpus_id, vec_col)
+    CB = _collect_codebooks(cb, m, ks)
+    dsub = CB.shape[2]
+    # the IVF-PQ index table: (cell_id, id, codes) — hive-partition by
+    # cell_id when persisting
+    codes = pq_encode(corpus, CB, corpus_id, vec_col).join(cells, corpus_id)
+
+    qrows = queries.select(F.col(query_id), F.col(vec_col)).limit(MAX_QUERY_ROWS + 1).collect()
+    if len(qrows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"ivfpq_topk: the query side is collected and broadcast in the UDF "
+            f"closure, but it has > MAX_QUERY_ROWS={MAX_QUERY_ROWS} rows. "
+            f"Swap the sides or batch the queries."
+        )
+    if not qrows:
+        empty = queries.sparkSession.createDataFrame([], f"{query_id} long, {corpus_id} long, sim double")
+        return empty.withColumn("rank", F.lit(1)).limit(0)
+    qindex = {r[0]: i for i, r in enumerate(qrows)}
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
+    LUT = np.stack(
+        [Q[:, j * dsub : (j + 1) * dsub] @ CB[j].T for j in range(m)], axis=1
+    )  # (nq, m, ks)
+
+    # query-side probe: rank cells by centroid cosine, keep nprobe — the
+    # ivf_topk machinery verbatim (broadcast k-row centroid table)
+    qprobe = (
+        queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select(query_id, "cell_id", cosine(F.col("qv"), F.col("cvec")).alias("csim"))
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.desc("csim"), F.asc("cell_id"))
+    qcells = (
+        qprobe.withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id, "cell_id")
+    )
+
+    # ADC over probed cells only: the join shuffles (query, cell) pairs and
+    # code rows on cell_id; unprobed cells' codes never reach the scorer
+    joined = qcells.join(codes, "cell_id").select(query_id, corpus_id, "codes")
+    take = shortlist + 1
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qidx = np.array([qindex[q] for q in pdf[query_id]])
+            ids = pdf[corpus_id].to_numpy()
+            Cd = np.stack([np.asarray(c, dtype="int64") for c in pdf["codes"]])
+            s = LUT[qidx, 0, Cd[:, 0]]
+            for j in range(1, m):
+                s = s + LUT[qidx, j, Cd[:, j]]
+            s[pdf[query_id].to_numpy() == ids] = -np.inf  # self-match exclusion
+            out = pd.DataFrame({query_id: pdf[query_id], corpus_id: ids, "approx": s})
+            out = out[np.isfinite(out["approx"])]
+            # batch-local top-(shortlist+1) per query under the global total
+            # order (-approx, id): lossless for the final window
+            out = out.sort_values(
+                [query_id, "approx", corpus_id], ascending=[True, False, True]
+            ).groupby(query_id, sort=False).head(take)
+            yield out
+
+    cands = joined.mapInPandas(score, f"{query_id} long, {corpus_id} long, approx double")
+    ws = Window.partitionBy(query_id).orderBy(F.desc("approx"), F.asc(corpus_id))
+    short = (
+        cands.withColumn("__sr", F.row_number().over(ws))
+        .filter(F.col("__sr") <= shortlist)
+        .select(query_id, corpus_id)
+    )
+    qdf = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    rerank = (
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
+        .join(F.broadcast(short.join(F.broadcast(qdf), query_id)), corpus_id)
+        .select(
+            query_id,
+            corpus_id,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("sim"),
+        )
+    )
+    wk = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return rerank.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)

@@ -276,6 +276,82 @@ def ann_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "sim", "rank")
 
 
+def _ivfpq_values_oracle() -> str:
+    """Literal-VALUES oracle for ann_ivfpq_topk: the composition of the two
+    certified deterministic walks (gen_ivf_oracle.py's centroid/probe half,
+    gen_pq_oracle.py's codebook/ADC half) replayed end-to-end by
+    tools/gen_ivfpq_oracle.py with every argmax/argmin/probe/shortlist
+    margin asserted > 1e-9, frozen over the fixed sf0.01 corpus for the
+    driver's cross-engine hash compare. Corpus md5 guarded by a named
+    pytest; differentially fuzzed on random corpora."""
+    from nextgenetl_spark.workloads import _ivfpq_expected as P
+
+    vals = ",\n           ".join(f"({q}, {n}, {s!r}, {r})" for q, n, s, r in P.IVFPQ_TOPK)
+    return f"""
+    SELECT CAST(query_id AS BIGINT)    AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(sim AS DOUBLE)         AS sim,
+           CAST(rank AS INT)           AS rank
+    FROM (VALUES {vals}) AS t(query_id, neighbor_id, sim, rank)
+    """
+
+
+@workload("ann_ivfpq_topk", oracle=_ivfpq_values_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 for 10 query vectors (nprobe=4 of 16 Lloyd-refined
+    cells × m=8/ks=16 PQ codes × 32-candidate ADC shortlist × exact
+    re-rank): the production vector-index architecture — cells prune WHICH
+    vectors are scored, codes compress HOW, raw vectors are touched only
+    for the shortlist (operators/similarity.py ivfpq_topk). Cross-engine
+    check: an independently-computed literal-VALUES oracle composing the
+    two certified pure-Python walks (_ivfpq_values_oracle); the brute-
+    force-degenerate pin is ann_ivfpq_full."""
+    from nextgenetl_spark.operators.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return ivfpq_topk(
+        q, c, k_centroids=16, nprobe=4, m=8, ks=16, k=5, shortlist=32,
+        refine_iters=1, train_iters=1,
+    ).select("query_id", "neighbor_id", "sim", "rank")
+
+
+@workload(
+    "ann_ivfpq_full",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      ROUND(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 4) AS sim
+               FROM q, c WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id,
+           ROUND(sim, 4) AS sim,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivfpq_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivfpq_topk with nprobe == k_centroids AND an unbounded shortlist:
+    probing every cell and re-ranking every ADC candidate degenerates to
+    exact brute force AT ANY SCALE FACTOR, value-hash-verifying the whole
+    composed pipeline — cell training/assignment, probe ranking, codebook
+    training, encoding, the probed-cell code join, LUT fold scoring,
+    shortlist window, and re-rank join — against a plain brute-force SQL
+    oracle. The nprobe=4/shortlist=32 variant (ann_ivfpq_topk) is the
+    production point; this is its correctness pin."""
+    from nextgenetl_spark.operators.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return ivfpq_topk(
+        q, c, k_centroids=16, nprobe=16, m=8, ks=16, k=5,
+        shortlist=1_000_000_000, refine_iters=0, train_iters=1,
+    ).select("query_id", "neighbor_id", "sim", "rank")
+
+
 @workload(
     "embedding_norm_qc",
     oracle="""

@@ -1271,3 +1271,38 @@ def test_pq_full_shortlist_equals_brute_force(spark):
         for r in cosine_topk_gemm(q, c, k=4).collect()
     )
     assert got == exp
+
+
+def test_ivfpq_oracle_corpus_fingerprint():
+    """The ann_ivfpq_topk VALUES oracle is frozen over the FIXED sf0.01
+    embeddings (tools/gen_ivfpq_oracle.py — the composed pure-Python
+    IVF-PQ walk). Fails BY NAME if the corpus content changes; rerun the
+    generator to refresh _ivfpq_expected.py."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from nextgenetl_spark.workloads._ivfpq_expected import (
+        CORPUS_MD5,
+        IVFPQ_TOPK,
+        MIN_DECISION_MARGIN,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    h = hashlib.md5()
+    for vid in sorted(vecs):
+        h.update(str(vid).encode() + b"\x00" + str(vecs[vid]).encode() + b"\x01")
+    assert h.hexdigest() == CORPUS_MD5
+    assert len(IVFPQ_TOPK) == 50
+    by_q: dict = {}
+    for q, _, s, r in IVFPQ_TOPK:
+        by_q.setdefault(q, []).append((r, s))
+    assert all(sorted(r for r, _ in rs) == [1, 2, 3, 4, 5] for rs in by_q.values())
+    assert MIN_DECISION_MARGIN > 1e-9
+    assert all(-1.0 <= s <= 1.0 for _, _, s, _ in IVFPQ_TOPK)
+    for rs in by_q.values():
+        sims = [s for _, s in sorted(rs)]
+        assert sims == sorted(sims, reverse=True)

@@ -205,3 +205,38 @@ def test_pq_generator_matches_spark_on_random_vectors(spark):
         for r in pq_topk(q, c, m=3, ks=4, k=3, shortlist=10, train_iters=2).collect()
     )
     assert got == sorted(exp_rows)
+
+
+def test_ivfpq_generator_matches_spark_on_random_vectors(spark):
+    """Round-8: the composed pure-Python IVF-PQ walk in
+    tools/gen_ivfpq_oracle.py must stay bit-identical to ivfpq_topk on
+    LIVE random corpora — cell seed/refine/assign/probe (the certified IVF
+    half) composed with codebook/encode/ADC/shortlist/re-rank (the
+    certified PQ half), margins asserted throughout."""
+    import tools.gen_ivfpq_oracle as G
+    import tools.gen_pq_oracle as GP
+    from nextgenetl_spark.operators.similarity import ivfpq_topk
+
+    rng = random.Random(29)
+    dim, n = 12, 80
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    vecs = {
+        i: [c + rng.gauss(0, 0.3) for c in centers[i % 4]] for i in range(n)
+    }
+    exp_rows, margin = G.ivfpq_topk_expected(
+        vecs, list(range(6)), k_centroids=4, nprobe=2, refine_iters=1,
+        m=3, ks=4, train_iters=1, shortlist=10, k=3,
+    )
+    assert margin > GP.MIN_MARGIN, "degenerate random draw — tighten the seed"
+
+    emb = spark.createDataFrame(list(vecs.items()), "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 6).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in ivfpq_topk(
+            q, c, k_centroids=4, nprobe=2, refine_iters=1,
+            m=3, ks=4, train_iters=1, shortlist=10, k=3,
+        ).collect()
+    )
+    assert got == sorted(exp_rows)

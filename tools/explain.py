@@ -30,6 +30,9 @@ EXPECTED = {
     "ann_ivf_topk": {"BroadcastNestedLoopJoin"},
     # same centroid-probe crossJoin(broadcast(k-row cents)) as ann_ivf_topk
     "ann_ivf_full_probe": {"BroadcastNestedLoopJoin"},
+    # IVF-PQ carries the identical k-row centroid-probe crossJoin
+    "ann_ivfpq_topk": {"BroadcastNestedLoopJoin"},
+    "ann_ivfpq_full": {"BroadcastNestedLoopJoin"},
     # 1-row N-docs aggregate broadcast into every tf row — constant-size NLJ
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     # 1-row (avgdl, N) corpus-stats broadcast into every (doc, term) score
