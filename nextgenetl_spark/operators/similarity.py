@@ -804,12 +804,18 @@ def _unit_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _collect_codebooks(cb: DataFrame, m: int, ks: int):
+def _collect_codebooks(cb: DataFrame, m: int | None = None, ks: int | None = None):
     """Collect the (subspace, code, cvec) codebook table (m·ks rows — tiny,
-    bounded by construction) into an (m, ks, dsub) float64 ndarray."""
+    bounded by construction) into an (m, ks, dsub) float64 ndarray. With
+    m/ks omitted they are inferred from the table (the persisted-index
+    read path, where the codebook parquet is self-describing)."""
     import numpy as np
 
     rows = {(r["subspace"], r["code"]): r["cvec"] for r in cb.collect()}
+    if m is None:
+        m = 1 + max(s for s, _ in rows)
+    if ks is None:
+        ks = 1 + max(c for _, c in rows)
     return np.stack(
         [np.stack([np.asarray(rows[(j, t)], dtype="float64") for t in range(ks)]) for j in range(m)]
     )
@@ -1191,4 +1197,164 @@ def ivfpq_topk(
         )
     )
     wk = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return rerank.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_dir: str,
+    k_centroids: int | None = None,
+    refine_iters: int = 1,
+    m: int = 8,
+    ks: int = 16,
+    train_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist an IVF-PQ index — the build-once/query-many form of
+    ``ivfpq_topk`` and the artifact its docstring promises:
+
+    - ``centroids/``  — k rows (cell router)
+    - ``codebooks/``  — m·ks rows (ADC tables' source)
+    - ``codes/``      — (id, codes) hive-partitioned BY cell_id: the scan
+      surface, m·log2(ks) bits per vector
+    - ``vectors/``    — (id, vec) hive-partitioned BY cell_id: the re-rank
+      surface; shortlisted rows join back on (cell_id, id), so even the
+      raw-vector reads stay partition-pruned to probed cells
+
+    ``k_centroids=None`` sizes cells as round(√N) (build_ivf_index's
+    measured default — hold the probe fraction as the corpus grows). At
+    100 TB: one centroid pass + train_iters/refine_iters sampled Lloyd
+    passes + one encode scan at build; every query batch after that reads
+    nprobe partitions of codes and a shortlist of raw rows."""
+    if k_centroids is None:
+        import math
+
+        k_centroids = max(1, round(math.sqrt(corpus.count())))
+    cents = pick_centroids(corpus, k_centroids, id_col, vec_col)
+    if refine_iters > 0:
+        cents = refine_centroids(corpus, cents, refine_iters, id_col, vec_col)
+    cents = cents.localCheckpoint()
+    cells = assign_cells(corpus, cents, id_col, vec_col)
+    cb = train_pq_codebooks(corpus, m, ks, train_iters, id_col, vec_col)
+    CB = _collect_codebooks(cb, m, ks)
+    codes = pq_encode(corpus, CB, id_col, vec_col)
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    cb.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    (
+        cells.select(id_col, vec_col, "cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{index_dir}/vectors")
+    )
+    (
+        codes.join(cells.select(id_col, "cell_id"), id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{index_dir}/codes")
+    )
+    return {"k_centroids": k_centroids, "m": m, "ks": ks, "index_dir": index_dir}
+
+
+def ivfpq_query_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    nprobe: int = 4,
+    shortlist: int = 32,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: rank cells against the broadcast
+    centroid table, keep nprobe, ADC-score ONLY those cells' code
+    partitions (partition filters keep unprobed cells' files unread),
+    shortlist, then re-rank exactly against the vectors table joined on
+    (cell_id, id) — still partition-pruned. Identical walk to the
+    self-contained ``ivfpq_topk`` built with the same parameters, so
+    results are bit-identical (pinned by pytest); with
+    nprobe == k_centroids and an unbounded shortlist it is exactly brute
+    force. Output: (query_id, neighbor_id, sim, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    CB = _collect_codebooks(spark.read.parquet(f"{index_dir}/codebooks"))
+    m, _, dsub = CB.shape
+    codes = spark.read.parquet(f"{index_dir}/codes")
+
+    qrows = queries.select(F.col(query_id), F.col(vec_col)).limit(MAX_QUERY_ROWS + 1).collect()
+    if len(qrows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"ivfpq_query_index: the query side is collected and broadcast in "
+            f"the UDF closure, but it has > MAX_QUERY_ROWS={MAX_QUERY_ROWS} rows."
+        )
+    if not qrows:
+        empty = spark.createDataFrame([], f"{query_id} long, neighbor_id long, sim double")
+        return empty.withColumn("rank", F.lit(1)).limit(0)
+    qindex = {r[0]: i for i, r in enumerate(qrows)}
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
+    LUT = np.stack(
+        [Q[:, j * dsub : (j + 1) * dsub] @ CB[j].T for j in range(m)], axis=1
+    )
+
+    qprobe = (
+        queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select(query_id, "cell_id", cosine(F.col("qv"), F.col("cvec")).alias("csim"))
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.desc("csim"), F.asc("cell_id"))
+    qcells = (
+        qprobe.withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id, "cell_id")
+    )
+    joined = F.broadcast(qcells).join(codes, "cell_id").select(
+        query_id, "cell_id", F.col(corpus_id), "codes"
+    )
+    take = shortlist + 1
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qidx = np.array([qindex[q] for q in pdf[query_id]])
+            ids = pdf[corpus_id].to_numpy()
+            Cd = np.stack([np.asarray(c, dtype="int64") for c in pdf["codes"]])
+            s = LUT[qidx, 0, Cd[:, 0]]
+            for j in range(1, m):
+                s = s + LUT[qidx, j, Cd[:, j]]
+            s[pdf[query_id].to_numpy() == ids] = -np.inf
+            out = pd.DataFrame(
+                {query_id: pdf[query_id], "cell_id": pdf["cell_id"], corpus_id: ids, "approx": s}
+            )
+            out = out[np.isfinite(out["approx"])]
+            out = out.sort_values(
+                [query_id, "approx", corpus_id], ascending=[True, False, True]
+            ).groupby(query_id, sort=False).head(take)
+            yield out
+
+    cands = joined.mapInPandas(
+        score, f"{query_id} long, cell_id int, {corpus_id} long, approx double"
+    )
+    ws = Window.partitionBy(query_id).orderBy(F.desc("approx"), F.asc(corpus_id))
+    short = (
+        cands.withColumn("__sr", F.row_number().over(ws))
+        .filter(F.col("__sr") <= shortlist)
+        .select(query_id, "cell_id", corpus_id)
+    )
+    qdf = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    rerank = (
+        vectors.join(
+            F.broadcast(short.join(F.broadcast(qdf), query_id)), ["cell_id", corpus_id]
+        )
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            F.round(cosine(F.col("__qv"), F.col(vec_col)), 4).alias("sim"),
+        )
+    )
+    wk = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return rerank.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)

@@ -1306,3 +1306,57 @@ def test_ivfpq_oracle_corpus_fingerprint():
     for rs in by_q.values():
         sims = [s for _, s in sorted(rs)]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivfpq_index_persist_matches_self_contained_and_brute(spark, tmp_path):
+    """The persisted IVF-PQ index (build_ivfpq_index + ivfpq_query_index)
+    must reproduce the self-contained ivfpq_topk BIT-IDENTICALLY when
+    built with the same parameters (every stage of the walk is
+    deterministic, so parquet round-tripping the centroids/codebooks/codes
+    changes nothing), and must degenerate to exact brute force at
+    nprobe=all cells + unbounded shortlist — the build_ivf_index
+    discipline applied to the composed index."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine_topk_gemm,
+        ivfpq_query_index,
+        ivfpq_topk,
+    )
+
+    rng = random.Random(31)
+    dim, n = 12, 80
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    vecs = [(i, [c + rng.gauss(0, 0.3) for c in centers[i % 4]]) for i in range(n)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 6).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+
+    meta = build_ivfpq_index(
+        emb, str(tmp_path / "idx"), k_centroids=4, refine_iters=1, m=3, ks=4, train_iters=1
+    )
+    assert meta["k_centroids"] == 4
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["sim"], r["rank"]) for r in df.collect()
+        )
+
+    got_idx = rows(
+        ivfpq_query_index(spark, str(tmp_path / "idx"), q, nprobe=2, shortlist=10, k=3)
+    )
+    got_self = rows(
+        ivfpq_topk(
+            q, c, k_centroids=4, nprobe=2, m=3, ks=4, k=3, shortlist=10,
+            refine_iters=1, train_iters=1,
+        )
+    )
+    assert got_idx == got_self
+
+    got_full = rows(
+        ivfpq_query_index(spark, str(tmp_path / "idx"), q, nprobe=4, shortlist=10**9, k=3)
+    )
+    assert got_full == rows(cosine_topk_gemm(q, c, k=3))
