@@ -156,6 +156,8 @@ HEADLINE = {
     # production point + its brute-force-degenerate FULL-oracle pin)
     "ann_ivfpq_topk": "count",
     "ann_ivfpq_full": "count",
+    # round 8 (cont.): hybrid retrieval — RRF fusion of dense + lexical legs
+    "hybrid_rrf_retrieval": "collect",
 }
 
 

@@ -7,7 +7,7 @@ the per-document work runs entirely JVM-side in the scan stage.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal per-language stopword profiles for the n-gram/stopword LID heuristic.
@@ -206,4 +206,51 @@ def bm25_scores(
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.sum(part).alias("score"))
+    )
+
+
+def rrf_fuse(
+    lists: list,
+    k: int = 5,
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> "DataFrame":
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    ranked retrieval lists: fused(d) = Σ over lists containing d of
+    1/(k_rrf + rank_d) — the standard hybrid-retrieval combiner (dense ANN
+    + lexical BM25) because it needs NO score calibration between rankers,
+    only ranks. Returns the top-k fused (query, id, rrf, rank).
+
+    Cross-engine determinism: each term 1/(k_rrf + rank) is one correctly-
+    rounded divide of exact integers, and with two lists the sum is a
+    single IEEE add — commutative, so aggregation order cannot matter;
+    with >2 lists, last-ulp order effects are possible and the fused score
+    should be rounded before comparison (the workload form uses two).
+
+    Scale shape: inputs are already tiny (queries × k rows each — the
+    expensive part was the rankers); the fusion is one groupBy + window
+    over that candidate set. At 100 TB the rankers bound the cost (IVF-PQ
+    for the dense leg, BM25 over an inverted posting agg for the lexical
+    leg); fusion stays queries × Σk rows regardless of corpus size."""
+    from functools import reduce
+
+    sel = [
+        df.select(
+            F.col(query_col),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(k_rrf) + F.col(rank_col)).cast("double")).alias("__t"),
+        )
+        for df in lists
+    ]
+    allc = reduce(lambda a, b: a.unionAll(b), sel)
+    fused = allc.groupBy(query_col, id_col).agg(
+        F.round(F.sum("__t"), 6).alias("rrf"), F.count(F.lit(1)).alias("n_lists")
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_col, id_col, "rrf", F.col("n_lists").cast("int").alias("n_lists"), "rank")
     )

@@ -769,3 +769,88 @@ def embedding_contrast_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relative_contrast_profile(
         load(spark, sf_dir, "embeddings"), sample_n=200, flag_below=2.0
     )
+
+
+@workload(
+    "hybrid_rrf_retrieval",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents),
+    dense AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id) AS rank
+        FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5) q,
+             embeddings c
+        WHERE c.vec_id <> q.query_id),
+    lex AS (
+        SELECT qt.query_id, d.doc_id,
+               row_number() OVER (
+                   PARTITION BY qt.query_id
+                   ORDER BY len(list_intersect(qt.qt, d.t)) DESC, d.doc_id) AS rank
+        FROM (SELECT doc_id AS query_id, t AS qt FROM toks WHERE doc_id < 5) qt,
+             toks d
+        WHERE d.doc_id <> qt.query_id),
+    u AS (
+        SELECT query_id, doc_id,
+               CAST(1.0 AS DOUBLE) / CAST(60 + rank AS DOUBLE) AS term
+        FROM (SELECT query_id, doc_id, rank FROM dense WHERE rank <= 10
+              UNION ALL
+              SELECT query_id, doc_id, rank FROM lex WHERE rank <= 10)),
+    f AS (
+        SELECT query_id, doc_id, ROUND(SUM(term), 6) AS rrf,
+               CAST(COUNT(*) AS INT) AS n_lists
+        FROM u GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, rrf, n_lists, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id) AS rank
+          FROM f)
+    WHERE rank <= 5
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (operators/textstats.py
+    rrf_fuse; Cormack et al., SIGIR 2009): for 5 query documents, fuse a
+    DENSE ranking (embedding cosine top-10 — the vec_id↔doc_id join the
+    test corpus provides) with a LEXICAL ranking (distinct-token overlap
+    top-10) into a final top-5, rrf = Σ 1/(60+rank) — the calibration-free
+    combiner every RAG/retrieval stack runs in front of an LLM. The
+    lexical leg here is the verification form (exact overlap, all pairs
+    against 5 broadcast queries); at scale both legs swap to their
+    candidate-generating forms (BM25 posting agg, IVF-PQ) and the fusion
+    cost — one groupBy + window over queries × Σk rows — does not change
+    with corpus size."""
+    from nextgenetl_spark.operators import textstats as TS
+    from nextgenetl_spark.operators.similarity import cosine_topk
+    from nextgenetl_spark.operators.textstats import rrf_fuse
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    q_emb = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c_emb = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    dense = cosine_topk(q_emb, c_emb, k=10, corpus_id="doc_id")
+
+    toks = docs.select("doc_id", F.array_distinct(TS.tokens("text")).alias("t"))
+    qt = toks.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("t").alias("qt")
+    )
+    ovl = (
+        toks.crossJoin(F.broadcast(qt))
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id", "doc_id", F.size(F.array_intersect("qt", "t")).alias("ovl")
+        )
+    )
+    wlex = Window.partitionBy("query_id").orderBy(F.desc("ovl"), F.asc("doc_id"))
+    lex = ovl.withColumn("rank", F.row_number().over(wlex)).filter(F.col("rank") <= 10)
+
+    return rrf_fuse(
+        [dense.select("query_id", "doc_id", "rank"), lex.select("query_id", "doc_id", "rank")],
+        k=5,
+    )

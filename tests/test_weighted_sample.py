@@ -87,3 +87,28 @@ def test_weighted_sample_rejects_internal_column_clash(spark):
     df = spark.createDataFrame([(1, "a", 2, 0.0)], ["doc_id", "source", "n_chars", "__es_key"])
     with pytest.raises(ValueError, match="__es_key"):
         weighted_sample(df, k=1)
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF ground truths on a hand-built pair of ranked lists: a doc in
+    BOTH lists outscores a single-list doc with better ranks (the fusion
+    property), scores are 1/(60+r) sums rounded to 6dp, ties break by id,
+    and n_lists counts contributing lists."""
+    from nextgenetl_spark.operators.textstats import rrf_fuse
+
+    dense = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], ["query_id", "doc_id", "rank"]
+    )
+    lex = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 14, 3)], ["query_id", "doc_id", "rank"]
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([dense, lex], k=5).collect()}
+    # doc 11 appears in both lists (ranks 2 and 1) -> top fused
+    assert out[11]["rank"] == 1 and out[11]["n_lists"] == 2
+    assert out[11]["rrf"] == round(1 / 62 + 1 / 61, 6)
+    # singles: doc 10 (rank 1) and doc 13 (rank 2, other list): 1/61 > 1/62
+    assert out[10]["rrf"] == round(1 / 61, 6) and out[10]["n_lists"] == 1
+    assert out[10]["rank"] == 2  # 1/61 ties nothing; next after doc 11
+    # equal-rrf tie (doc 12 rank 3 dense vs doc 14 rank 3 lex) -> id asc
+    assert out[12]["rrf"] == out[14]["rrf"] == round(1 / 63, 6)
+    assert out[12]["rank"] < out[14]["rank"]

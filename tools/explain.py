@@ -33,6 +33,9 @@ EXPECTED = {
     # IVF-PQ carries the identical k-row centroid-probe crossJoin
     "ann_ivfpq_topk": {"BroadcastNestedLoopJoin"},
     "ann_ivfpq_full": {"BroadcastNestedLoopJoin"},
+    # both retrieval legs broadcast the 5-row query set against the corpus
+    # (the ann_cosine_topk shape) — deliberate verification-form NLJs
+    "hybrid_rrf_retrieval": {"BroadcastNestedLoopJoin"},
     # 1-row N-docs aggregate broadcast into every tf row — constant-size NLJ
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     # 1-row (avgdl, N) corpus-stats broadcast into every (doc, term) score
