@@ -987,7 +987,15 @@ def pq_topk(
     vs ivf_topk: IVF prunes WHICH vectors are scored (cells), PQ compresses
     HOW they are scored (codes). At 100 TB they compose (IVF-PQ): this
     standalone form scans every code but the scan is m bytes/vector, and
-    only queries x shortlist candidate rows ever touch raw vectors. The
+    only queries x shortlist candidate rows ever touch raw vectors.
+
+    TUNING (measured, PQ_RECALL*.json / BASELINE 4.2): the shortlist is
+    the recall knob and must exceed ~3x max(k, the expected same-code
+    tie-crowd) — codes cannot split near-identical vectors, so a cutoff
+    inside a quantization tie-crowd hides true neighbors from the exact
+    re-rank. On the 40k corpus (20-replica crowds) shortlist=32 reads
+    recall@10 0.999; on the 200k corpus (100-replica crowds) 32 caps at
+    0.41 and 320 restores 1.000 at the same wall. The
     ADC sum is an explicit left-to-right fold over subspaces, so scores are
     partition-order-free and the whole walk replays in the pure-Python
     VALUES-oracle generator (tools/gen_pq_oracle.py)."""
