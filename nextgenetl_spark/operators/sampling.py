@@ -217,13 +217,17 @@ def weighted_sample(
     Determinism & oracle-portability: u is derived from the first 13 hex
     chars of md5(id) — an integer < 16^13 = 2^52, EXACT in a double —
     then ``u = (h + 1) / 2^52`` (power-of-two divide, exact, never 0).
-    ln + one divide are the only inexact ops and both are correctly
-    rounded from identical inputs, so the selected set and ranks
-    reproduce bit-for-bit across runs, engines, and repartitions —
-    df.sample(weights) could give none of that. Zero-weight/NULL rows
-    clamp to weight 1 so the key stays finite and NULL-free (engines
-    disagree on NULL/NaN ordering; a clamped tiny weight just makes the
-    row maximally unlikely, ~never sampled when real weights are large).
+    The divide is correctly rounded (IEEE 754 basic op); ln is the one
+    transcendental and typical libm/JVM implementations are ~1-ulp
+    accurate but NOT guaranteed correctly rounded, so cross-engine
+    selection identity holds unless two keys land within ~1 ulp of each
+    other — overwhelmingly likely in practice, not a hard guarantee
+    (within one engine the selection IS bit-reproducible across runs and
+    repartitions). df.sample(weights) gives none of that. INVALID
+    weights — NULL, NaN, or <= 0, which have no Efraimidis–Spirakis
+    meaning and whose NULL/NaN ordering engines disagree on — clamp to
+    weight 1; every valid positive weight (including fractional
+    quality scores in (0, 1)) passes through untouched.
 
     Scale shape: the key is a scan-stage expression; selection is ONE
     window shuffle of (group, key, id) — never text/payload columns.
@@ -237,7 +241,8 @@ def weighted_sample(
         raise ValueError("input already carries internal column __es_key; rename it")
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
     u = (h.cast("double") + F.lit(1.0)) / F.lit(float(16**13))
-    w_eff = F.greatest(F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    w = F.col(weight_col).cast("double")
+    w_eff = F.when(w.isNull() | F.isnan(w) | (w <= 0), F.lit(1.0)).otherwise(w)
     win = Window.partitionBy(group_col).orderBy(F.desc("__es_key"), F.col(id_col))
     return (
         df.withColumn("__es_key", F.log(u) / w_eff)

@@ -816,6 +816,14 @@ def _collect_codebooks(cb: DataFrame, m: int | None = None, ks: int | None = Non
         m = 1 + max(s for s, _ in rows)
     if ks is None:
         ks = 1 + max(c for _, c in rows)
+    missing = [(j, t) for j in range(m) for t in range(ks) if (j, t) not in rows]
+    if missing:
+        raise ValueError(
+            f"_collect_codebooks: codebook table is missing {len(missing)} of "
+            f"{m * ks} (subspace, code) entries, first {missing[:5]} — the "
+            f"corpus had fewer than ks non-zero-norm vectors at training time "
+            f"or the persisted codebook parquet is truncated"
+        )
     return np.stack(
         [np.stack([np.asarray(rows[(j, t)], dtype="float64") for t in range(ks)]) for j in range(m)]
     )
@@ -897,6 +905,12 @@ def train_pq_codebooks(
         .orderBy("__h", id_col)
         .limit(ks)
     )
+    n_seeds = seeds.count()
+    if n_seeds < ks:
+        raise ValueError(
+            f"train_pq_codebooks: ks={ks} codewords requested but the corpus has "
+            f"only {n_seeds} non-zero-norm vectors; lower ks or enlarge the corpus"
+        )
     w = Window.orderBy("__h", id_col)  # ks rows only
     cb = (
         seeds.withColumn("__r", F.row_number().over(w))

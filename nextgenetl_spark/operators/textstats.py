@@ -229,6 +229,14 @@ def rrf_fuse(
     with >2 lists, last-ulp order effects are possible and the fused score
     should be rounded before comparison (the workload form uses two).
 
+    Duplicate tolerance: a malformed input list carrying the same (query,
+    doc) twice would double-count its 1/(k_rrf+rank) term AND inflate
+    n_lists, silently corrupting the fusion — so each list is first
+    reduced to its BEST (minimum) rank per (query, doc). Well-formed
+    ranker output (one row per doc, as the dense/lexical legs produce) is
+    unchanged; the dedup is one extra groupBy over an already-tiny
+    queries × k candidate set.
+
     Scale shape: inputs are already tiny (queries × k rows each — the
     expensive part was the rankers); the fusion is one groupBy + window
     over that candidate set. At 100 TB the rankers bound the cost (IVF-PQ
@@ -237,10 +245,12 @@ def rrf_fuse(
     from functools import reduce
 
     sel = [
-        df.select(
+        df.groupBy(F.col(query_col), F.col(id_col))
+        .agg(F.min(F.col(rank_col)).alias("__r"))
+        .select(
             F.col(query_col),
             F.col(id_col),
-            (F.lit(1.0) / (F.lit(k_rrf) + F.col(rank_col)).cast("double")).alias("__t"),
+            (F.lit(1.0) / (F.lit(k_rrf) + F.col("__r")).cast("double")).alias("__t"),
         )
         for df in lists
     ]

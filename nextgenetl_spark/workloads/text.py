@@ -867,10 +867,12 @@ def _weighted_sample_oracle() -> str:
     """DuckDB twin of operators/sampling.py weighted_sample: the identical
     Efraimidis–Spirakis key — u from the first 13 md5 hex chars (an exact
     2^52-denominator double, rebuilt by the engine-neutral instr
-    polynomial since DuckDB has no conv), ln(u) / clamped weight, top-k
-    per group by (key DESC, id). Every op in the key chain is exact or
-    correctly rounded from identical inputs, so both engines select the
-    same rows — see the operator docstring."""
+    polynomial since DuckDB has no conv), ln(u) / weight with only
+    invalid (NULL/NaN/<=0) weights clamped to 1, top-k per group by
+    (key DESC, id). Every op in the key chain except ln is exact or
+    correctly rounded from identical inputs; ln is ~1-ulp on both
+    engines, so a selection flip needs two keys within ~1 ulp — see the
+    operator docstring."""
     from nextgenetl_spark.operators.dedup import _hex_prefix_int_sql
 
     hexpr = _hex_prefix_int_sql("h", 13)
@@ -878,7 +880,9 @@ def _weighted_sample_oracle() -> str:
     WITH keyed AS (
         SELECT doc_id, source, n_chars,
                ln((CAST({hexpr} AS DOUBLE) + 1.0) / 4503599627370496.0)
-                 / GREATEST(COALESCE(CAST(n_chars AS DOUBLE), 0.0), 1.0) AS es_key
+                 / (CASE WHEN n_chars IS NULL OR isnan(CAST(n_chars AS DOUBLE))
+                              OR n_chars <= 0
+                         THEN 1.0 ELSE CAST(n_chars AS DOUBLE) END) AS es_key
         FROM (SELECT doc_id, source, n_chars,
                      md5(CAST(doc_id AS VARCHAR)) AS h
               FROM documents)

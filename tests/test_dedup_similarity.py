@@ -1273,6 +1273,22 @@ def test_pq_full_shortlist_equals_brute_force(spark):
     assert got == exp
 
 
+def test_pq_train_rejects_corpus_smaller_than_ks(spark):
+    """ks codewords need ks non-zero-norm seed vectors; a too-small corpus
+    must fail with a descriptive ValueError at seed time, not an opaque
+    KeyError deep in the Lloyd loop (r8 ADVICE nit)."""
+    import pytest
+
+    from nextgenetl_spark.operators.similarity import train_pq_codebooks
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), 0.0, 0.0, 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ks=8.*only 5 non-zero-norm"):
+        train_pq_codebooks(emb, m=2, ks=8, iters=1)
+
+
 def test_ivfpq_oracle_corpus_fingerprint():
     """The ann_ivfpq_topk VALUES oracle is frozen over the FIXED sf0.01
     embeddings (tools/gen_ivfpq_oracle.py — the composed pure-Python

@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 def _es_key(doc_id, weight) -> float:
     h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16)
     u = (h + 1.0) / float(16**13)
-    w = max(float(weight if weight is not None else 0.0), 1.0)
+    w = float(weight) if weight is not None else float("nan")
+    if math.isnan(w) or w <= 0:  # invalid weights clamp to 1; valid pass through
+        w = 1.0
     return math.log(u) / w
 
 
@@ -47,17 +49,48 @@ def test_weighted_sample_matches_pure_python_replay(spark):
     assert got == _expected(rows, 7)
 
 
-def test_weighted_sample_clamps_zero_and_null_weights(spark):
+def test_weighted_sample_clamps_only_invalid_weights(spark):
+    """NULL / NaN / <=0 weights clamp to 1; valid weights — including
+    fractional quality scores in (0,1) — pass through untouched (the r8
+    ADVICE bug: F.greatest clamped EVERY weight below 1 up to 1, turning
+    fractional-weighted sampling uniform and letting NaN keys sort
+    first under DESC)."""
     from nextgenetl_spark.operators.sampling import weighted_sample
 
-    rows = [(1, "a", 0), (2, "a", None), (3, "a", 5), (4, "a", 9)]
-    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
-    out = weighted_sample(df, k=4).collect()
-    # all rows survive (finite keys), ranks are a permutation of 1..4
-    assert sorted(r["sample_rank"] for r in out) == [1, 2, 3, 4]
+    rows = [
+        (1, "a", 0.0), (2, "a", None), (3, "a", 5.0), (4, "a", 9.0),
+        (5, "a", float("nan")), (6, "a", -3.0), (7, "a", 0.25), (8, "a", 0.9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars double")
+    out = weighted_sample(df, k=8).collect()
+    # all rows survive (finite keys), ranks are a permutation of 1..8
+    assert sorted(r["sample_rank"] for r in out) == list(range(1, 9))
     assert {(r["source"], r["doc_id"]): r["sample_rank"] for r in out} == _expected(
-        [(1, "a", 0), (2, "a", None), (3, "a", 5), (4, "a", 9)], 4
+        rows, 8
     )
+    # NaN keys must NOT float to the top: the NaN-weight row ranks exactly
+    # where a weight-1 row would
+    nan_rank = next(r["sample_rank"] for r in out if r["doc_id"] == 5)
+    assert nan_rank == _expected(rows, 8)[("a", 5)]
+
+
+def test_weighted_sample_fractional_weights_lean_correctly(spark):
+    """With fractional weights the heavier (0.9) row must beat the
+    lighter (0.01) rows far more often than uniform would — i.e. the
+    weights are NOT all clamped to 1. Analogous to the integer-weight
+    leaning test: P(0.9 wins vs nine 0.01s) = 0.9/0.99 ≈ 0.91, so >100
+    wins out of 200 groups is astronomically safe."""
+    from nextgenetl_spark.operators.sampling import weighted_sample
+
+    rows = []
+    for g in range(200):
+        for j in range(10):
+            rows.append((g * 100 + j, f"g{g}", 0.9 if j == 0 else 0.01))
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars double")
+    picked = weighted_sample(df, k=1).collect()
+    heavy_wins = sum(1 for r in picked if r["doc_id"] % 100 == 0)
+    assert len(picked) == 200
+    assert heavy_wins > 100  # expected ≈ 182; uniform would give ≈ 20
 
 
 def test_weighted_sample_leans_toward_heavy_rows(spark):
@@ -112,3 +145,20 @@ def test_rrf_fuse_semantics(spark):
     # equal-rrf tie (doc 12 rank 3 dense vs doc 14 rank 3 lex) -> id asc
     assert out[12]["rrf"] == out[14]["rrf"] == round(1 / 63, 6)
     assert out[12]["rank"] < out[14]["rank"]
+
+
+def test_rrf_fuse_dedups_within_list(spark):
+    """A malformed list carrying the same (query, doc) twice contributes
+    only its BEST rank once — no double-counted term, no inflated
+    n_lists (r8 ADVICE nit)."""
+    from nextgenetl_spark.operators.textstats import rrf_fuse
+
+    dup = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 3), (1, 11, 2)], ["query_id", "doc_id", "rank"]
+    )
+    other = spark.createDataFrame([(1, 10, 2)], ["query_id", "doc_id", "rank"])
+    out = {r["doc_id"]: r for r in rrf_fuse([dup, other], k=5).collect()}
+    # doc 10: best rank 1 from the dup list (rank-3 entry dropped) + rank 2
+    assert out[10]["rrf"] == round(1 / 61 + 1 / 62, 6)
+    assert out[10]["n_lists"] == 2
+    assert out[11]["rrf"] == round(1 / 62, 6) and out[11]["n_lists"] == 1
