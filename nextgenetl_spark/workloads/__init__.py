@@ -96,6 +96,43 @@ def _oracle_verified() -> dict[str, int]:
     return green
 
 
+def _changed_since_evidence(verified: dict[str, int], snap_path: str | None = None) -> set[str]:
+    """Names whose implementation fingerprint (fingerprints.py — symbol-level
+    transitive source closure) differs from the snapshot taken at the round
+    commit their newest green row tested. These rotate FIRST (round-8 verdict
+    ask #1): a changed operator with stale evidence is a correctness risk
+    oldest-first rotation can miss for many rounds.
+
+    The snapshot (``_evidence_fps.json``, regenerated each round start by
+    ``tools/gen_evidence_fps.py`` from the immutable round-boundary commits)
+    records {name: {round, fp}}. Comparison only happens when the snapshot
+    round EQUALS the entry's newest green round — a snapshot older than the
+    evidence means the green row already re-tested newer code, and a missing
+    entry means no basis to compare; both count as unchanged. Any failure
+    (missing file, no git history at generation time) degrades to the plain
+    oldest-first rotation, never breaks driver import."""
+    try:
+        import json
+        import os
+
+        if snap_path is None:
+            snap_path = os.path.join(os.path.dirname(__file__), "_evidence_fps.json")
+        with open(snap_path, encoding="utf-8") as fh:
+            snap = json.load(fh)
+        from nextgenetl_spark.fingerprints import tree_reader, workload_fingerprints
+
+        root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        targets = {
+            n: (REGISTRY[n].fn.__module__, REGISTRY[n].fn.__name__)
+            for n, rnd in verified.items()
+            if n in REGISTRY and n in snap and snap[n].get("round") == rnd
+        }
+        cur = workload_fingerprints(tree_reader(root), targets)
+        return {n for n, fp in cur.items() if fp != snap[n].get("fp")}
+    except Exception:
+        return set()
+
+
 def load_all() -> dict[str, Workload]:
     """Import every workload module (side-effect: registry population)."""
     # Import order = registration order within each partition; text and
@@ -176,17 +213,19 @@ def load_all() -> dict[str, Workload]:
             interleaved.append(ext[i])
     interleaved += no_oracle_tail
 
-    # Verified tier, oldest newest-evidence first: once the driver's budget
-    # clears every unverified entry, remaining slots re-green the queries
-    # whose most recent official row is oldest (round-4 verdict ask #1 —
-    # 50 queries' newest evidence was round 1). Within one evidence round
-    # the slow availableNow streaming module still sorts last (the original
-    # events-last rule, now scoped per-round so old stream evidence isn't
-    # starved behind every fresher batch query). Stable sort keeps
-    # registration order within each (round, module) class.
+    # Verified tier: CHANGED-since-evidence first (round-8 verdict ask #1 —
+    # an entry whose implementation fingerprint no longer matches the code
+    # its newest green row tested is a re-verification priority regardless
+    # of age), then oldest newest-evidence first so the driver's remaining
+    # budget keeps rotating re-greens onto the stalest rows (round-4 ask #1).
+    # Within each class the slow availableNow streaming module still sorts
+    # last (scoped per-(changed, round) so old stream evidence isn't starved
+    # behind every fresher batch query). Stable sort keeps registration
+    # order within each class.
+    changed = _changed_since_evidence(verified)
     tier1 = sorted(
         ((n, wl) for n, wl in REGISTRY.items() if n in verified),
-        key=lambda kv: (verified[kv[0]], _mod(kv[1]) == "events"),
+        key=lambda kv: (kv[0] not in changed, verified[kv[0]], _mod(kv[1]) == "events"),
     )
 
     ordered = dict(interleaved + tier1)

@@ -1466,21 +1466,56 @@ def kmv_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     state); KMV is the verification twin and the re-aggregation layer
     (`kmv_merge` — see kmv_user_rollup for the merge algebra pin).
     l_suppkey has < k=256 distinct values at sf0.01, so the exact branch
-    is exercised alongside the two estimating fields."""
-    from nextgenetl_spark.operators.agg import kmv_build, kmv_estimate
+    is exercised alongside the two estimating fields.
+
+    ONE lineitem scan (round-8 verdict ask #3), three costs bounded:
+    (a) per input partition, the three fields' RAW distinct values are
+    collected in a single aggregation pass (cheap long-hash-set inserts —
+    the expensive md5 hash does NOT run per row); (b) only the distinct
+    values are md5-hashed (transform over the per-partition set — ~10×
+    fewer hashes than hashing every row, the measured bottleneck of the
+    old form), sorted, and trimmed to bottom-256 BEFORE the exchange
+    (bottom-k of a union of per-partition bottom-k's IS the global
+    bottom-k — the merge algebra kmv_user_rollup pins); (c) the final
+    kmv_merge touches ≤ 3·256 hashes per input partition. Replaces the
+    earlier explode(array(struct×3)) stack form whose scan volume was 3×
+    the rows and which hashed all of them. The 1-row result then unpivots
+    to (field, kmv) and applies the estimate."""
+    from nextgenetl_spark.operators.agg import kmv_estimate, kmv_hash, kmv_merge
 
     li = load(spark, sf_dir, "lineitem")
-    stacked = li.select(
+
+    def hs(raw):
+        return F.slice(F.array_sort(F.transform(raw, kmv_hash)), 1, 256)
+
+    partial = (
+        li.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(
+            F.collect_set("l_partkey").alias("p_raw"),
+            F.collect_set("l_suppkey").alias("s_raw"),
+            F.collect_set("l_orderkey").alias("o_raw"),
+        )
+        .select(
+            hs(F.col("p_raw")).alias("parts"),
+            hs(F.col("s_raw")).alias("supps"),
+            hs(F.col("o_raw")).alias("orders"),
+        )
+    )
+    one = partial.agg(
+        kmv_merge(F.col("parts"), 256).alias("parts"),
+        kmv_merge(F.col("supps"), 256).alias("supps"),
+        kmv_merge(F.col("orders"), 256).alias("orders"),
+    )
+    return one.select(
         F.explode(
             F.array(
-                F.struct(F.lit("parts").alias("field"), F.col("l_partkey").cast("string").alias("item")),
-                F.struct(F.lit("supps").alias("field"), F.col("l_suppkey").cast("string").alias("item")),
-                F.struct(F.lit("orders").alias("field"), F.col("l_orderkey").cast("string").alias("item")),
+                *[
+                    F.struct(F.lit(f).alias("field"), F.col(f).alias("kmv"))
+                    for f in ("parts", "supps", "orders")
+                ]
             )
         ).alias("fv")
-    ).select("fv.field", "fv.item")
-    sk = kmv_build(stacked, "item", by=("field",), k=256)
-    return sk.select("field", kmv_estimate(F.col("kmv"), 256).alias("est_distinct"))
+    ).select("fv.field", kmv_estimate(F.col("fv.kmv"), 256).alias("est_distinct"))
 
 
 @workload(
