@@ -161,10 +161,46 @@ HEADLINE = {
 }
 
 
+def _box_health() -> dict:
+    """Environment snapshot recorded with every bench run (round-8 verdict
+    ask #2: the r8 record froze ~1.4× both-engine wall inflation from a
+    balloon-squeezed page cache + steal, and adjudicating it took forensic
+    work — now the record carries the evidence). Fields: page cache /
+    free / balloon MiB from /proc/meminfo, 1-min loadavg, and steal% over
+    a 1s /proc/stat sample."""
+    health: dict = {}
+    try:
+        mem = {}
+        with open("/proc/meminfo", encoding="ascii") as fh:
+            for line in fh:
+                k, _, rest = line.partition(":")
+                mem[k] = int(rest.split()[0])  # kB
+        health["cached_mib"] = mem.get("Cached", 0) // 1024
+        health["free_mib"] = mem.get("MemFree", 0) // 1024
+        health["balloon_mib"] = mem.get("Balloon", 0) // 1024
+        with open("/proc/loadavg", encoding="ascii") as fh:
+            health["loadavg_1m"] = float(fh.read().split()[0])
+
+        def cpu_sample():
+            with open("/proc/stat", encoding="ascii") as fh:
+                parts = fh.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            return sum(vals), vals[7] if len(vals) > 7 else 0  # total, steal
+
+        t1, s1 = cpu_sample()
+        time.sleep(1.0)
+        t2, s2 = cpu_sample()
+        health["steal_pct"] = round(100.0 * (s2 - s1) / max(1, t2 - t1), 2)
+    except OSError:
+        health["error"] = "unreadable /proc"
+    return health
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    health_pre = _box_health()
     registry = load_all()
     spark = get_spark("bench")
     # warm-up: touch the session + parquet footers once
@@ -207,6 +243,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cold_total": round(cold_total, 3),
+        "box_health_pre": health_pre,
+        "box_health_post": _box_health(),
     }
 
     # Warm-time each query's DuckDB oracle on the same tables for a

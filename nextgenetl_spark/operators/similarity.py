@@ -978,13 +978,125 @@ def pq_encode(corpus: DataFrame, CB, id_col: str = "vec_id", vec_col: str = "emb
     return unit.mapInPandas(gen, f"{id_col} long, codes array<int>")
 
 
+def expected_code_crowd(codes: DataFrame, group_cols=("codes",)) -> int:
+    """Membership-weighted expected EXACT-code crowd: for a random corpus
+    vector, the expected size of its full-code collision group —
+    ceil(Σ c_i² / Σ c_i) over group sizes c_i (the weighted mean measures
+    the crowd a typical query target sits in: 2000 crowds of 100 → 100,
+    not the unweighted 100-vs-tiny-groups average). NOTE: this is a LOWER
+    BOUND diagnostic, not the statistic the shortlist rule needs —
+    jittered near-duplicates fragment across code tuples while remaining
+    ADC-indistinguishable, so the effective tie-crowd is
+    ``measured_adc_crowd`` (PQ_AUTO_SHORTLIST.json measured 2–5 here vs
+    the real 20/100 there, with recall collapsing exactly as the
+    under-measurement predicts). Cost: one groupBy over the m-byte code
+    table; at extreme scale run it on a hash-sampled fraction."""
+    import math
+
+    row = (
+        codes.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg((F.sum(F.col("c") * F.col("c")) / F.sum("c")).alias("crowd"))
+        .first()
+    )
+    if row is None or row["crowd"] is None:
+        return 1
+    return max(1, int(math.ceil(row["crowd"])))
+
+
+def measured_adc_crowd(
+    unit: DataFrame,
+    codes: DataFrame,
+    CB,
+    id_col: str,
+    n_sample: int = 256,
+) -> int:
+    """The EFFECTIVE tie-crowd the shortlist rule needs: the mean number
+    of corpus vectors whose exact cosine to a sampled vector lies within
+    the measured ADC quantization noise of an exact duplicate — i.e. how
+    many candidates per neighborhood the code scores CANNOT order. This,
+    not the exact full-code collision count, is what blinds a small
+    shortlist: PQ_AUTO_SHORTLIST.json's first run measured exact-code
+    crowds of only 2–5 on the 40k/200k replica corpora (jitter fragments
+    replicas across code tuples) while recall@10 still collapsed to 0.42
+    at shortlist 30 — the replicas score within quantization noise of
+    each other even when their codes differ. exact-code collisions
+    (``expected_code_crowd``) are a LOWER bound; this statistic recovers
+    the real 20/100 crowd sizes.
+
+    Walk (deterministic, all md5/value-ordered): (1) sample n_sample unit
+    vectors by (md5(id), id); (2) measure the noise band δ = 95th-pct
+    |ADC(v,u) − cos(v,u)| over the sample×sample pair grid (driver-side
+    numpy on a bounded 256² grid); (3) one bounded count pass over the
+    corpus — per batch, a batch×sample GEMM of exact cosines, counting
+    per sampled vector the corpus rows with cos ≥ 1 − 2δ; (4) crowd =
+    ceil(mean count), the membership-weighted view since samples are
+    drawn uniformly. Cost: one extra corpus scan of the vector column
+    (the train/encode passes already scan it several times); at 100 TB
+    run the count pass on a hash-sampled corpus fraction and scale the
+    counts back up."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    m, ks, dsub = CB.shape
+    samp = (
+        unit.select(F.md5(F.col(id_col).cast("string")).alias("__h"), id_col, "__nv")
+        .orderBy("__h", id_col)
+        .limit(n_sample)
+        .select(id_col, "__nv")
+    )
+    srows = samp.join(codes.withColumnRenamed(id_col, "__sid"),
+                      F.col(id_col) == F.col("__sid")).select(id_col, "__nv", "codes").collect()
+    if not srows:
+        return 1
+    V = np.stack([np.asarray(r["__nv"], dtype="float64") for r in srows])  # (s, d)
+    Cd = np.stack([np.asarray(r["codes"], dtype="int64") for r in srows])  # (s, m)
+    # ADC(v, u) via v's LUT and u's codes, over the sample pair grid
+    lut = np.stack([V[:, j * dsub : (j + 1) * dsub] @ CB[j].T for j in range(m)], axis=1)
+    adc = np.zeros((len(V), len(V)))
+    for j in range(m):
+        adc += lut[:, j, :][:, Cd[:, j]]
+    exact = V @ V.T
+    off = ~np.eye(len(V), dtype=bool)
+    delta = float(np.quantile(np.abs(adc - exact)[off], 0.95)) if len(V) > 1 else 0.0
+    thresh = 1.0 - 2.0 * delta
+
+    def count(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            B = np.stack([np.asarray(v, dtype="float64") for v in pdf["__nv"]])
+            yield pd.DataFrame({"n": [int((B @ V.T >= thresh).sum())]})
+
+    total = (
+        unit.select("__nv").mapInPandas(count, "n long").agg(F.sum("n").alias("t")).first()
+    )
+    if total is None or total["t"] is None:
+        return 1
+    return max(1, int(math.ceil(total["t"] / len(V))))
+
+
+def _auto_shortlist(k: int, crowd: int) -> int:
+    """The frozen two-crowd rule (PQ_RECALL.json at 40k/20-replica crowds,
+    PQ_RECALL_100X.json at 200k/100-replica crowds): the shortlist must
+    exceed ~3× max(k, the effective same-score tie-crowd) — 32 reads
+    recall@10 0.999 at crowd≈20 but caps at 0.41 at crowd≈100, where 320
+    restores 1.000 at equal wall. The crowd fed in is measured_adc_crowd
+    (quantization-noise near-dup multiplicity), NOT the exact-code
+    collision count, which under-measures it 20–50× on jittered replica
+    corpora (PQ_AUTO_SHORTLIST.json, both statistics recorded)."""
+    return 3 * max(k, crowd)
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
     m: int = 8,
     ks: int = 16,
     k: int = 5,
-    shortlist: int = 32,
+    shortlist: int | None = None,
     train_iters: int = 2,
     query_id: str = "query_id",
     corpus_id: str = "neighbor_id",
@@ -1009,7 +1121,14 @@ def pq_topk(
     inside a quantization tie-crowd hides true neighbors from the exact
     re-rank. On the 40k corpus (20-replica crowds) shortlist=32 reads
     recall@10 0.999; on the 200k corpus (100-replica crowds) 32 caps at
-    0.41 and 320 restores 1.000 at the same wall. The
+    0.41 and 320 restores 1.000 at the same wall. ``shortlist=None``
+    (the default, round-8 verdict ask #5) applies that rule
+    automatically: 3·max(k, measured_adc_crowd(...)) — the sampled
+    quantization-noise tie-crowd, NOT the exact-code collision count,
+    which under-measures the effective crowd 20–50× on jittered replica
+    corpora (both statistics and the recall confirmation at the two
+    crowd regimes are in PQ_AUTO_SHORTLIST.json); pass an int to
+    override. The
     ADC sum is an explicit left-to-right fold over subspaces, so scores are
     partition-order-free and the whole walk replays in the pure-Python
     VALUES-oracle generator (tools/gen_pq_oracle.py)."""
@@ -1020,6 +1139,9 @@ def pq_topk(
     CB = _collect_codebooks(cb, m, ks)
     dsub = CB.shape[2]
     codes = pq_encode(corpus, CB, corpus_id, vec_col)
+    if shortlist is None:
+        unit = _unit_vectors(corpus, corpus_id, vec_col)
+        shortlist = _auto_shortlist(k, measured_adc_crowd(unit, codes, CB, corpus_id))
 
     qrows = queries.select(F.col(query_id), F.col(vec_col)).limit(MAX_QUERY_ROWS + 1).collect()
     if len(qrows) > MAX_QUERY_ROWS:
@@ -1093,7 +1215,7 @@ def ivfpq_topk(
     m: int = 8,
     ks: int = 16,
     k: int = 5,
-    shortlist: int = 32,
+    shortlist: int | None = None,
     refine_iters: int = 0,
     train_iters: int = 1,
     query_id: str = "query_id",
@@ -1145,6 +1267,12 @@ def ivfpq_topk(
     # the IVF-PQ index table: (cell_id, id, codes) — hive-partition by
     # cell_id when persisting
     codes = pq_encode(corpus, CB, corpus_id, vec_col).join(cells, corpus_id)
+    if shortlist is None:
+        # near-identical vectors tie in ADC score REGARDLESS of cell, so
+        # the crowd statistic ignores cell boundaries (the frozen
+        # two-crowd rule — see pq_topk's TUNING / _auto_shortlist)
+        unit = _unit_vectors(corpus, corpus_id, vec_col)
+        shortlist = _auto_shortlist(k, measured_adc_crowd(unit, codes, CB, corpus_id))
 
     qrows = queries.select(F.col(query_id), F.col(vec_col)).limit(MAX_QUERY_ROWS + 1).collect()
     if len(qrows) > MAX_QUERY_ROWS:
@@ -1245,10 +1373,16 @@ def build_ivfpq_index(
       raw-vector reads stay partition-pruned to probed cells
 
     ``k_centroids=None`` sizes cells as round(√N) (build_ivf_index's
-    measured default — hold the probe fraction as the corpus grows). At
-    100 TB: one centroid pass + train_iters/refine_iters sampled Lloyd
-    passes + one encode scan at build; every query batch after that reads
-    nprobe partitions of codes and a shortlist of raw rows."""
+    measured default — hold the probe fraction as the corpus grows). The
+    build also measures ``measured_adc_crowd`` (the effective
+    quantization-noise tie-crowd; ``expected_code_crowd`` recorded
+    alongside as its exact-collision lower bound) and persists both in
+    ``meta/`` so ``ivfpq_query_index(shortlist=None)`` can apply the
+    frozen 3·max(k, crowd) rule without re-measuring at query time
+    (round-8 verdict ask #5). At 100 TB: one centroid pass +
+    train_iters/refine_iters sampled Lloyd passes + one encode scan at
+    build; every query batch after that reads nprobe partitions of codes
+    and a shortlist of raw rows."""
     if k_centroids is None:
         import math
 
@@ -1261,8 +1395,20 @@ def build_ivfpq_index(
     cb = train_pq_codebooks(corpus, m, ks, train_iters, id_col, vec_col)
     CB = _collect_codebooks(cb, m, ks)
     codes = pq_encode(corpus, CB, id_col, vec_col)
+    # adc_crowd drives shortlist=None at query time (the effective
+    # quantization-noise tie-crowd); code_crowd (exact-code collisions)
+    # is recorded as its lower bound for diagnostics
+    adc_crowd = measured_adc_crowd(
+        _unit_vectors(corpus, id_col, vec_col), codes, CB, id_col
+    )
+    code_crowd = expected_code_crowd(codes)
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     cb.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(k_centroids), int(m), int(ks), int(code_crowd), int(adc_crowd))],
+        "k_centroids int, m int, ks int, code_crowd int, adc_crowd int",
+    ).write.mode("overwrite").parquet(f"{index_dir}/meta")
     (
         cells.select(id_col, vec_col, "cell_id")
         .write.mode("overwrite")
@@ -1275,7 +1421,14 @@ def build_ivfpq_index(
         .partitionBy("cell_id")
         .parquet(f"{index_dir}/codes")
     )
-    return {"k_centroids": k_centroids, "m": m, "ks": ks, "index_dir": index_dir}
+    return {
+        "k_centroids": k_centroids,
+        "m": m,
+        "ks": ks,
+        "code_crowd": code_crowd,
+        "adc_crowd": adc_crowd,
+        "index_dir": index_dir,
+    }
 
 
 def ivfpq_query_index(
@@ -1283,7 +1436,7 @@ def ivfpq_query_index(
     index_dir: str,
     queries: DataFrame,
     nprobe: int = 4,
-    shortlist: int = 32,
+    shortlist: int | None = None,
     k: int = 5,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
@@ -1297,7 +1450,11 @@ def ivfpq_query_index(
     self-contained ``ivfpq_topk`` built with the same parameters, so
     results are bit-identical (pinned by pytest); with
     nprobe == k_centroids and an unbounded shortlist it is exactly brute
-    force. Output: (query_id, neighbor_id, sim, rank)."""
+    force. ``shortlist=None`` applies the frozen 3·max(k, crowd) rule from
+    the crowd statistic the BUILD persisted in ``meta/`` (no code
+    re-aggregation at query time; indexes built before meta existed fall
+    back to one groupBy over codes). Output: (query_id, neighbor_id, sim,
+    rank)."""
     import numpy as np
     import pandas as pd
 
@@ -1305,6 +1462,18 @@ def ivfpq_query_index(
     CB = _collect_codebooks(spark.read.parquet(f"{index_dir}/codebooks"))
     m, _, dsub = CB.shape
     codes = spark.read.parquet(f"{index_dir}/codes")
+    if shortlist is None:
+        try:
+            meta = spark.read.parquet(f"{index_dir}/meta").first()
+            crowd = int(meta["adc_crowd"])
+        except Exception:
+            # index built before meta existed: measure from the persisted
+            # vectors + codes (one bounded pass, same walk as the build)
+            vecs = spark.read.parquet(f"{index_dir}/vectors")
+            crowd = measured_adc_crowd(
+                _unit_vectors(vecs, corpus_id, vec_col), codes, CB, corpus_id
+            )
+        shortlist = _auto_shortlist(k, crowd)
 
     qrows = queries.select(F.col(query_id), F.col(vec_col)).limit(MAX_QUERY_ROWS + 1).collect()
     if len(qrows) > MAX_QUERY_ROWS:

@@ -1273,6 +1273,66 @@ def test_pq_full_shortlist_equals_brute_force(spark):
     assert got == exp
 
 
+def test_expected_code_crowd_weighted_mean(spark):
+    """The crowd statistic is the MEMBERSHIP-weighted mean collision-group
+    size, ceil'd: groups of sizes (4,4,1,1) → (16+16+1+1)/10 = 3.4 → 4 —
+    what a random vector experiences, not the unweighted mean 2.5."""
+    from nextgenetl_spark.operators.similarity import expected_code_crowd
+
+    rows = (
+        [(i, [0, 1]) for i in range(4)]
+        + [(10 + i, [0, 2]) for i in range(4)]
+        + [(20, [1, 1]), (21, [2, 2])]
+    )
+    codes = spark.createDataFrame(rows, "vec_id long, codes array<int>")
+    assert expected_code_crowd(codes) == 4
+
+
+def test_pq_auto_shortlist_survives_crowds(spark):
+    """The 200k finding at test scale: a corpus of near-duplicate crowds
+    larger than a hand-tuned small shortlist. With shortlist=6 the crowd
+    hides true neighbors (recall < 1); with shortlist=None the auto rule
+    3·max(k, crowd) restores brute-force-exact top-k (round-8 verdict
+    ask #5)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.similarity import cosine_topk_gemm, pq_topk
+
+    rng = random.Random(7)
+    vecs = []
+    vid = 0
+    for base in range(8):  # 8 crowds of 25 near-identical vectors; the
+        # jitter is big enough that EXACT cosine ranks crowd members apart
+        # at 4dp (so the true top-5 is sim-ordered, not id-ordered) but far
+        # smaller than inter-crowd distances (so PQ codes still collide)
+        center = [rng.gauss(0, 1) for _ in range(8)]
+        for _ in range(25):
+            vecs.append((vid, [x + rng.gauss(0, 0.05) for x in center]))
+            vid += 1
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = sets(cosine_topk_gemm(q, c, k=5))
+    small = sets(pq_topk(q, c, m=4, ks=8, k=5, shortlist=6, train_iters=1))
+    auto = sets(pq_topk(q, c, m=4, ks=8, k=5, shortlist=None, train_iters=1))
+    n_hit_small = sum(len(small.get(qid, set()) & exact[qid]) for qid in exact)
+    n_hit_auto = sum(len(auto.get(qid, set()) & exact[qid]) for qid in exact)
+    n_total = sum(len(s) for s in exact.values())
+    assert n_hit_auto == n_total  # auto rule: full recall
+    assert n_hit_small < n_total  # tiny hand-tuned shortlist: crowd-blinded
+
+
 def test_pq_train_rejects_corpus_smaller_than_ks(spark):
     """ks codewords need ks non-zero-norm seed vectors; a too-small corpus
     must fail with a descriptive ValueError at seed time, not an opaque
@@ -1376,3 +1436,18 @@ def test_ivfpq_index_persist_matches_self_contained_and_brute(spark, tmp_path):
         ivfpq_query_index(spark, str(tmp_path / "idx"), q, nprobe=4, shortlist=10**9, k=3)
     )
     assert got_full == rows(cosine_topk_gemm(q, c, k=3))
+
+    # the build persisted both crowd statistics in meta/ and the
+    # shortlist=None query path consumes adc_crowd without re-measuring
+    midx = spark.read.parquet(str(tmp_path / "idx" / "meta")).first()
+    assert midx["adc_crowd"] == meta["adc_crowd"] >= 1
+    assert midx["code_crowd"] == meta["code_crowd"] >= 1
+    auto_rows = ivfpq_query_index(
+        spark, str(tmp_path / "idx"), q, nprobe=4, shortlist=None, k=3
+    )
+    assert rows(auto_rows) == rows(
+        ivfpq_query_index(
+            spark, str(tmp_path / "idx"), q, nprobe=4,
+            shortlist=3 * max(3, meta["adc_crowd"]), k=3,
+        )
+    )
