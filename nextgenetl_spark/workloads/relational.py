@@ -124,19 +124,26 @@ def multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained multi-way INNER join (J2 — the TP53-style 19-join chains,
     reference: TP53/TP53_Scripts/create_views.py:204-290) with local+global
     agg. supplier/nation/region are broadcast: only the customer⋈orders⋈
-    lineitem chain shuffles, each on its join key."""
+    lineitem chain shuffles, each on its join key. The selective broadcast
+    dims (nation⋈ASIA-region) join CUSTOMER FIRST so the region predicate
+    prunes the customer side ~5× BEFORE its shuffle into orders — at 100×
+    the data that is 4/5 of the first exchange's probe-side rows never
+    shuffled, for the same result (round-9; A/B'd result-equal, the
+    remaining wall is the unprunable lineitem exchange)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_c = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        asia_c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )

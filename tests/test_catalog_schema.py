@@ -108,6 +108,24 @@ def test_information_schema_over_many_file_table_dir(spark, tmp_path):
             ("r_regionkey", "BIGINT"),
             ("r_name", "VARCHAR"),
         }
+        # the over-threshold Spark-distributed branch yields identical rows
+        old_thr = cat.INFO_SCHEMA_DISTRIBUTE_THRESHOLD
+        cat.INFO_SCHEMA_DISTRIBUTE_THRESHOLD = 0
+        try:
+            meta_d = {r["table_name"]: r for r in information_schema_tables(spark, str(lake)).collect()}
+            assert meta_d == meta
+            cols_d = information_schema_columns(spark, str(lake)).collect()
+            assert sorted(map(tuple, cols_d)) == sorted(map(tuple, cols))
+        finally:
+            cat.INFO_SCHEMA_DISTRIBUTE_THRESHOLD = old_thr
+        # the remote-scheme thread-pool branch yields identical rows too
+        old_schemes = cat._REMOTE_SCHEMES
+        cat._REMOTE_SCHEMES = ("/",)
+        try:
+            meta_p = {r["table_name"]: r for r in information_schema_tables(spark, str(lake)).collect()}
+            assert meta_p == meta
+        finally:
+            cat._REMOTE_SCHEMES = old_schemes
     finally:
         cat.TABLES = old_tables
 
