@@ -158,6 +158,9 @@ HEADLINE = {
     "ann_ivfpq_full": "count",
     # round 8 (cont.): hybrid retrieval — RRF fusion of dense + lexical legs
     "hybrid_rrf_retrieval": "collect",
+    # round 9: fractional-weight Efraimidis–Spirakis (the r8 ADVICE clamp
+    # bug's driver-paired regression pin)
+    "quality_weighted_sample": "count",
 }
 
 

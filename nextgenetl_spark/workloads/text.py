@@ -915,6 +915,71 @@ def weighted_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars", "sample_rank")
 
 
+def _quality_weighted_oracle() -> str:
+    """DuckDB twin of quality_weighted_sample: the SAME fractional weight
+    (alpha_ratio = letters/length, an exact double division of identical
+    integers on both engines) through the same ln(u)/w key with only
+    invalid (NULL/NaN/<=0) weights clamped — the regression surface for
+    the r8 ADVICE clamp bug, where every fractional weight was silently
+    raised to 1 and the sample degenerated to uniform."""
+    from nextgenetl_spark.operators.dedup import _hex_prefix_int_sql
+
+    hexpr = _hex_prefix_int_sql("h", 13)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CASE WHEN length(text) = 0 THEN NULL
+                    ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, source, alpha_ratio,
+               ln((CAST({hexpr} AS DOUBLE) + 1.0) / 4503599627370496.0)
+                 / (CASE WHEN alpha_ratio IS NULL OR isnan(alpha_ratio)
+                              OR alpha_ratio <= 0
+                         THEN 1.0 ELSE alpha_ratio END) AS es_key
+        FROM scored
+    )
+    SELECT doc_id, source, ROUND(alpha_ratio, 6) AS alpha_ratio,
+           CAST(rk AS INT) AS sample_rank
+    FROM (SELECT doc_id, source, alpha_ratio,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY es_key DESC, doc_id) AS rk
+          FROM keyed)
+    WHERE rk <= 15
+    """
+
+
+@workload("quality_weighted_sample", oracle=_quality_weighted_oracle())
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-weighted corpus subsample with FRACTIONAL weights in (0,1):
+    per source, 15 documents drawn without replacement with probability
+    proportional to alpha_ratio (letters/length — a cheap text-quality
+    proxy), through the same deterministic Efraimidis–Spirakis machinery
+    as weighted_source_sample. This query is the driver-paired regression
+    pin for the r8 ADVICE clamp bug: the old F.greatest(w, 1.0) raised
+    EVERY fractional weight to 1, so a corpus weighted by quality scores
+    sampled uniformly — with the fix, valid (0,1) weights pass through
+    and only NULL/NaN/<=0 clamp (zero-letter docs exercise the clamp leg
+    here). The weight is an exact double division of identical integers
+    on both engines, so the key chain stays oracle-portable; the
+    displayed ratio is 6dp-rounded AFTER selection."""
+    from nextgenetl_spark.operators.sampling import weighted_sample
+
+    d = load(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double")
+    w = alpha / F.nullif(F.length("text"), F.lit(0)).cast("double")
+    return weighted_sample(
+        d.select("doc_id", "source", w.alias("alpha_ratio")),
+        k=15,
+        weight_col="alpha_ratio",
+    ).select(
+        "doc_id", "source", F.round("alpha_ratio", 6).alias("alpha_ratio"), "sample_rank"
+    )
+
+
 @workload(
     "mixture_token_budget",
     oracle="""
