@@ -426,11 +426,26 @@ def assign_cells(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
     )
 
 
+def _auto_nprobe(k_centroids: int) -> int:
+    """The measured probe-fraction default (IVF_DEFAULT_CONFIRM.json):
+    nprobe = ceil(k_centroids/4) read recall@10 = 1.000 at BOTH the 40k
+    corpus (√N = 200 cells, nprobe 50) and the 200k corpus (447 cells,
+    nprobe 111) — a fixed probe FRACTION holds recall as the corpus grows
+    where a fixed probe COUNT decays (the legacy fixed-16/4 config reads
+    0.952/0.985 on the same corpora). Completes the ANN auto-tuning
+    story: k_centroids=None → √N, shortlist=None → 3·max(k, adc crowd),
+    nprobe=None → k_centroids/4; every default cites its measurement and
+    every knob stays overridable."""
+    import math
+
+    return max(1, math.ceil(k_centroids / 4))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     k: int = 5,
     query_id: str = "query_id",
     corpus_id: str = "neighbor_id",
@@ -450,9 +465,16 @@ def ivf_topk(
     centroids (``refine_centroids``) — better recall at the same nprobe for
     the cost of ``iters`` extra linear passes at index-build time.
 
+    ``nprobe=None`` (the default) applies the measured probe-fraction rule
+    ceil(k_centroids/4) — recall 1.000 at both confirmation scales with √N
+    cells (_auto_nprobe / IVF_DEFAULT_CONFIRM.json); pass an int to trade
+    recall for wall explicitly.
+
     At 100 TB the assignment pass is one narrow scan + broadcast, the index
     is written bucketed by cell_id (plans/bucketing.py), and repeated query
     batches join it shuffle-free."""
+    if nprobe is None:
+        nprobe = _auto_nprobe(k_centroids)
     cents = pick_centroids(corpus, k_centroids, corpus_id, vec_col)
     if refine_iters > 0:
         cents = refine_centroids(corpus, cents, refine_iters, corpus_id, vec_col)
@@ -526,7 +548,7 @@ def ivf_query_index(
     spark,
     index_dir: str,
     queries: DataFrame,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     k: int = 5,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
@@ -537,8 +559,12 @@ def ivf_query_index(
     corpus on cell_id — dynamic partition pruning / partition filters keep
     unprobed cells' files unread — then score and re-rank. Same output
     contract as ``ivf_topk`` (query_id, neighbor_id, sim, rank); with
-    nprobe == k_centroids it is exactly brute force."""
+    nprobe == k_centroids it is exactly brute force. ``nprobe=None``
+    applies the measured ceil(k/4) probe-fraction rule from the
+    centroid-table row count (_auto_nprobe / IVF_DEFAULT_CONFIRM.json)."""
     cents = spark.read.parquet(f"{index_dir}/centroids")
+    if nprobe is None:
+        nprobe = _auto_nprobe(cents.count())
     cells = spark.read.parquet(f"{index_dir}/cells")
     qprobe = (
         queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
@@ -1211,7 +1237,7 @@ def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     m: int = 8,
     ks: int = 16,
     k: int = 5,
@@ -1251,10 +1277,17 @@ def ivfpq_topk(
     (xxhash64 seed picks, decimal-exact Lloyd on both the cell centroids
     and the codebooks, fold-normalization, left-to-right ADC fold, id
     tie-breaks), so the composition admits the same independent
-    pure-Python VALUES oracle (tools/gen_ivfpq_oracle.py)."""
+    pure-Python VALUES oracle (tools/gen_ivfpq_oracle.py).
+
+    ``nprobe=None`` applies the measured ceil(k_centroids/4)
+    probe-fraction rule (_auto_nprobe / IVF_DEFAULT_CONFIRM.json);
+    ``shortlist=None`` the 3·max(k, adc crowd) rule — every ANN knob has
+    a measurement-cited default and stays overridable."""
     import numpy as np
     import pandas as pd
 
+    if nprobe is None:
+        nprobe = _auto_nprobe(k_centroids)
     cents = pick_centroids(corpus, k_centroids, corpus_id, vec_col)
     if refine_iters > 0:
         cents = refine_centroids(corpus, cents, refine_iters, corpus_id, vec_col)
@@ -1435,7 +1468,7 @@ def ivfpq_query_index(
     spark,
     index_dir: str,
     queries: DataFrame,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     shortlist: int | None = None,
     k: int = 5,
     query_id: str = "query_id",
@@ -1453,12 +1486,19 @@ def ivfpq_query_index(
     force. ``shortlist=None`` applies the frozen 3·max(k, crowd) rule from
     the crowd statistic the BUILD persisted in ``meta/`` (no code
     re-aggregation at query time; indexes built before meta existed fall
-    back to one groupBy over codes). Output: (query_id, neighbor_id, sim,
-    rank)."""
+    back to one groupBy over codes); ``nprobe=None`` the measured
+    ceil(k/4) probe-fraction rule from the persisted meta (or centroid
+    count). Output: (query_id, neighbor_id, sim, rank)."""
     import numpy as np
     import pandas as pd
 
     cents = spark.read.parquet(f"{index_dir}/centroids")
+    if nprobe is None:
+        try:
+            meta_row = spark.read.parquet(f"{index_dir}/meta").first()
+            nprobe = _auto_nprobe(int(meta_row["k_centroids"]))
+        except Exception:
+            nprobe = _auto_nprobe(cents.count())
     CB = _collect_codebooks(spark.read.parquet(f"{index_dir}/codebooks"))
     m, _, dsub = CB.shape
     codes = spark.read.parquet(f"{index_dir}/codes")

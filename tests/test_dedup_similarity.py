@@ -1451,3 +1451,35 @@ def test_ivfpq_index_persist_matches_self_contained_and_brute(spark, tmp_path):
             shortlist=3 * max(3, meta["adc_crowd"]), k=3,
         )
     )
+    # nprobe=None applies the measured ceil(k_centroids/4) fraction rule
+    # (here ceil(4/4)=1) — identical to the explicit call
+    assert rows(
+        ivfpq_query_index(spark, str(tmp_path / "idx"), q, nprobe=None, shortlist=10, k=3)
+    ) == rows(
+        ivfpq_query_index(spark, str(tmp_path / "idx"), q, nprobe=1, shortlist=10, k=3)
+    )
+
+
+def test_ivf_auto_nprobe_matches_quarter_fraction(spark):
+    """nprobe=None == explicit ceil(k_centroids/4) on ivf_topk, and the
+    helper implements the measured rule (IVF_DEFAULT_CONFIRM.json)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.similarity import _auto_nprobe, ivf_topk
+
+    assert _auto_nprobe(200) == 50 and _auto_nprobe(447) == 112
+    assert _auto_nprobe(4) == 1 and _auto_nprobe(1) == 1
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    got_auto = sorted(
+        map(tuple, ivf_topk(q, c, k_centroids=8, nprobe=None, k=3).collect())
+    )
+    got_two = sorted(map(tuple, ivf_topk(q, c, k_centroids=8, nprobe=2, k=3).collect()))
+    assert got_auto == got_two
