@@ -284,8 +284,10 @@ def information_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     small local lists, driver thread pool for small remote-scheme lists,
     parallelize+mapPartitions above the threshold so 10⁵+ footers read at
     cluster parallelism with one (table, n_rows) row per file reaching
-    the tiny groupBy. Column counts are top-level arrow fields (nested
-    types count once), identical to information_schema_columns."""
+    the tiny groupBy. Column counts are the FIRST file's top-level arrow
+    fields (nested types count once) — by construction identical to
+    information_schema_columns, which reads that same footer, even when
+    later part files evolved the schema."""
     files = [(name, p) for name in TABLES for p in _table_files(sf_dir, name)]
 
     def read_footer(item):
@@ -293,18 +295,24 @@ def information_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         name, path = item
         pf = pq.ParquetFile(path)
-        return [(name, len(pf.schema_arrow), pf.metadata.num_rows)]
+        return [(name, path, len(pf.schema_arrow), pf.metadata.num_rows)]
 
     per_file = T.StructType([
         T.StructField("table_name", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
         T.StructField("n_columns", T.IntegerType(), False),
         T.StructField("n_rows", T.LongType(), False),
     ])
+    # n_columns = the FIRST file's count (min_by path) so the two views
+    # agree even under part-file schema evolution — information_schema_
+    # columns reads exactly that first footer (round-9 self-review: a MAX
+    # here would disagree with the columns view when a later part adds a
+    # column)
     return (
         _footer_rows(spark, files, read_footer, per_file)
         .groupBy("table_name")
         .agg(
-            F.max("n_columns").cast("int").alias("n_columns"),
+            F.min_by("n_columns", "path").cast("int").alias("n_columns"),
             F.sum("n_rows").cast("long").alias("n_rows"),
         )
     )

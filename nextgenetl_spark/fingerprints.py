@@ -160,10 +160,18 @@ class _Walker:
             parts.add(("missing-file", mod))
             return
         parts.add(("file", mod, hashlib.sha256(v.text.encode()).hexdigest()))
-        for m in re.findall(
-            rf"^\s*(?:from|import)\s+({re.escape(PKG)}(?:\.[\w\.]+)?)", v.text, re.M
-        ):
-            work.append(("file", m))
+        # expand EVERY in-package import in the file, resolving
+        # `from pkg import submodule` bindings to the submodule FILE —
+        # the bare `from X import names` module name alone would hash only
+        # X's (often 3-line) __init__ and miss the implementation file
+        # (round-9 self-review)
+        for node in ast.walk(v.tree):
+            if isinstance(node, (ast.Import, ast.ImportFrom)):
+                for _, bmod, attr in _bindings_of(node, mod):
+                    if attr is not None and self.is_module(bmod + "." + attr):
+                        work.append(("file", bmod + "." + attr))
+                    else:
+                        work.append(("file", bmod))
 
     def _do_symbol(
         self, mod: str, name: str, parts: set, work: list, collected: dict
@@ -207,11 +215,17 @@ class _Walker:
             if attr is not None:
                 work.append(("sym", bmod, attr))
                 continue
-            # module object bound to `local`: follow attribute uses
+            # module object bound to `local`: follow attribute uses —
+            # an attribute that is ITSELF a submodule (alias.submod.fn)
+            # hashes the submodule file rather than degrading to the
+            # package __init__ (round-9 self-review)
             attrs = set(re.findall(rf"\b{re.escape(local)}\.(\w+)", seg))
             if attrs:
                 for a in attrs:
-                    work.append(("sym", bmod, a))
+                    if self.is_module(bmod + "." + a):
+                        work.append(("file", bmod + "." + a))
+                    else:
+                        work.append(("sym", bmod, a))
             elif local in idents:
                 work.append(("file", bmod))
 

@@ -226,8 +226,13 @@ def weighted_sample(
     repartitions). df.sample(weights) gives none of that. INVALID
     weights — NULL, NaN, or <= 0, which have no Efraimidis–Spirakis
     meaning and whose NULL/NaN ordering engines disagree on — clamp to
-    weight 1; every valid positive weight (including fractional
-    quality scores in (0, 1)) passes through untouched.
+    1e-12, which makes the row maximally UNLIKELY regardless of the
+    valid weights' scale (key = ln(u)/w → hugely negative as w → 0⁺):
+    invalid rows fill remaining slots only after every valid row. A
+    clamp to 1.0 would invert under fractional quality weights in
+    (0, 1) — junk rows would become the heaviest in the corpus (round-9
+    self-review). Every valid positive weight (integer lengths OR
+    fractional scores) passes through untouched.
 
     Scale shape: the key is a scan-stage expression; selection is ONE
     window shuffle of (group, key, id) — never text/payload columns.
@@ -242,7 +247,7 @@ def weighted_sample(
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
     u = (h.cast("double") + F.lit(1.0)) / F.lit(float(16**13))
     w = F.col(weight_col).cast("double")
-    w_eff = F.when(w.isNull() | F.isnan(w) | (w <= 0), F.lit(1.0)).otherwise(w)
+    w_eff = F.when(w.isNull() | F.isnan(w) | (w <= 0), F.lit(1.0e-12)).otherwise(w)
     win = Window.partitionBy(group_col).orderBy(F.desc("__es_key"), F.col(id_col))
     return (
         df.withColumn("__es_key", F.log(u) / w_eff)

@@ -931,12 +931,11 @@ def train_pq_codebooks(
         .orderBy("__h", id_col)
         .limit(ks)
     )
-    n_seeds = seeds.count()
-    if n_seeds < ks:
-        raise ValueError(
-            f"train_pq_codebooks: ks={ks} codewords requested but the corpus has "
-            f"only {n_seeds} non-zero-norm vectors; lower ks or enlarge the corpus"
-        )
+    # a corpus with fewer than ks non-zero-norm vectors seeds an incomplete
+    # code grid; _collect_codebooks raises the descriptive ValueError on
+    # first use (an eager seeds.count() here would add a full corpus-scan
+    # job to EVERY training call just to duplicate that guard — round-9
+    # self-review)
     w = Window.orderBy("__h", id_col)  # ks rows only
     cb = (
         seeds.withColumn("__r", F.row_number().over(w))
@@ -1493,20 +1492,23 @@ def ivfpq_query_index(
     import pandas as pd
 
     cents = spark.read.parquet(f"{index_dir}/centroids")
-    if nprobe is None:
-        try:
+    meta_row = None
+    if nprobe is None or shortlist is None:
+        try:  # read the 1-row meta ONCE for both auto knobs
             meta_row = spark.read.parquet(f"{index_dir}/meta").first()
-            nprobe = _auto_nprobe(int(meta_row["k_centroids"]))
         except Exception:
-            nprobe = _auto_nprobe(cents.count())
+            meta_row = None
+    if nprobe is None:
+        nprobe = _auto_nprobe(
+            int(meta_row["k_centroids"]) if meta_row is not None else cents.count()
+        )
     CB = _collect_codebooks(spark.read.parquet(f"{index_dir}/codebooks"))
     m, _, dsub = CB.shape
     codes = spark.read.parquet(f"{index_dir}/codes")
     if shortlist is None:
-        try:
-            meta = spark.read.parquet(f"{index_dir}/meta").first()
-            crowd = int(meta["adc_crowd"])
-        except Exception:
+        if meta_row is not None and "adc_crowd" in meta_row:
+            crowd = int(meta_row["adc_crowd"])
+        else:
             # index built before meta existed: measure from the persisted
             # vectors + codes (one bounded pass, same walk as the build)
             vecs = spark.read.parquet(f"{index_dir}/vectors")

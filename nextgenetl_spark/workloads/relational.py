@@ -1481,13 +1481,22 @@ def kmv_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expensive md5 hash does NOT run per row); (b) only the distinct
     values are md5-hashed (transform over the per-partition set — ~10×
     fewer hashes than hashing every row, the measured bottleneck of the
-    old form), sorted, and trimmed to bottom-256 BEFORE the exchange
-    (bottom-k of a union of per-partition bottom-k's IS the global
-    bottom-k — the merge algebra kmv_user_rollup pins); (c) the final
-    kmv_merge touches ≤ 3·256 hashes per input partition. Replaces the
-    earlier explode(array(struct×3)) stack form whose scan volume was 3×
-    the rows and which hashed all of them. The 1-row result then unpivots
-    to (field, kmv) and applies the estimate."""
+    old form), sorted, and trimmed to bottom-256 (bottom-k of a union of
+    per-partition bottom-k's IS the global bottom-k — the merge algebra
+    kmv_user_rollup pins); (c) the final kmv_merge touches ≤ 3·256 hashes
+    per input partition. Honest cost-model note (round-9 self-review):
+    the groupBy(spark_partition_id) plan still plans its exchange BEFORE
+    the trim projection, so exchange #1 moves one fat row per input
+    partition holding that partition's raw distinct sets — bounded by the
+    per-partition distinct count (≈ the map task's own memory footprint,
+    each landing on its own reducer), NOT by 3·256; only exchange #2
+    (into kmv_merge) carries the trimmed 3·256 hashes. A strictly
+    map-side trim would need mapInPandas accumulating per-partition sets
+    in Python; the fat-row exchange is the cheaper plan at every scale
+    the data fits maxPartitionBytes. Replaces the earlier
+    explode(array(struct×3)) stack form whose scan volume was 3× the rows
+    and which hashed all of them. The 1-row result then unpivots to
+    (field, kmv) and applies the estimate."""
     from nextgenetl_spark.operators.agg import kmv_estimate, kmv_hash, kmv_merge
 
     li = load(spark, sf_dir, "lineitem")

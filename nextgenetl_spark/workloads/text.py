@@ -867,9 +867,10 @@ def _weighted_sample_oracle() -> str:
     """DuckDB twin of operators/sampling.py weighted_sample: the identical
     Efraimidis–Spirakis key — u from the first 13 md5 hex chars (an exact
     2^52-denominator double, rebuilt by the engine-neutral instr
-    polynomial since DuckDB has no conv), ln(u) / weight with only
-    invalid (NULL/NaN/<=0) weights clamped to 1, top-k per group by
-    (key DESC, id). Every op in the key chain except ln is exact or
+    polynomial since DuckDB has no conv), ln(u) / weight, top-k per group by
+    (key DESC, id) — only invalid (NULL/NaN/<=0) weights clamp, to 1e-12
+    so they rank after every valid row. Every op in the key chain except
+    ln is exact or
     correctly rounded from identical inputs; ln is ~1-ulp on both
     engines, so a selection flip needs two keys within ~1 ulp — see the
     operator docstring."""
@@ -882,7 +883,7 @@ def _weighted_sample_oracle() -> str:
                ln((CAST({hexpr} AS DOUBLE) + 1.0) / 4503599627370496.0)
                  / (CASE WHEN n_chars IS NULL OR isnan(CAST(n_chars AS DOUBLE))
                               OR n_chars <= 0
-                         THEN 1.0 ELSE CAST(n_chars AS DOUBLE) END) AS es_key
+                         THEN 1.0e-12 ELSE CAST(n_chars AS DOUBLE) END) AS es_key
         FROM (SELECT doc_id, source, n_chars,
                      md5(CAST(doc_id AS VARCHAR)) AS h
               FROM documents)
@@ -921,7 +922,8 @@ def _quality_weighted_oracle() -> str:
     integers on both engines) through the same ln(u)/w key with only
     invalid (NULL/NaN/<=0) weights clamped — the regression surface for
     the r8 ADVICE clamp bug, where every fractional weight was silently
-    raised to 1 and the sample degenerated to uniform."""
+    raised to 1 and the sample degenerated to uniform; the 1e-12 invalid
+    clamp keeps zero-letter docs maximally UNLIKELY instead of heaviest."""
     from nextgenetl_spark.operators.dedup import _hex_prefix_int_sql
 
     hexpr = _hex_prefix_int_sql("h", 13)
@@ -939,7 +941,7 @@ def _quality_weighted_oracle() -> str:
                ln((CAST({hexpr} AS DOUBLE) + 1.0) / 4503599627370496.0)
                  / (CASE WHEN alpha_ratio IS NULL OR isnan(alpha_ratio)
                               OR alpha_ratio <= 0
-                         THEN 1.0 ELSE alpha_ratio END) AS es_key
+                         THEN 1.0e-12 ELSE alpha_ratio END) AS es_key
         FROM scored
     )
     SELECT doc_id, source, ROUND(alpha_ratio, 6) AS alpha_ratio,

@@ -97,12 +97,26 @@ def test_information_schema_over_many_file_table_dir(spark, tmp_path):
             }
         )
         pq.write_table(tbl, part_dir / f"part-{i:05d}.parquet")
+    # a LATER part file evolves the schema (adds a column): the two views
+    # must still agree — n_columns follows the FIRST file, like the
+    # columns view's footer read (round-9 self-review)
+    total += 2
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([99, 100], type=pa.int64()),
+                "r_name": pa.array(["zz", "zy"]),
+                "r_comment": pa.array(["new", "col"]),
+            }
+        ),
+        part_dir / "part-99999.parquet",
+    )
     old_tables = cat.TABLES
     cat.TABLES = ("region",)
     try:
         meta = {r["table_name"]: r for r in information_schema_tables(spark, str(lake)).collect()}
         assert meta["region"]["n_rows"] == total
-        assert meta["region"]["n_columns"] == 2
+        assert meta["region"]["n_columns"] == 2  # first file's schema, not max
         cols = information_schema_columns(spark, str(lake)).collect()
         assert {(r["column_name"], r["data_type"]) for r in cols} == {
             ("r_regionkey", "BIGINT"),

@@ -1335,8 +1335,11 @@ def test_pq_auto_shortlist_survives_crowds(spark):
 
 def test_pq_train_rejects_corpus_smaller_than_ks(spark):
     """ks codewords need ks non-zero-norm seed vectors; a too-small corpus
-    must fail with a descriptive ValueError at seed time, not an opaque
-    KeyError deep in the Lloyd loop (r8 ADVICE nit)."""
+    must fail with a descriptive ValueError naming the missing codes —
+    raised by _collect_codebooks on first use, not an opaque KeyError
+    deep in the Lloyd loop (r8 ADVICE nit; the eager per-call
+    seeds.count() guard was dropped in the round-9 self-review — this
+    pytest pins that the descriptive error still surfaces without it)."""
     import pytest
 
     from nextgenetl_spark.operators.similarity import train_pq_codebooks
@@ -1345,7 +1348,7 @@ def test_pq_train_rejects_corpus_smaller_than_ks(spark):
         [(i, [float(i + 1), 0.0, 0.0, 1.0]) for i in range(5)],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(ValueError, match="ks=8.*only 5 non-zero-norm"):
+    with pytest.raises(ValueError, match="missing.*subspace, code.*fewer than ks"):
         train_pq_codebooks(emb, m=2, ks=8, iters=1)
 
 

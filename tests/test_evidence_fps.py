@@ -131,6 +131,44 @@ def test_missing_symbol_falls_back_to_whole_file():
     assert _fp(changed) != fp1  # whole-file stand-in for the re-export
 
 
+def test_file_fallback_resolves_from_pkg_import_submodule():
+    """The whole-file fallback must hash the implementation SUBMODULE when
+    the unlocatable file binds it via `from pkg import submod` — not just
+    the package __init__ (round-9 self-review)."""
+    files = dict(BASE_FILES)
+    files["nextgenetl_spark/operators/sampling.py"] = (
+        "from nextgenetl_spark.operators import _impl as I\npick = I.pick\n"
+    )
+    files["nextgenetl_spark/operators/__init__.py"] = ""
+    files["nextgenetl_spark/operators/_impl.py"] = "def pick(df):\n    return df\n"
+    fp1 = _fp(files)
+    changed = dict(files)
+    changed["nextgenetl_spark/operators/_impl.py"] = "def pick(df):\n    return df.cache()\n"
+    assert _fp(changed) != fp1
+
+
+def test_alias_submodule_attribute_resolves_to_file():
+    """`import pkg.sub as S` style usage through a module-bound alias whose
+    attribute is itself a module: S.submod.fn must hash the submodule
+    file."""
+    files = dict(BASE_FILES)
+    files["nextgenetl_spark/workloads/text.py"] = '''
+from nextgenetl_spark import operators as O
+from nextgenetl_spark.workloads import workload
+
+@workload("q1", oracle="SELECT 1 AS x")
+def q1(spark, sf_dir):
+    return O.sampling.pick(None)
+'''
+    files["nextgenetl_spark/operators/__init__.py"] = ""
+    fp1 = _fp(files)
+    changed = dict(files)
+    changed["nextgenetl_spark/operators/sampling.py"] = BASE_FILES[
+        "nextgenetl_spark/operators/sampling.py"
+    ].replace("return df\n", "return df.cache()\n")
+    assert _fp(changed) != fp1
+
+
 def test_changed_since_evidence_detects_mismatched_snapshot(tmp_path):
     """A snapshot entry at the entry's newest green round but with a stale
     fingerprint -> promoted; matching fingerprint or older snapshot round ->

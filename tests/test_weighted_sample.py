@@ -19,8 +19,8 @@ def _es_key(doc_id, weight) -> float:
     h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16)
     u = (h + 1.0) / float(16**13)
     w = float(weight) if weight is not None else float("nan")
-    if math.isnan(w) or w <= 0:  # invalid weights clamp to 1; valid pass through
-        w = 1.0
+    if math.isnan(w) or w <= 0:  # invalid weights clamp to 1e-12 (maximally
+        w = 1.0e-12               # unlikely); valid weights pass through
     return math.log(u) / w
 
 
@@ -50,11 +50,14 @@ def test_weighted_sample_matches_pure_python_replay(spark):
 
 
 def test_weighted_sample_clamps_only_invalid_weights(spark):
-    """NULL / NaN / <=0 weights clamp to 1; valid weights — including
-    fractional quality scores in (0,1) — pass through untouched (the r8
-    ADVICE bug: F.greatest clamped EVERY weight below 1 up to 1, turning
-    fractional-weighted sampling uniform and letting NaN keys sort
-    first under DESC)."""
+    """NULL / NaN / <=0 weights clamp to 1e-12 — maximally UNLIKELY, so
+    they rank strictly AFTER every valid row — while valid weights,
+    including fractional quality scores in (0,1), pass through untouched.
+    (The r8 ADVICE bug clamped EVERY weight below 1 up to 1, turning
+    fractional-weighted sampling uniform and letting NaN keys sort first
+    under DESC; a 1.0 invalid-clamp would have been its mirror image,
+    making junk rows the HEAVIEST in a fractional-weight corpus —
+    round-9 self-review.)"""
     from nextgenetl_spark.operators.sampling import weighted_sample
 
     rows = [
@@ -65,13 +68,12 @@ def test_weighted_sample_clamps_only_invalid_weights(spark):
     out = weighted_sample(df, k=8).collect()
     # all rows survive (finite keys), ranks are a permutation of 1..8
     assert sorted(r["sample_rank"] for r in out) == list(range(1, 9))
-    assert {(r["source"], r["doc_id"]): r["sample_rank"] for r in out} == _expected(
-        rows, 8
-    )
-    # NaN keys must NOT float to the top: the NaN-weight row ranks exactly
-    # where a weight-1 row would
-    nan_rank = next(r["sample_rank"] for r in out if r["doc_id"] == 5)
-    assert nan_rank == _expected(rows, 8)[("a", 5)]
+    got = {(r["source"], r["doc_id"]): r["sample_rank"] for r in out}
+    assert got == _expected(rows, 8)
+    # every invalid-weight row (ids 1, 2, 5, 6) ranks after every valid row
+    invalid_ranks = {got[("a", i)] for i in (1, 2, 5, 6)}
+    valid_ranks = {got[("a", i)] for i in (3, 4, 7, 8)}
+    assert max(valid_ranks) < min(invalid_ranks)
 
 
 def test_weighted_sample_fractional_weights_lean_correctly(spark):
