@@ -221,6 +221,45 @@ def test_rotation_puts_changed_entries_before_oldest_first():
         assert last_changed < first_unchanged
 
 
+def test_snapshot_stable_when_evidence_round_has_no_boundary_commit(monkeypatch):
+    """Mid-round window (r9 ADVICE): once a new CORRECTNESS_r0N.json lands but
+    before its 'round N: verdict/...' boundary commit exists, regeneration must
+    carry over the committed snapshot entries verbatim — NOT re-snapshot at an
+    older boundary commit (observed to reassign rounds for ~35 entries and flip
+    --check red for the rest of the round)."""
+    probe = subprocess.run(
+        ["git", "-C", ROOT, "log", "--format=%s", "-1"], capture_output=True
+    )
+    if probe.returncode != 0:
+        pytest.skip("git history unavailable")
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    try:
+        import gen_evidence_fps
+    finally:
+        sys.path.pop(0)
+
+    import nextgenetl_spark.workloads as wl_mod
+
+    wl_mod.load_all()
+    real = wl_mod._oracle_verified()
+    assert real, "no verified entries — cannot exercise the carry-over path"
+    future = max(r for r in real.values() if r > 0) + 1
+
+    def fake_verified():
+        # Pretend every entry just re-greened in a round whose boundary
+        # commit does not exist yet.
+        return {n: future for n, r in real.items() if r > 0}
+
+    monkeypatch.setattr(wl_mod, "_oracle_verified", fake_verified)
+    regenerated = gen_evidence_fps.generate()
+    with open(
+        os.path.join(ROOT, "nextgenetl_spark", "workloads", "_evidence_fps.json"),
+        encoding="utf-8",
+    ) as fh:
+        committed = json.load(fh)
+    assert regenerated == committed
+
+
 def test_evidence_snapshot_is_fresh():
     """The committed _evidence_fps.json must match regeneration from the
     round-boundary commits — run tools/gen_evidence_fps.py after each new

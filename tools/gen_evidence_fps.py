@@ -11,10 +11,15 @@ entries to the front of the re-verification queue.
 Run at ROUND START, right after a new CORRECTNESS_r0N.json + boundary commit
 land (the freshness pytest in tests/test_evidence_fps.py fails if this is
 forgotten). If an entry's newest green round has no boundary commit yet (the
-current round's evidence before the round closes), the snapshot falls back to
-the newest green round that HAS one; load_all() then skips the comparison for
-that entry (snapshot round < evidence round = evidence is fresher than any
-detectable change), so the file stays deterministic at any point in a round.
+current round's evidence landing before the round closes), the regeneration
+CARRIES OVER the committed snapshot entry for that name verbatim instead of
+re-snapshotting at an older boundary commit — re-snapshotting was observed to
+reassign rounds for dozens of entries mid-round (r9 ADVICE), flipping --check
+red between the artifact landing and the boundary commit. Carry-over keeps the
+file byte-stable across that window; load_all() skips the comparison for such
+entries anyway (snapshot round < evidence round = evidence is fresher than any
+detectable change). Names with no committed entry are skipped until the
+boundary commit exists.
 
 Usage: python tools/gen_evidence_fps.py [--check]
   --check: exit 1 if the committed file differs from the regeneration
@@ -62,18 +67,26 @@ def generate() -> dict[str, dict]:
         raise SystemExit("no round-boundary commits found; refusing to snapshot")
     verified = {n: r for n, r in _oracle_verified().items() if r > 0 and n in REGISTRY}
 
-    by_round: dict[int, dict[str, tuple[str, str]]] = {}
-    snap_round: dict[str, int] = {}
-    for name, newest in verified.items():
-        usable = [r for r in commits if r <= newest]
-        if not usable:
-            continue
-        r = max(usable)
-        snap_round[name] = r
-        wl = REGISTRY[name]
-        by_round.setdefault(r, {})[name] = (wl.fn.__module__, wl.fn.__name__)
+    try:
+        with open(OUT, encoding="utf-8") as fh:
+            committed: dict[str, dict] = json.load(fh)
+    except (OSError, ValueError):
+        committed = {}
 
-    snap: dict[str, dict] = {}
+    by_round: dict[int, dict[str, tuple[str, str]]] = {}
+    carried: dict[str, dict] = {}
+    for name, newest in verified.items():
+        if newest not in commits:
+            # Evidence landed but its boundary commit hasn't yet (mid-round
+            # window): carry over the committed entry verbatim so the file
+            # stays byte-stable; load_all() skips these comparisons anyway.
+            if name in committed:
+                carried[name] = committed[name]
+            continue
+        wl = REGISTRY[name]
+        by_round.setdefault(newest, {})[name] = (wl.fn.__module__, wl.fn.__name__)
+
+    snap: dict[str, dict] = dict(carried)
     for r, targets in sorted(by_round.items()):
         fps = workload_fingerprints(git_reader(ROOT, commits[r]), targets)
         for name, fp in fps.items():
