@@ -161,7 +161,27 @@ HEADLINE = {
     # round 9: fractional-weight Efraimidis–Spirakis (the r8 ADVICE clamp
     # bug's driver-paired regression pin)
     "quality_weighted_sample": "count",
+    # round 10: production-shape hybrid retrieval — rrf over IVF-PQ (all-auto
+    # knobs, VALUES-pinned dense leg) + multi-query posting-agg BM25
+    "hybrid_rrf_production": "collect",
 }
+
+# Machine-readable run-validity thresholds (round-9 verdict ask #3): a bench
+# record taken on a loaded/ballooned/stolen box is self-labeling instead of
+# needing forensic re-adjudication (the r9 driver run started at loadavg
+# 2.19 and inflated Spark walls a median 1.17× while DuckDB deflated 0.79×).
+# Thresholds documented in BASELINE.md §3.
+HEALTH_THRESHOLDS = {"loadavg_1m": 0.5, "steal_pct": 0.1, "balloon_mib": 0}
+
+
+def _box_health_ok(health: dict) -> bool:
+    if "error" in health:
+        return False
+    return (
+        health.get("loadavg_1m", 99.0) < HEALTH_THRESHOLDS["loadavg_1m"]
+        and health.get("steal_pct", 99.0) < HEALTH_THRESHOLDS["steal_pct"]
+        and health.get("balloon_mib", 1) <= HEALTH_THRESHOLDS["balloon_mib"]
+    )
 
 
 def _box_health() -> dict:
@@ -204,6 +224,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     health_pre = _box_health()
+    if not _box_health_ok(health_pre):
+        print(
+            f"WARNING: box health check failed pre-run ({health_pre}; "
+            f"thresholds {HEALTH_THRESHOLDS}) — walls from this record are "
+            "not comparable across rounds (box_health_ok=false)",
+            file=sys.stderr,
+        )
     registry = load_all()
     spark = get_spark("bench")
     # warm-up: touch the session + parquet footers once
@@ -248,6 +275,8 @@ def main() -> None:
         "cold_total": round(cold_total, 3),
         "box_health_pre": health_pre,
         "box_health_post": _box_health(),
+        "box_health_ok": _box_health_ok(health_pre),
+        "box_health_thresholds": HEALTH_THRESHOLDS,
     }
 
     # Warm-time each query's DuckDB oracle on the same tables for a
@@ -317,6 +346,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "cold_total": out["cold_total"],
+        "box_health_ok": out["box_health_ok"],
         "detail": f"BENCH_DETAIL_r{rnd:02d}.json",
     }
     if "duckdb_total" in out:

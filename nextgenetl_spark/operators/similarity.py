@@ -1153,9 +1153,19 @@ def pq_topk(
     which under-measures the effective crowd 20–50× on jittered replica
     corpora (both statistics and the recall confirmation at the two
     crowd regimes are in PQ_AUTO_SHORTLIST.json); pass an int to
-    override. The
-    ADC sum is an explicit left-to-right fold over subspaces, so scores are
-    partition-order-free and the whole walk replays in the pure-Python
+    override.
+
+    COST OF THE AUTO DEFAULT (self-contained path): measuring the crowd is
+    one extra full scan of the corpus vector column plus a driver-side
+    256×corpus-batch GEMM count pass, on EVERY call with shortlist=None.
+    Callers who know their regime opt out for free by passing an int
+    (e.g. the legacy 32 for ≤20-replica crowds); the persisted-index path
+    (build_ivfpq_index → *_query_index) never re-measures — the crowd
+    statistics are frozen in the index meta/. At very large N, hash-sample
+    the corpus before calling and scale the measured count back up.
+
+    The ADC sum is an explicit left-to-right fold over subspaces, so scores
+    are partition-order-free and the whole walk replays in the pure-Python
     VALUES-oracle generator (tools/gen_pq_oracle.py)."""
     import numpy as np
     import pandas as pd
@@ -1281,7 +1291,11 @@ def ivfpq_topk(
     ``nprobe=None`` applies the measured ceil(k_centroids/4)
     probe-fraction rule (_auto_nprobe / IVF_DEFAULT_CONFIRM.json);
     ``shortlist=None`` the 3·max(k, adc crowd) rule — every ANN knob has
-    a measurement-cited default and stays overridable."""
+    a measurement-cited default and stays overridable. NOTE the auto
+    shortlist is not free on this self-contained path: the crowd
+    measurement costs one extra corpus scan + a driver GEMM count pass
+    per call (see pq_topk's COST note); pass an int to skip it, or use
+    the persisted index whose meta/ freezes the statistic at build time."""
     import numpy as np
     import pandas as pd
 

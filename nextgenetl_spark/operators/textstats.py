@@ -209,6 +209,68 @@ def bm25_scores(
     )
 
 
+def bm25_multi_scores(
+    df: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    part_dp: int | None = 6,
+) -> "DataFrame":
+    """Multi-query BM25 over an inverted-posting composition — the
+    production lexical leg of hybrid retrieval (bm25_scores generalized
+    from one fixed term list to a (query_id, term) TABLE of queries).
+    Returns (query_id, id, score): one row per (query, doc containing ≥1
+    of that query's terms).
+
+    Same scan shape as bm25_scores: ONE tokenize pass feeds doc lengths
+    and term frequencies; the tf table is restricted at the scan to the
+    UNION of all queries' terms (a broadcast semi join — query vocabularies
+    are tiny next to the corpus); per-term document frequencies and the
+    1-row (avgdl, N) stats broadcast. The only corpus-sized shuffle is the
+    doc-length groupBy. Candidate width is Σ_q (docs containing q's terms)
+    — the classical posting-list cost, never |queries| × |corpus|.
+
+    Cross-engine determinism (``part_dp``): each per-(query, doc, term)
+    contribution is rounded HALF_UP to part_dp decimals and accumulated as
+    a scaled BIGINT, so the per-doc sum is order-independent — float
+    summation order across postings would otherwise differ between engines
+    at the last ulp and flip rounded ranking frontiers. 1e-6 quantization
+    of each BM25 term is far below any ranking-meaningful signal.
+    ``part_dp=None`` keeps raw double accumulation (fastest, engine-local
+    use)."""
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias(term_col))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n"))
+    vocab = query_terms.select(term_col).distinct()
+    tf = (
+        toks.join(F.broadcast(vocab), term_col, "semi")
+        .groupBy(id_col, term_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy(term_col).agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    part = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(query_terms.select(query_id, term_col)), term_col)
+        .join(F.broadcast(dfreq), term_col)
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    if part_dp is None:
+        return scored.groupBy(query_id, id_col).agg(F.sum(part).alias("score"))
+    scale = float(10 ** part_dp)
+    q = F.round(part * scale, 0).cast("long")
+    return scored.groupBy(query_id, id_col).agg(
+        (F.sum(q) / scale).alias("score")
+    )
+
+
 def rrf_fuse(
     lists: list,
     k: int = 5,

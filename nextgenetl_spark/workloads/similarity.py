@@ -854,3 +854,121 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [dense.select("query_id", "doc_id", "rank"), lex.select("query_id", "doc_id", "rank")],
         k=5,
     )
+
+
+def _hybrid_values_oracle() -> str:
+    """Oracle for hybrid_rrf_production: the DENSE leg is the frozen
+    independent pure-Python IVF-PQ walk WITH THE AUTO-KNOB RULES REPLICATED
+    (tools/gen_hybrid_oracle.py — nprobe=ceil(k_centroids/4), shortlist=
+    3*max(k, replayed measured_adc_crowd)), embedded as a VALUES table; the
+    LEXICAL BM25 leg and the RRF fusion are fully SQL-expressible and stay
+    live. Per-(query, doc, term) BM25 contributions are quantized to 6dp
+    scaled BIGINTs on BOTH engines (bm25_multi_scores part_dp=6) so posting
+    summation order cannot move the ranking frontier."""
+    from nextgenetl_spark.workloads import _hybrid_expected as P
+
+    vals = ",\n           ".join(f"({q}, {n}, {r})" for q, n, _, r in P.DENSE_TOPK)
+    return f"""
+    WITH dense AS (
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(rank AS INT) AS rank
+        FROM (VALUES {vals}) AS t(query_id, doc_id, rank)),
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n FROM dl),
+    qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 5),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM qterms)
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    parts AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(ROUND((ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                     * 1000000) AS BIGINT) AS p
+        FROM qterms q
+        JOIN tf USING (term)
+        JOIN dfreq d USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        WHERE tf.doc_id <> q.query_id),
+    lexscore AS (SELECT query_id, doc_id, SUM(p) AS sp
+                 FROM parts GROUP BY query_id, doc_id),
+    lex AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sp DESC, doc_id) AS rank
+        FROM lexscore),
+    u AS (
+        SELECT query_id, doc_id,
+               CAST(1.0 AS DOUBLE) / CAST(60 + rank AS DOUBLE) AS term
+        FROM (SELECT query_id, doc_id, rank FROM dense WHERE rank <= 10
+              UNION ALL
+              SELECT query_id, doc_id, rank FROM lex WHERE rank <= 10)),
+    f AS (
+        SELECT query_id, doc_id, ROUND(SUM(term), 6) AS rrf,
+               CAST(COUNT(*) AS INT) AS n_lists
+        FROM u GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, rrf, n_lists, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id) AS rank
+          FROM f)
+    WHERE rank <= 5
+    """
+
+
+@workload("hybrid_rrf_production", oracle=_hybrid_values_oracle())
+def hybrid_rrf_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-SHAPE hybrid retrieval: rrf_fuse over an IVF-PQ dense leg
+    with ALL-AUTO knobs (nprobe=None → ceil(k_centroids/4), shortlist=None
+    → 3·max(k, measured_adc_crowd)) + an inverted-posting multi-query BM25
+    lexical leg (bm25_multi_scores) — the composition hybrid_rrf_retrieval's
+    docstring promises at scale ("legs swap to IVF-PQ / BM25 posting agg"),
+    now exercised end-to-end as its own oracle-paired query. For the 5 query
+    documents: the dense leg prunes with cells and scores with codes (raw
+    vectors only for the shortlist re-rank); the lexical leg's candidate
+    width is Σ_q docs-containing-q's-terms (posting-list cost, never
+    |queries|×|corpus|); the fusion is one groupBy + window over
+    queries × Σk rows, corpus-size-free. Oracle: frozen independent
+    pure-Python IVF-PQ walk with both auto rules replicated
+    (tools/gen_hybrid_oracle.py) + live SQL BM25/fusion legs; the
+    brute-force-leg ground-truth pin is tests/test_dedup_similarity.py::
+    test_hybrid_production_matches_brute_force_fusion."""
+    from nextgenetl_spark.operators.similarity import ivfpq_topk
+    from nextgenetl_spark.operators.textstats import bm25_multi_scores, rrf_fuse, tokens
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+
+    q_emb = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c_emb = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    dense = ivfpq_topk(
+        q_emb, c_emb, k_centroids=16, nprobe=None, m=8, ks=16, k=10,
+        shortlist=None, refine_iters=1, train_iters=1, corpus_id="doc_id",
+    )
+
+    qterms = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("query_id"), F.explode(tokens("text")).alias("term"))
+        .distinct()
+    )
+    lexscore = bm25_multi_scores(docs, qterms, part_dp=6).filter(
+        F.col("query_id") != F.col("doc_id")
+    )
+    wlex = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        lexscore.withColumn("rank", F.row_number().over(wlex))
+        .filter(F.col("rank") <= 10)
+    )
+
+    return rrf_fuse(
+        [dense.select("query_id", "doc_id", "rank"), lex.select("query_id", "doc_id", "rank")],
+        k=5,
+    )

@@ -1486,3 +1486,145 @@ def test_ivf_auto_nprobe_matches_quarter_fraction(spark):
     )
     got_two = sorted(map(tuple, ivf_topk(q, c, k_centroids=8, nprobe=2, k=3).collect()))
     assert got_auto == got_two
+
+
+def test_hybrid_oracle_corpus_fingerprint(spark):
+    """The hybrid_rrf_production dense-leg VALUES oracle is frozen over the
+    FIXED sf0.01 embeddings with the AUTO-knob rules replicated in pure
+    Python (tools/gen_hybrid_oracle.py). Fails BY NAME if the corpus
+    changes; rerun the generator to refresh _hybrid_expected.py. Also pins
+    the one cross-derivation seam: the implementation's measured_adc_crowd
+    over the fixed corpus must equal the replicated ADC_CROWD (the two
+    GEMM paths batch the corpus differently, so this is the only decision
+    the margin assertion cannot cover)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from nextgenetl_spark.operators.similarity import (
+        _collect_codebooks,
+        _unit_vectors,
+        measured_adc_crowd,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from nextgenetl_spark.workloads._hybrid_expected import (
+        ADC_CROWD,
+        CORPUS_MD5,
+        DENSE_TOPK,
+        MIN_DECISION_MARGIN,
+        NPROBE,
+        SHORTLIST,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    h = hashlib.md5()
+    for vid in sorted(vecs):
+        h.update(str(vid).encode() + b"\x00" + str(vecs[vid]).encode() + b"\x01")
+    assert h.hexdigest() == CORPUS_MD5
+    assert MIN_DECISION_MARGIN > 1e-9
+    assert NPROBE == 4  # ceil(16/4)
+    assert SHORTLIST == 3 * max(10, ADC_CROWD)
+    # 5 queries x top-10, contiguous ranks, sims ordered desc
+    assert len(DENSE_TOPK) == 50
+    by_q: dict = {}
+    for q, _, s, r in DENSE_TOPK:
+        by_q.setdefault(q, []).append((r, s))
+    assert sorted(by_q) == [0, 1, 2, 3, 4]
+    for rs in by_q.values():
+        assert sorted(r for r, _ in rs) == list(range(1, 11))
+        sims = [s for _, s in sorted(rs)]
+        assert sims == sorted(sims, reverse=True)
+
+    # seam pin: Spark's measured crowd == the pure-Python replication
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    unit = _unit_vectors(emb, "doc_id", "embedding")
+    CB = _collect_codebooks(train_pq_codebooks(emb, 8, 16, 1, "doc_id", "embedding"), 8, 16)
+    codes = pq_encode(emb, CB, "doc_id", "embedding")
+    assert measured_adc_crowd(unit, codes, CB, "doc_id") == ADC_CROWD
+
+
+def test_hybrid_production_vs_brute_force_fusion(spark):
+    """Ground truth for hybrid_rrf_production: swap the IVF-PQ dense leg
+    for brute-force cosine_topk (the exact leg) and fuse with the SAME
+    lexical leg. The fixed sf tables are isotropic (near_isotropic=True —
+    the regime where any pruning index structurally loses recall, BASELINE
+    §4.2), so the assertion there is a deterministic overlap floor plus
+    structural invariants; on a near-dup-crowded corpus (the regime
+    indexes are FOR) the auto-knob dense leg must recover the brute-force
+    top-10 almost exactly."""
+    from pyspark.sql.window import Window
+
+    from nextgenetl_spark.operators.similarity import ivfpq_topk
+    from nextgenetl_spark.operators.textstats import bm25_multi_scores, rrf_fuse, tokens
+    from nextgenetl_spark.workloads.similarity import hybrid_rrf_production
+
+    fused = hybrid_rrf_production(spark, SF_SMOKE).collect()
+    assert {r["query_id"] for r in fused} == {0, 1, 2, 3, 4}
+    for q in range(5):
+        ranks = sorted(r["rank"] for r in fused if r["query_id"] == q)
+        assert ranks == [1, 2, 3, 4, 5]
+    assert all(r["n_lists"] in (1, 2) for r in fused)
+    assert all(0.0 < r["rrf"] <= 2.0 / 61.0 + 1e-9 for r in fused)
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    docs = load(spark, SF_SMOKE, "documents")
+    q_emb = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c_emb = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    brute = cosine_topk(q_emb, c_emb, k=10, corpus_id="doc_id")
+    qterms = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("query_id"), F.explode(tokens("text")).alias("term"))
+        .distinct()
+    )
+    lexscore = bm25_multi_scores(docs, qterms, part_dp=6).filter(
+        F.col("query_id") != F.col("doc_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lexscore.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    bf = rrf_fuse(
+        [brute.select("query_id", "doc_id", "rank"), lex.select("query_id", "doc_id", "rank")],
+        k=5,
+    ).collect()
+
+    def sets(rows):
+        d: dict = {}
+        for r in rows:
+            d.setdefault(r["query_id"], set()).add(r["doc_id"])
+        return d
+
+    fs, bs = sets(fused), sets(bf)
+    overlaps = [len(fs[q] & bs[q]) / 5 for q in fs]
+    assert sum(overlaps) / len(overlaps) >= 0.5  # isotropic floor (measured 0.64)
+
+    # crowded corpus: 12 perturbed replicas per base vector (600 vecs) —
+    # the regime pruning indexes exist for; with k_centroids = 24 ≈ √600
+    # (the auto √N sizing rule) the auto-probe/auto-shortlist dense leg
+    # reads recall@10 = 1.000 vs brute force (every query's true top-10 is
+    # its 11-sibling crowd, recovered exactly). Floor at 0.9 for slack.
+    rexp = F.explode(F.sequence(F.lit(0), F.lit(11))).alias("rep")
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, j: x.cast("double")
+        + F.lit(0.05) * F.sin((F.col("rep") + 1).cast("double") * (j + 1).cast("double")),
+    )
+    crowded = emb.select("vec_id", "embedding", rexp).select(
+        (F.col("vec_id") * 12 + F.col("rep")).alias("doc_id"), pert.alias("embedding")
+    )
+    qids = [b * 12 for b in range(5)]  # 5 distinct bases, not 5 reps of one
+    cq = crowded.filter(F.col("doc_id").isin(qids)).withColumnRenamed("doc_id", "query_id")
+    dense_auto = ivfpq_topk(
+        cq, crowded, k_centroids=24, nprobe=None, m=8, ks=16, k=10,
+        shortlist=None, refine_iters=1, train_iters=1, corpus_id="doc_id",
+    )
+    dense_brute = cosine_topk(cq, crowded, k=10, corpus_id="doc_id")
+    da, db = sets(dense_auto.collect()), sets(dense_brute.collect())
+    recall = [len(da[q] & db[q]) / 10 for q in db]
+    assert sum(recall) / len(recall) >= 0.9

@@ -240,3 +240,37 @@ def test_ivfpq_generator_matches_spark_on_random_vectors(spark):
         ).collect()
     )
     assert got == sorted(exp_rows)
+
+
+def test_adc_crowd_replication_matches_spark_on_random_vectors(spark):
+    """Round-10: the pure-Python measured_adc_crowd replication in
+    tools/gen_hybrid_oracle.py (the auto-shortlist statistic behind
+    hybrid_rrf_production's frozen dense leg) must equal the Spark
+    implementation on LIVE random corpora — unit fold-normalization, the
+    md5-ordered sample, the delta/threshold band from the sample pair
+    grid, and the corpus count pass. The GEMM count batches differently on
+    the two paths, so this is the seam the frozen-corpus pin
+    (test_hybrid_oracle_corpus_fingerprint) certifies at sf0.01 and this
+    test certifies off-corpus."""
+    import tools.gen_hybrid_oracle as G
+    from nextgenetl_spark.operators.similarity import (
+        _collect_codebooks,
+        _unit_vectors,
+        measured_adc_crowd,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    rng = random.Random(41)
+    dim, n, m, ks = 12, 90, 3, 4
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(5)]
+    vecs = {i: [c + rng.gauss(0, 0.25) for c in centers[i % 5]] for i in range(n)}
+    exp_crowd, exp_delta = G.adc_crowd_expected(vecs, m=m, ks=ks, train_iters=1, n_sample=32)
+
+    emb = spark.createDataFrame(list(vecs.items()), "vec_id long, embedding array<double>")
+    unit = _unit_vectors(emb, "vec_id", "embedding")
+    CB = _collect_codebooks(train_pq_codebooks(emb, m, ks, 1, "vec_id", "embedding"), m, ks)
+    codes = pq_encode(emb, CB, "vec_id", "embedding")
+    got = measured_adc_crowd(unit, codes, CB, "vec_id", n_sample=32)
+    assert got == exp_crowd
+    assert exp_delta >= 0.0

@@ -36,6 +36,10 @@ EXPECTED = {
     # both retrieval legs broadcast the 5-row query set against the corpus
     # (the ann_cosine_topk shape) — deliberate verification-form NLJs
     "hybrid_rrf_retrieval": {"BroadcastNestedLoopJoin"},
+    # production-shape hybrid: the IVF-PQ dense leg's k-row centroid-probe
+    # crossJoin (ann_ivfpq_topk shape) + the 1-row (avgdl, N) BM25 stats
+    # broadcast (bm25_topk shape) — both constant-size NLJs
+    "hybrid_rrf_production": {"BroadcastNestedLoopJoin"},
     # 1-row N-docs aggregate broadcast into every tf row — constant-size NLJ
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     # 1-row (avgdl, N) corpus-stats broadcast into every (doc, term) score
