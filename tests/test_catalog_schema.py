@@ -181,3 +181,67 @@ def test_tsv_time_column_roundtrip(spark, tmp_path):
     assert rows["2"]["start_time"] == "23:59:59.123456"
     assert rows["3"]["start_time"] == "9:3:22"  # verbatim, not re-rendered
     assert rows["2"]["mixed"] == "2020-01-02"
+
+
+def test_table_files_lists_remote_scheme_directories(spark, tmp_path):
+    """Round-9 ADVICE #2: a URI-scheme directory-backed table must
+    enumerate its part files (via pyarrow.fs.FileSystem.from_uri), not
+    degrade to one bare '<name>.parquet' path — otherwise the remote
+    thread-pool footer tier can never see a multi-file remote lake.
+    Exercised with file:// (a real pyarrow filesystem URI this box can
+    serve); both INFORMATION_SCHEMA views must read every part through
+    the URI paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nextgenetl_spark import catalog as cat
+
+    lake = tmp_path / "rlake"
+    part_dir = lake / "region.parquet"
+    part_dir.mkdir(parents=True)
+    total = 0
+    for i in range(3):
+        n = 2 + i
+        total += n
+        pq.write_table(
+            pa.table(
+                {
+                    "r_regionkey": pa.array(range(n), type=pa.int64()),
+                    "r_name": pa.array([f"r{i}_{j}" for j in range(n)]),
+                }
+            ),
+            part_dir / f"part-{i:05d}.parquet",
+        )
+    (part_dir / "_SUCCESS").write_text("")  # non-parquet entries are skipped
+
+    uri_lake = f"file://{lake}"
+    files = cat._table_files(uri_lake, "region")
+    assert len(files) == 3
+    assert all(f.startswith("file:///") and f.endswith(".parquet") for f in files)
+    assert files == sorted(files)
+
+    # a bare single-file URI table stays a one-element list
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([1, 2], type=pa.int64())}),
+        tmp_path / "nation.parquet",
+    )
+    assert cat._table_files(f"file://{tmp_path}", "nation") == [
+        f"file://{tmp_path}/nation.parquet"
+    ]
+
+    old_tables = cat.TABLES
+    cat.TABLES = ("region",)
+    try:
+        meta = {
+            r["table_name"]: r
+            for r in information_schema_tables(spark, uri_lake).collect()
+        }
+        assert meta["region"]["n_rows"] == total
+        assert meta["region"]["n_columns"] == 2
+        cols = information_schema_columns(spark, uri_lake).collect()
+        assert {(r["column_name"], r["data_type"]) for r in cols} == {
+            ("r_regionkey", "BIGINT"),
+            ("r_name", "VARCHAR"),
+        }
+    finally:
+        cat.TABLES = old_tables
