@@ -16,7 +16,9 @@ imported by any collected segment — falling back to whole-file hashes only
 when a symbol cannot be located. Whole-module hashing would flood: every
 query calls ``catalog.load``, so ANY catalog.py edit would mark all ~200
 entries changed and the budget would re-check nothing but false positives.
-Symbol granularity keeps the changed set proportional to the edit.
+Symbol granularity keeps the changed set proportional to the edit; leading
+docstrings are stripped from segments for the same reason (round 10) —
+documentation edits are non-behavioral and must not consume the budget.
 
 The same walk runs against two kinds of tree — the current working tree
 (``load_all`` at driver time) and a past round-boundary git commit
@@ -77,7 +79,28 @@ class _ModuleView:
         start = node.lineno
         for dec in getattr(node, "decorator_list", []) or []:
             start = min(start, dec.lineno)
-        return "\n".join(self.lines[start - 1 : node.end_lineno])
+        lines = self.lines[start - 1 : node.end_lineno]
+        # Docstrings are non-behavioral: hashing them spends the driver's
+        # fixed re-verification budget on documentation edits (round 10:
+        # a COST-note docstring on pq_topk/ivfpq_topk would have flagged
+        # four ANN entries carrying fresh r9 evidence). Strip the leading
+        # docstring's lines from the segment — but only when those lines
+        # hold nothing else (guards: not on the def line itself, and the
+        # next statement starts on a later line).
+        body = getattr(node, "body", None)
+        if (
+            body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+            and body[0].lineno > node.lineno
+            and (len(body) == 1 or body[1].lineno > body[0].end_lineno)
+        ):
+            ds0, ds1 = body[0].lineno, body[0].end_lineno
+            lines = [
+                ln for i, ln in enumerate(lines, start=start) if not (ds0 <= i <= ds1)
+            ]
+        return "\n".join(lines)
 
 
 def _bindings_of(node: ast.AST, defining_mod: str) -> list[tuple[str, str, str | None]]:

@@ -276,3 +276,51 @@ def test_evidence_snapshot_is_fresh():
         cwd=ROOT,
     )
     assert proc.returncode == 0, f"stale snapshot:\n{proc.stdout}\n{proc.stderr}"
+
+
+def test_fingerprint_stable_under_docstring_change():
+    """Docstring edits are non-behavioral and must NOT flag an entry as
+    changed (round 10: a COST-note docstring on two operators would have
+    spent four budget slots re-greening fresh-r9 ANN entries). Body edits
+    on the same function must still flip."""
+    base = _fp(BASE_FILES)
+    doc = dict(BASE_FILES)
+    doc["nextgenetl_spark/operators/sampling.py"] = '''
+def pick(df):
+    """A very thorough new docstring.
+
+    Multi-line, with detail.
+    """
+    return df
+
+def other_op(df):
+    return df.limit(1)
+'''
+    assert _fp(doc) == base
+    body = dict(doc)
+    body["nextgenetl_spark/operators/sampling.py"] = '''
+def pick(df):
+    """A very thorough new docstring.
+
+    Multi-line, with detail.
+    """
+    return df.cache()
+
+def other_op(df):
+    return df.limit(1)
+'''
+    assert _fp(body) != base
+    # same-line / shared-line docstrings are NOT stripped (guards): a
+    # one-liner def keeps its full segment
+    oneline = dict(BASE_FILES)
+    oneline["nextgenetl_spark/operators/sampling.py"] = '''
+def pick(df): "doc"; return df
+
+def other_op(df):
+    return df.limit(1)
+'''
+    oneline2 = dict(oneline)
+    oneline2["nextgenetl_spark/operators/sampling.py"] = oneline[
+        "nextgenetl_spark/operators/sampling.py"
+    ].replace('"doc"', '"other doc"')
+    assert _fp(oneline) != _fp(oneline2)
