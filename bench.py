@@ -162,8 +162,11 @@ HEADLINE = {
     # bug's driver-paired regression pin)
     "quality_weighted_sample": "count",
     # round 10: production-shape hybrid retrieval — rrf over IVF-PQ (all-auto
-    # knobs, VALUES-pinned dense leg) + multi-query posting-agg BM25
+    # knobs, VALUES-pinned dense leg) + multi-query posting-agg BM25; the
+    # _persisted twin queries the staged index (auto knobs from meta, no
+    # corpus re-measurement — the serving path)
     "hybrid_rrf_production": "collect",
+    "hybrid_rrf_persisted": "collect",
 }
 
 # Machine-readable run-validity thresholds (round-9 verdict ask #3): a bench

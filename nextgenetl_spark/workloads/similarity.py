@@ -972,3 +972,66 @@ def hybrid_rrf_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         [dense.select("query_id", "doc_id", "rank"), lex.select("query_id", "doc_id", "rank")],
         k=5,
     )
+
+
+@workload("hybrid_rrf_persisted", oracle=_hybrid_values_oracle())
+def hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid_rrf_production on the PERSISTED index path — the
+    build-once/query-many form a serving deployment actually runs:
+    `build_ivfpq_index` persists centroids/codebooks/cell-partitioned
+    codes+vectors AND the measured crowd statistic in meta/, then
+    `ivfpq_query_index(nprobe=None, shortlist=None)` applies the same auto
+    rules FROM META — zero corpus re-measurement at query time (the cost
+    the self-contained auto default pays per call, r9 ADVICE #3; this
+    entry demonstrates the documented opt-out). The index is staged
+    content-fingerprinted (the stream_ann_lookup discipline: size+mtime
+    keyed, _COMPLETE-marked, rebuilt on in-place regeneration). The
+    persisted walk is bit-identical to the self-contained one (pinned by
+    pytest), so this entry shares hybrid_rrf_production's frozen
+    dense-VALUES oracle verbatim — one frozen walk certifying both
+    composition paths. Lexical leg + fusion identical."""
+    import os
+
+    from nextgenetl_spark.operators.similarity import build_ivfpq_index, ivfpq_query_index
+    from nextgenetl_spark.operators.textstats import bm25_multi_scores, rrf_fuse, tokens
+    from nextgenetl_spark.staging import code_token, mark_complete, staged_dir
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+
+    idx, complete = staged_dir(
+        "ngetl_ivfpq_hybrid",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        code=code_token(build_ivfpq_index),
+    )
+    if not complete:
+        build_ivfpq_index(
+            emb, idx, k_centroids=16, refine_iters=1, m=8, ks=16, train_iters=1
+        )
+        mark_complete(idx)
+
+    q_emb = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = ivfpq_query_index(
+        spark, idx, q_emb, nprobe=None, shortlist=None, k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+
+    qterms = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("query_id"), F.explode(tokens("text")).alias("term"))
+        .distinct()
+    )
+    lexscore = bm25_multi_scores(docs, qterms, part_dp=6).filter(
+        F.col("query_id") != F.col("doc_id")
+    )
+    wlex = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        lexscore.withColumn("rank", F.row_number().over(wlex))
+        .filter(F.col("rank") <= 10)
+    )
+    return rrf_fuse(
+        [dense, lex.select("query_id", "doc_id", "rank")],
+        k=5,
+    )

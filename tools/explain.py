@@ -40,6 +40,7 @@ EXPECTED = {
     # crossJoin (ann_ivfpq_topk shape) + the 1-row (avgdl, N) BM25 stats
     # broadcast (bm25_topk shape) — both constant-size NLJs
     "hybrid_rrf_production": {"BroadcastNestedLoopJoin"},
+    "hybrid_rrf_persisted": {"BroadcastNestedLoopJoin"},
     # 1-row N-docs aggregate broadcast into every tf row — constant-size NLJ
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     # 1-row (avgdl, N) corpus-stats broadcast into every (doc, term) score
