@@ -177,14 +177,26 @@ HEADLINE = {
 HEALTH_THRESHOLDS = {"loadavg_1m": 0.5, "steal_pct": 0.1, "balloon_mib": 0}
 
 
-def _box_health_ok(health: dict) -> bool:
-    if "error" in health:
+def _box_health_ok(pre: dict, post: dict | None = None) -> bool:
+    """Valid iff the PRE snapshot clears every threshold AND the POST
+    snapshot shows no balloon/steal that appeared MID-RUN (the r8 incident
+    shape: idle at start, hypervisor squeeze during the run). Post loadavg
+    is self-polluted by the bench itself and is not consulted."""
+    if "error" in pre:
         return False
-    return (
-        health.get("loadavg_1m", 99.0) < HEALTH_THRESHOLDS["loadavg_1m"]
-        and health.get("steal_pct", 99.0) < HEALTH_THRESHOLDS["steal_pct"]
-        and health.get("balloon_mib", 1) <= HEALTH_THRESHOLDS["balloon_mib"]
+    ok = (
+        pre.get("loadavg_1m", 99.0) < HEALTH_THRESHOLDS["loadavg_1m"]
+        and pre.get("steal_pct", 99.0) < HEALTH_THRESHOLDS["steal_pct"]
+        and pre.get("balloon_mib", 1) <= HEALTH_THRESHOLDS["balloon_mib"]
     )
+    if post is not None:
+        if "error" in post:
+            return False
+        ok = ok and (
+            post.get("steal_pct", 99.0) < HEALTH_THRESHOLDS["steal_pct"]
+            and post.get("balloon_mib", 1) <= HEALTH_THRESHOLDS["balloon_mib"]
+        )
+    return ok
 
 
 def _box_health() -> dict:
@@ -277,8 +289,8 @@ def main() -> None:
         "sf": sf,
         "cold_total": round(cold_total, 3),
         "box_health_pre": health_pre,
-        "box_health_post": _box_health(),
-        "box_health_ok": _box_health_ok(health_pre),
+        "box_health_post": (health_post := _box_health()),
+        "box_health_ok": _box_health_ok(health_pre, health_post),
         "box_health_thresholds": HEALTH_THRESHOLDS,
     }
 

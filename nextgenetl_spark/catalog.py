@@ -185,13 +185,25 @@ def _table_files(sf_dir: str, name: str) -> list[str]:
     if "://" in path:
         from pyarrow import fs as pafs
 
-        scheme = path.split("://", 1)[0]
-        filesystem, fs_path = pafs.FileSystem.from_uri(path)
-        info = filesystem.get_file_info(fs_path)
+        try:
+            filesystem, fs_path = pafs.FileSystem.from_uri(path)
+            info = filesystem.get_file_info(fs_path)
+        except (OSError, ValueError, NotImplementedError):
+            # http(s) and other non-filesystem URIs (ArrowInvalid is a
+            # ValueError): no listing protocol — a bare single-file table
+            # is the only shape, pass it through for pyarrow's reader
+            # (self-review: from_uri raising here used to kill even
+            # single-file http tables at LIST time)
+            return [path]
         if info.type == pafs.FileType.Directory:
+            # rebuild each part as <original dir URI>/<basename>: from_uri's
+            # fs_path drops the URI authority (hdfs namenode, abfss
+            # account), so reconstructing from scheme+fs_path would point
+            # parts at the wrong cluster (self-review); suffixing the
+            # caller's own URI preserves authority for every scheme
             sel = pafs.FileSelector(fs_path)
             parts = sorted(
-                f"{scheme}://{fi.path}"
+                f"{path}/{fi.path.rsplit('/', 1)[-1]}"
                 for fi in filesystem.get_file_info(sel)
                 if fi.is_file and fi.path.endswith(".parquet")
             )
@@ -281,6 +293,10 @@ def information_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     first footer so the two views can never disagree. Lakes that evolve
     part-file schemas in place should re-register (or compact) the
     table, which is the write discipline plans/pipeline.py enforces."""
+    # NOTE: a remote listing costs ~2 store RPCs per table and the tables
+    # view repeats it; at manifest-backed scale callers pass the file list
+    # through a catalog instead of live directory walks (self-review r10 —
+    # accepted latency at TABLES-count cardinality, not file-count)
     pairs = [(name, _table_files(sf_dir, name)[0]) for name in TABLES]
 
     def read_footer(item):

@@ -921,6 +921,32 @@ def _hybrid_values_oracle() -> str:
     """
 
 
+def _hybrid_lex_leg(docs: DataFrame, k: int = 10) -> DataFrame:
+    """The shared lexical leg of the hybrid_rrf_* pair: each query doc's
+    distinct tokens form its (query_id, term) query table, scored by the
+    inverted-posting multi-query BM25 (bm25_multi_scores, part_dp=6 for
+    the engine-free quantized sum), self-matches dropped, top-k ranked per
+    query. One definition so the production/persisted twins (and the
+    ground-truth pytest) cannot drift apart (self-review r10)."""
+    from nextgenetl_spark.operators.textstats import bm25_multi_scores, tokens
+    from pyspark.sql.window import Window
+
+    qterms = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("query_id"), F.explode(tokens("text")).alias("term"))
+        .distinct()
+    )
+    lexscore = bm25_multi_scores(docs, qterms, part_dp=6).filter(
+        F.col("query_id") != F.col("doc_id")
+    )
+    wlex = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        lexscore.withColumn("rank", F.row_number().over(wlex))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+    )
+
+
 @workload("hybrid_rrf_production", oracle=_hybrid_values_oracle())
 def hybrid_rrf_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION-SHAPE hybrid retrieval: rrf_fuse over an IVF-PQ dense leg
@@ -937,10 +963,9 @@ def hybrid_rrf_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python IVF-PQ walk with both auto rules replicated
     (tools/gen_hybrid_oracle.py) + live SQL BM25/fusion legs; the
     brute-force-leg ground-truth pin is tests/test_dedup_similarity.py::
-    test_hybrid_production_matches_brute_force_fusion."""
+    test_hybrid_production_vs_brute_force_fusion."""
     from nextgenetl_spark.operators.similarity import ivfpq_topk
-    from nextgenetl_spark.operators.textstats import bm25_multi_scores, rrf_fuse, tokens
-    from pyspark.sql.window import Window
+    from nextgenetl_spark.operators.textstats import rrf_fuse
 
     emb = load(spark, sf_dir, "embeddings")
     docs = load(spark, sf_dir, "documents")
@@ -953,23 +978,8 @@ def hybrid_rrf_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_emb, c_emb, k_centroids=16, nprobe=None, m=8, ks=16, k=10,
         shortlist=None, refine_iters=1, train_iters=1, corpus_id="doc_id",
     )
-
-    qterms = (
-        docs.filter(F.col("doc_id") < 5)
-        .select(F.col("doc_id").alias("query_id"), F.explode(tokens("text")).alias("term"))
-        .distinct()
-    )
-    lexscore = bm25_multi_scores(docs, qterms, part_dp=6).filter(
-        F.col("query_id") != F.col("doc_id")
-    )
-    wlex = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    lex = (
-        lexscore.withColumn("rank", F.row_number().over(wlex))
-        .filter(F.col("rank") <= 10)
-    )
-
     return rrf_fuse(
-        [dense.select("query_id", "doc_id", "rank"), lex.select("query_id", "doc_id", "rank")],
+        [dense.select("query_id", "doc_id", "rank"), _hybrid_lex_leg(docs)],
         k=5,
     )
 
@@ -993,17 +1003,20 @@ def hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from nextgenetl_spark.operators.similarity import build_ivfpq_index, ivfpq_query_index
-    from nextgenetl_spark.operators.textstats import bm25_multi_scores, rrf_fuse, tokens
+    from nextgenetl_spark.operators.textstats import rrf_fuse
     from nextgenetl_spark.staging import code_token, mark_complete, staged_dir
-    from pyspark.sql.window import Window
 
     emb = load(spark, sf_dir, "embeddings")
     docs = load(spark, sf_dir, "documents")
 
+    # code_token includes THIS workload fn so the call-site build knobs
+    # (k_centroids/m/ks/...) key the cache too — tokening only
+    # build_ivfpq_index would serve a stale index after a knob edit here
+    # (self-review r10; the partition_pruning staging discipline)
     idx, complete = staged_dir(
         "ngetl_ivfpq_hybrid",
         os.path.join(sf_dir, "embeddings.parquet"),
-        code=code_token(build_ivfpq_index),
+        code=code_token(build_ivfpq_index, hybrid_rrf_persisted),
     )
     if not complete:
         build_ivfpq_index(
@@ -1017,21 +1030,4 @@ def hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = ivfpq_query_index(
         spark, idx, q_emb, nprobe=None, shortlist=None, k=10
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
-
-    qterms = (
-        docs.filter(F.col("doc_id") < 5)
-        .select(F.col("doc_id").alias("query_id"), F.explode(tokens("text")).alias("term"))
-        .distinct()
-    )
-    lexscore = bm25_multi_scores(docs, qterms, part_dp=6).filter(
-        F.col("query_id") != F.col("doc_id")
-    )
-    wlex = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    lex = (
-        lexscore.withColumn("rank", F.row_number().over(wlex))
-        .filter(F.col("rank") <= 10)
-    )
-    return rrf_fuse(
-        [dense, lex.select("query_id", "doc_id", "rank")],
-        k=5,
-    )
+    return rrf_fuse([dense, _hybrid_lex_leg(docs)], k=5)

@@ -1558,11 +1558,9 @@ def test_hybrid_production_vs_brute_force_fusion(spark):
     structural invariants; on a near-dup-crowded corpus (the regime
     indexes are FOR) the auto-knob dense leg must recover the brute-force
     top-10 almost exactly."""
-    from pyspark.sql.window import Window
-
     from nextgenetl_spark.operators.similarity import ivfpq_topk
-    from nextgenetl_spark.operators.textstats import bm25_multi_scores, rrf_fuse, tokens
-    from nextgenetl_spark.workloads.similarity import hybrid_rrf_production
+    from nextgenetl_spark.operators.textstats import rrf_fuse
+    from nextgenetl_spark.workloads.similarity import _hybrid_lex_leg, hybrid_rrf_production
 
     fused = hybrid_rrf_production(spark, SF_SMOKE).collect()
     assert {r["query_id"] for r in fused} == {0, 1, 2, 3, 4}
@@ -1579,18 +1577,8 @@ def test_hybrid_production_vs_brute_force_fusion(spark):
     )
     c_emb = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
     brute = cosine_topk(q_emb, c_emb, k=10, corpus_id="doc_id")
-    qterms = (
-        docs.filter(F.col("doc_id") < 5)
-        .select(F.col("doc_id").alias("query_id"), F.explode(tokens("text")).alias("term"))
-        .distinct()
-    )
-    lexscore = bm25_multi_scores(docs, qterms, part_dp=6).filter(
-        F.col("query_id") != F.col("doc_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    lex = lexscore.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
     bf = rrf_fuse(
-        [brute.select("query_id", "doc_id", "rank"), lex.select("query_id", "doc_id", "rank")],
+        [brute.select("query_id", "doc_id", "rank"), _hybrid_lex_leg(docs)],
         k=5,
     ).collect()
 
