@@ -155,3 +155,77 @@ def test_round4_sketches_on_empty_and_degenerate_inputs(spark):
     # all-null / all-NaN value column → empty sketch, not a crash
     nulls = spark.createDataFrame([(None,), (float("nan"),)], "value double")
     assert qhist_build(nulls, "value", 0.0, 1.0, 8).count() == 0
+
+
+def test_bm25_multi_scores_hand_computed_and_edge_cases(spark):
+    """bm25_multi_scores (round 10, the hybrid lexical leg) against a
+    hand-computed BM25 on a 3-doc corpus, plus the degradation contract:
+    empty corpus, absent query terms, empty query table, and the
+    part_dp=None raw-double path agreeing with the quantized one to 1e-6."""
+    import math
+
+    from nextgenetl_spark.operators.textstats import bm25_multi_scores
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma"), (3, "delta delta delta delta")],
+        "doc_id long, text string",
+    )
+    qt = spark.createDataFrame(
+        [(10, "alpha"), (10, "gamma"), (20, "delta")],
+        "query_id long, term string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_multi_scores(docs, qt, part_dp=6).collect()
+    }
+    # hand computation: N=3, dl = {1:3, 2:2, 3:4}, avgdl=3;
+    # df(alpha)=1, df(gamma)=1, df(delta)=1 → idf = ln((3-1+.5)/(1+.5)+1)
+    k1, b = 1.2, 0.75
+    idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1)
+
+    def part(tf, dl):
+        x = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 3.0))
+        return round(x, 6)
+
+    expect = {
+        (10, 1): part(2, 3),          # alpha tf=2 in doc 1
+        (10, 2): part(1, 2),          # gamma tf=1 in doc 2
+        (20, 3): part(4, 4),          # delta tf=4 in doc 3
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-9, (k, got[k], expect[k])
+
+    # raw-double path agrees with the quantized one to the quantum
+    raw = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_multi_scores(docs, qt, part_dp=None).collect()
+    }
+    assert set(raw) == set(got)
+    assert all(abs(raw[k] - got[k]) < 1e-6 for k in got)
+
+    # a query whose terms are absent from the corpus yields no rows for it
+    qt_absent = spark.createDataFrame(
+        [(30, "zzz_nowhere"), (10, "alpha")], "query_id long, term string"
+    )
+    got2 = {r["query_id"] for r in bm25_multi_scores(docs, qt_absent).collect()}
+    assert got2 == {10}
+
+    # empty corpus / empty query table → empty result, no crash
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_multi_scores(empty_docs, qt).count() == 0
+    empty_qt = spark.createDataFrame([], "query_id long, term string")
+    assert bm25_multi_scores(docs, empty_qt).count() == 0
+
+    # a term shared by two queries scores both (the posting join fan-out)
+    qt_shared = spark.createDataFrame(
+        [(1, "beta"), (2, "beta")], "query_id long, term string"
+    )
+    got3 = bm25_multi_scores(docs, qt_shared).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in got3} == {
+        (1, 1), (1, 2), (2, 1), (2, 2)
+    }
+    # identical query → identical scores
+    s1 = {r["doc_id"]: r["score"] for r in got3 if r["query_id"] == 1}
+    s2 = {r["doc_id"]: r["score"] for r in got3 if r["query_id"] == 2}
+    assert s1 == s2
