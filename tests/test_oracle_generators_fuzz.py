@@ -274,3 +274,48 @@ def test_adc_crowd_replication_matches_spark_on_random_vectors(spark):
     got = measured_adc_crowd(unit, codes, CB, "vec_id", n_sample=32)
     assert got == exp_crowd
     assert exp_delta >= 0.0
+
+
+def test_hybrid_dense_auto_walk_matches_spark_on_random_vectors(spark):
+    """Round-10 end-to-end: the FULL auto-knob dense walk behind
+    hybrid_rrf_production's frozen oracle — pure-Python crowd measurement →
+    replicated shortlist/nprobe rules → ivfpq_topk_expected — must match
+    Spark's ivfpq_topk(nprobe=None, shortlist=None) on a LIVE random
+    corpus. Composes the two already-pinned seams (adc-crowd replication,
+    ivfpq walk) exactly as the generator does."""
+    import math
+
+    import tools.gen_hybrid_oracle as G
+    import tools.gen_ivfpq_oracle as GI
+    import tools.gen_pq_oracle as GP
+    from nextgenetl_spark.operators.similarity import ivfpq_topk
+
+    rng = random.Random(53)
+    dim, n, m, ks, kc = 12, 80, 3, 4, 4
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    vecs = {i: [c + rng.gauss(0, 0.3) for c in centers[i % 4]] for i in range(n)}
+
+    # n_sample=256 > n: both paths sample the WHOLE corpus (md5 order is
+    # then irrelevant to the order-insensitive quantile/count), matching
+    # Spark's default-knob call exactly
+    crowd, _ = G.adc_crowd_expected(vecs, m=m, ks=ks, train_iters=1, n_sample=256)
+    nprobe = G.auto_nprobe(kc)
+    shortlist = 3 * max(3, crowd)
+    exp_rows, margin = GI.ivfpq_topk_expected(
+        vecs, list(range(5)), k_centroids=kc, nprobe=nprobe, refine_iters=1,
+        m=m, ks=ks, train_iters=1, shortlist=shortlist, k=3,
+    )
+    assert margin > GP.MIN_MARGIN, "degenerate random draw — tighten the seed"
+    assert nprobe == math.ceil(kc / 4)
+
+    emb = spark.createDataFrame(list(vecs.items()), "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in ivfpq_topk(
+            q, c, k_centroids=kc, nprobe=None, refine_iters=1,
+            m=m, ks=ks, train_iters=1, shortlist=None, k=3,
+        ).collect()
+    )
+    assert got == sorted(exp_rows)
