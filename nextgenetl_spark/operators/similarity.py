@@ -1035,6 +1035,7 @@ def measured_adc_crowd(
     CB,
     id_col: str,
     n_sample: int = 256,
+    count_fraction: float | None = None,
 ) -> int:
     """The EFFECTIVE tie-crowd the shortlist rule needs: the mean number
     of corpus vectors whose exact cosine to a sampled vector lies within
@@ -1058,13 +1059,21 @@ def measured_adc_crowd(
     ceil(mean count), the membership-weighted view since samples are
     drawn uniformly. Cost: one extra corpus scan of the vector column
     (the train/encode passes already scan it several times); at 100 TB
-    run the count pass on a hash-sampled corpus fraction and scale the
-    counts back up."""
+    set ``count_fraction`` to run the count pass on a deterministic
+    md5-hash-sampled corpus fraction, scaling the counts back up by 1/f —
+    an unbiased estimate of the mean crowd at f× the scan (implemented
+    r10; previously an asserted claim). Note the sampled estimate feeds
+    a 3× shortlist rule, so ±30% crowd error moves recall negligibly
+    (PQ_RECALL's measured recall plateaus are wide)."""
     import math
 
     import numpy as np
     import pandas as pd
 
+    if count_fraction is not None and not (0.0 < count_fraction <= 1.0):
+        raise ValueError(
+            f"measured_adc_crowd: count_fraction={count_fraction} must be in (0, 1]"
+        )
     m, ks, dsub = CB.shape
     samp = (
         unit.select(F.md5(F.col(id_col).cast("string")).alias("__h"), id_col, "__nv")
@@ -1095,12 +1104,22 @@ def measured_adc_crowd(
             B = np.stack([np.asarray(v, dtype="float64") for v in pdf["__nv"]])
             yield pd.DataFrame({"n": [int((B @ V.T >= thresh).sum())]})
 
+    counted = unit
+    scale = 1.0
+    if count_fraction is not None and count_fraction < 1.0:
+        # deterministic md5 sample of the COUNT side only: the first 8 md5
+        # hex chars of the id as a uniform 32-bit draw vs the fraction
+        # threshold — reproducible across runs/engines, no RNG state
+        threshold = int(count_fraction * float(0xFFFFFFFF))
+        draw = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+        counted = unit.filter(draw <= F.lit(threshold))
+        scale = 1.0 / count_fraction
     total = (
-        unit.select("__nv").mapInPandas(count, "n long").agg(F.sum("n").alias("t")).first()
+        counted.select("__nv").mapInPandas(count, "n long").agg(F.sum("n").alias("t")).first()
     )
     if total is None or total["t"] is None:
         return 1
-    return max(1, int(math.ceil(total["t"] / len(V))))
+    return max(1, int(math.ceil(total["t"] * scale / len(V))))
 
 
 def _auto_shortlist(k: int, crowd: int) -> int:

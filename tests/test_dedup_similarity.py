@@ -1616,3 +1616,47 @@ def test_hybrid_production_vs_brute_force_fusion(spark):
     da, db = sets(dense_auto.collect()), sets(dense_brute.collect())
     recall = [len(da[q] & db[q]) / 10 for q in db]
     assert sum(recall) / len(recall) >= 0.9
+
+
+def test_adc_crowd_sampled_count_estimates_exact(spark):
+    """measured_adc_crowd(count_fraction=f): the deterministic md5-sampled
+    count pass must (a) be EXACT at f=1.0 / None (the default path every
+    frozen oracle relies on), (b) estimate the exact crowd within a
+    recall-safe band at f=0.5 on a replica-crowded corpus (the 3x
+    shortlist rule absorbs +-30% crowd error), and (c) reject nonsense
+    fractions by name."""
+    import random
+
+    import pytest as _pytest
+
+    from nextgenetl_spark.operators.similarity import (
+        _collect_codebooks,
+        _unit_vectors,
+        measured_adc_crowd,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    rng = random.Random(67)
+    dim, m, ks = 12, 3, 4
+    # 40 bases x 6 jittered replicas = 240 vectors, crowd ~ 6
+    bases = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(40)]
+    vecs = [
+        (b * 6 + r, [c + rng.gauss(0, 0.03) for c in bases[b]])
+        for b in range(40)
+        for r in range(6)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    unit = _unit_vectors(emb, "vec_id", "embedding")
+    CB = _collect_codebooks(train_pq_codebooks(emb, m, ks, 1, "vec_id", "embedding"), m, ks)
+    codes = pq_encode(emb, CB, "vec_id", "embedding")
+
+    exact = measured_adc_crowd(unit, codes, CB, "vec_id", n_sample=64)
+    assert exact >= 3  # the replica crowds are visible
+    assert measured_adc_crowd(unit, codes, CB, "vec_id", n_sample=64, count_fraction=1.0) == exact
+    est = measured_adc_crowd(unit, codes, CB, "vec_id", n_sample=64, count_fraction=0.5)
+    assert 0.4 * exact <= est <= 2.5 * exact, (exact, est)
+    with _pytest.raises(ValueError, match="count_fraction"):
+        measured_adc_crowd(unit, codes, CB, "vec_id", count_fraction=0.0)
+    with _pytest.raises(ValueError, match="count_fraction"):
+        measured_adc_crowd(unit, codes, CB, "vec_id", count_fraction=1.5)
