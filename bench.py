@@ -167,6 +167,10 @@ HEADLINE = {
     # corpus re-measurement — the serving path)
     "hybrid_rrf_production": "collect",
     "hybrid_rrf_persisted": "collect",
+    # round 10: incremental IVF-PQ maintenance — build on history, append
+    # the new batch (frozen centroids/codebooks), full-probe query = brute
+    # force over the union (staged; the run measures the query path)
+    "ann_ivfpq_append": "count",
 }
 
 # Machine-readable run-validity thresholds (round-9 verdict ask #3): a bench

@@ -1496,6 +1496,47 @@ def build_ivfpq_index(
     }
 
 
+def append_to_ivfpq_index(
+    spark,
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental IVF-PQ index maintenance — the missing sibling of
+    ``append_to_ivf_index`` / ``append_to_minhash_index``: assign ONLY the
+    new vectors to the persisted centroids, encode them with the persisted
+    codebooks, and append into the cell-partitioned ``codes/`` and
+    ``vectors/`` surfaces — no corpus re-scan, no retraining. Centroids,
+    codebooks, and the meta/ crowd statistic stay FROZEN (the standard
+    trade-off: cells and the quantization-noise crowd drift as data grows;
+    rebuild with ``build_ivfpq_index`` when recall degrades — the measured
+    rebuild signal is ``cluster_cohesion``'s per-cell mean-sim drop).
+    Appended rows are exactly what the build would have written for them
+    under the frozen artifacts (pinned by pytest), so
+    ``ivfpq_query_index`` needs no append-awareness. Pure append:
+    re-running the same batch duplicates it — dedupe upstream or route
+    through the exactly-once sink for streams (the append_to_ivf_index
+    contract)."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    CB = _collect_codebooks(spark.read.parquet(f"{index_dir}/codebooks"))
+    cells = assign_cells(new_vectors, cents, id_col, vec_col)
+    codes = pq_encode(new_vectors, CB, id_col, vec_col)
+    (
+        cells.select(id_col, vec_col, "cell_id")
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(f"{index_dir}/vectors")
+    )
+    (
+        codes.join(cells.select(id_col, "cell_id"), id_col)
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(f"{index_dir}/codes")
+    )
+    return {"index_dir": index_dir}
+
+
 def ivfpq_query_index(
     spark,
     index_dir: str,

@@ -1031,3 +1031,65 @@ def hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, q_emb, nprobe=None, shortlist=None, k=10
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse([dense, _hybrid_lex_leg(docs)], k=5)
+
+
+@workload(
+    "ann_ivfpq_append",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      ROUND(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 4) AS sim
+               FROM q, c WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id,
+           ROUND(sim, 4) AS sim,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance, oracle-verified end-to-end:
+    the index is BUILT on the history corpus (vec_id >= 25) and the new
+    batch (vec_id < 25) is APPENDED via append_to_ivfpq_index — assigned
+    to the frozen centroids, encoded with the frozen codebooks, appended
+    into the cell partitions, no retraining, probe cost tracking the new
+    batch only (the incremental_near_dup discipline for the vector index).
+    Querying with nprobe = every cell and an unbounded shortlist then
+    degenerates to exact brute force over history ∪ appended, so the plain
+    brute-force SQL oracle value-checks the WHOLE maintenance path: a row
+    lost, duplicated, or mis-assigned by the append breaks the hash. The
+    frozen-artifact encode equivalence (appended codes == what the build
+    would write) is pinned separately by
+    tests/test_dedup_similarity.py::test_ivfpq_append_matches_frozen_encode.
+    Build+append are staged content-fingerprinted and keyed on this fn's
+    source (append is NOT idempotent — pure partition append)."""
+    import os
+
+    from nextgenetl_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_query_index,
+    )
+    from nextgenetl_spark.staging import code_token, mark_complete, staged_dir
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx, complete = staged_dir(
+        "ngetl_ivfpq_append",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        code=code_token(build_ivfpq_index, append_to_ivfpq_index, ann_ivfpq_append),
+    )
+    if not complete:
+        build_ivfpq_index(
+            emb.filter(F.col("vec_id") >= 25), idx,
+            k_centroids=16, refine_iters=1, m=8, ks=16, train_iters=1,
+        )
+        append_to_ivfpq_index(spark, idx, emb.filter(F.col("vec_id") < 25))
+        mark_complete(idx)
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_query_index(
+        spark, idx, q, nprobe=16, shortlist=1_000_000_000, k=5
+    ).select("query_id", "neighbor_id", "sim", "rank")

@@ -1660,3 +1660,74 @@ def test_adc_crowd_sampled_count_estimates_exact(spark):
         measured_adc_crowd(unit, codes, CB, "vec_id", count_fraction=0.0)
     with _pytest.raises(ValueError, match="count_fraction"):
         measured_adc_crowd(unit, codes, CB, "vec_id", count_fraction=1.5)
+
+
+def test_ivfpq_append_matches_frozen_encode(spark, tmp_path):
+    """append_to_ivfpq_index must write for the new batch EXACTLY what the
+    build would have written for it under the frozen artifacts: same cell
+    assignment (persisted centroids), same codes (persisted codebooks),
+    appended not overwritten (history rows intact, no duplicates), and the
+    full-probe query over the maintained index equals brute force over
+    history ∪ batch."""
+    import random
+
+    from nextgenetl_spark.operators.similarity import (
+        _collect_codebooks,
+        append_to_ivfpq_index,
+        assign_cells,
+        build_ivfpq_index,
+        cosine_topk,
+        ivfpq_query_index,
+        pq_encode,
+    )
+
+    rng = random.Random(71)
+    dim, n = 12, 90
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(5)]
+    vecs = [(i, [c + rng.gauss(0, 0.3) for c in centers[i % 5]]) for i in range(n)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    hist = emb.filter(F.col("vec_id") >= 20)
+    batch = emb.filter(F.col("vec_id") < 20)
+
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(hist, idx, k_centroids=6, refine_iters=1, m=3, ks=4, train_iters=1)
+    n_hist_codes = spark.read.parquet(f"{idx}/codes").count()
+    append_to_ivfpq_index(spark, idx, batch)
+
+    # frozen-artifact equivalence: re-derive the batch's rows by hand
+    cents = spark.read.parquet(f"{idx}/centroids")
+    CB = _collect_codebooks(spark.read.parquet(f"{idx}/codebooks"))
+    want_cells = {
+        r["vec_id"]: r["cell_id"]
+        for r in assign_cells(batch, cents).select("vec_id", "cell_id").collect()
+    }
+    want_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(batch, CB).collect()
+    }
+    got = spark.read.parquet(f"{idx}/codes").filter(F.col("vec_id") < 20).collect()
+    assert {r["vec_id"]: r["cell_id"] for r in got} == want_cells
+    assert {r["vec_id"]: list(r["codes"]) for r in got} == want_codes
+
+    # pure append: history intact, batch present exactly once, both surfaces
+    codes_all = spark.read.parquet(f"{idx}/codes")
+    vecs_all = spark.read.parquet(f"{idx}/vectors")
+    assert codes_all.count() == n_hist_codes + batch.count() == n
+    assert vecs_all.count() == n
+    assert codes_all.select("vec_id").distinct().count() == n
+
+    # full probe + unbounded shortlist over the maintained index == brute
+    # force over history ∪ batch
+    q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    got_q = sorted(
+        map(tuple, ivfpq_query_index(spark, idx, q, nprobe=6, shortlist=10**9, k=3).collect())
+    )
+    brute = sorted(
+        map(
+            tuple,
+            cosine_topk(
+                q, emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), k=3
+            ).collect(),
+        )
+    )
+    assert got_q == brute

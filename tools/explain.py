@@ -41,6 +41,8 @@ EXPECTED = {
     # broadcast (bm25_topk shape) — both constant-size NLJs
     "hybrid_rrf_production": {"BroadcastNestedLoopJoin"},
     "hybrid_rrf_persisted": {"BroadcastNestedLoopJoin"},
+    # persisted-index query path: k-row centroid-probe crossJoin
+    "ann_ivfpq_append": {"BroadcastNestedLoopJoin"},
     # 1-row N-docs aggregate broadcast into every tf row — constant-size NLJ
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     # 1-row (avgdl, N) corpus-stats broadcast into every (doc, term) score
