@@ -171,6 +171,9 @@ HEADLINE = {
     # the new batch (frozen centroids/codebooks), full-probe query = brute
     # force over the union (staged; the run measures the query path)
     "ann_ivfpq_append": "count",
+    # round 10: the streamed form — real availableNow ingest into a per-run
+    # copy of the staged history index via foreachBatch append
+    "stream_ivfpq_ingest": "count",
 }
 
 # Machine-readable run-validity thresholds (round-9 verdict ask #3): a bench

@@ -1093,3 +1093,85 @@ def ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_query_index(
         spark, idx, q, nprobe=16, shortlist=1_000_000_000, k=5
     ).select("query_id", "neighbor_id", "sim", "rank")
+
+
+@workload(
+    "stream_ivfpq_ingest",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      ROUND(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 4) AS sim
+               FROM q, c WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id,
+           ROUND(sim, 4) AS sim,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+    WHERE rank <= 5
+    """,
+)
+def stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming ingest INTO the persisted IVF-PQ index,
+    oracle-verified: new embedding batches arrive as a file-source stream
+    and each micro-batch is appended via ``foreachBatch`` →
+    ``append_to_ivfpq_index`` (assigned to the frozen centroids, encoded
+    with the frozen codebooks, appended into the cell partitions — the
+    maintenance path a vector-serving deployment runs between rebuilds;
+    stream_ann_lookup is its read-side twin). The HISTORY index (vec_id ≥
+    25) is staged content-fingerprinted and built once; each RUN copies it
+    and streams the new batch (vec_id < 25) into the copy, so the pure
+    append is exactly-once per run with no duplicate hazard and the stream
+    is REAL on every run (the run dir persists for the returned DataFrame;
+    /tmp-lifecycle, a few MB at test sf). Full-probe + unbounded-shortlist
+    query over the maintained copy degenerates to exact brute force over
+    history ∪ streamed batch — the plain SQL oracle value-checks the whole
+    streamed maintenance path (a dropped/duplicated micro-batch row breaks
+    the hash)."""
+    import os
+    import shutil
+    import tempfile
+
+    from nextgenetl_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_query_index,
+    )
+    from nextgenetl_spark.staging import code_token, mark_complete, staged_dir
+    from nextgenetl_spark.streaming.source import embeddings_stream
+
+    emb = load(spark, sf_dir, "embeddings")
+    base, complete = staged_dir(
+        "ngetl_ivfpq_hist",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        code=code_token(build_ivfpq_index, stream_ivfpq_ingest),
+    )
+    if not complete:
+        build_ivfpq_index(
+            emb.filter(F.col("vec_id") >= 25), base,
+            k_centroids=16, refine_iters=1, m=8, ks=16, train_iters=1,
+        )
+        mark_complete(base)
+
+    run_idx = tempfile.mkdtemp(prefix="ngetl_ivfpq_ingest_")
+    shutil.rmtree(run_idx)
+    shutil.copytree(base, run_idx)
+
+    def ingest(batch_df, batch_id):
+        b = batch_df.filter(F.col("vec_id") < 25)
+        if b.take(1):
+            append_to_ivfpq_index(spark, run_idx, b)
+
+    q = (
+        embeddings_stream(spark, sf_dir)
+        .writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    qdf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_query_index(
+        spark, run_idx, qdf, nprobe=16, shortlist=1_000_000_000, k=5
+    ).select("query_id", "neighbor_id", "sim", "rank")

@@ -43,6 +43,7 @@ EXPECTED = {
     "hybrid_rrf_persisted": {"BroadcastNestedLoopJoin"},
     # persisted-index query path: k-row centroid-probe crossJoin
     "ann_ivfpq_append": {"BroadcastNestedLoopJoin"},
+    "stream_ivfpq_ingest": {"BroadcastNestedLoopJoin"},
     # 1-row N-docs aggregate broadcast into every tf row — constant-size NLJ
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     # 1-row (avgdl, N) corpus-stats broadcast into every (doc, term) score
