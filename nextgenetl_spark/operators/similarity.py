@@ -1107,11 +1107,19 @@ def measured_adc_crowd(
     counted = unit
     scale = 1.0
     if count_fraction is not None and count_fraction < 1.0:
-        # deterministic md5 sample of the COUNT side only: the first 8 md5
-        # hex chars of the id as a uniform 32-bit draw vs the fraction
-        # threshold — reproducible across runs/engines, no RNG state
+        # deterministic md5 sample of the COUNT side only. The hash is
+        # SALTED (':cnt') so the draw is independent of the md5(id)
+        # ordering that picks the QUERY sample — an unsalted draw keeps
+        # exactly the smallest-md5 rows, i.e. deterministically includes
+        # every query vector, counting each self-match with probability 1
+        # and scaling it by 1/f: an upward bias of ~(1/f - 1) per query
+        # (round-10 self-review). Salted, membership is independent of
+        # query selection and the 1/f-scaled count is unbiased.
         threshold = int(count_fraction * float(0xFFFFFFFF))
-        draw = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+        draw = F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":cnt"))), 1, 8),
+            16, 10,
+        ).cast("long")
         counted = unit.filter(draw <= F.lit(threshold))
         scale = 1.0 / count_fraction
     total = (
@@ -1145,6 +1153,7 @@ def pq_topk(
     query_id: str = "query_id",
     corpus_id: str = "neighbor_id",
     vec_col: str = "embedding",
+    crowd_count_fraction: float | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k with exact re-rank: shortlist candidates by
     asymmetric-distance scores over the CODES (per query, a per-subspace
@@ -1195,7 +1204,12 @@ def pq_topk(
     codes = pq_encode(corpus, CB, corpus_id, vec_col)
     if shortlist is None:
         unit = _unit_vectors(corpus, corpus_id, vec_col)
-        shortlist = _auto_shortlist(k, measured_adc_crowd(unit, codes, CB, corpus_id))
+        shortlist = _auto_shortlist(
+            k,
+            measured_adc_crowd(
+                unit, codes, CB, corpus_id, count_fraction=crowd_count_fraction
+            ),
+        )
 
     qrows = queries.select(F.col(query_id), F.col(vec_col)).limit(MAX_QUERY_ROWS + 1).collect()
     if len(qrows) > MAX_QUERY_ROWS:
@@ -1275,6 +1289,7 @@ def ivfpq_topk(
     query_id: str = "query_id",
     corpus_id: str = "neighbor_id",
     vec_col: str = "embedding",
+    crowd_count_fraction: float | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed 100-TB ANN shape — IVF cells prune WHICH
     vectors each query scores (only ``nprobe`` of ``k_centroids`` cells'
@@ -1337,7 +1352,12 @@ def ivfpq_topk(
         # the crowd statistic ignores cell boundaries (the frozen
         # two-crowd rule — see pq_topk's TUNING / _auto_shortlist)
         unit = _unit_vectors(corpus, corpus_id, vec_col)
-        shortlist = _auto_shortlist(k, measured_adc_crowd(unit, codes, CB, corpus_id))
+        shortlist = _auto_shortlist(
+            k,
+            measured_adc_crowd(
+                unit, codes, CB, corpus_id, count_fraction=crowd_count_fraction
+            ),
+        )
 
     qrows = queries.select(F.col(query_id), F.col(vec_col)).limit(MAX_QUERY_ROWS + 1).collect()
     if len(qrows) > MAX_QUERY_ROWS:
@@ -1425,6 +1445,7 @@ def build_ivfpq_index(
     train_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    crowd_count_fraction: float | None = None,
 ) -> dict:
     """Persist an IVF-PQ index — the build-once/query-many form of
     ``ivfpq_topk`` and the artifact its docstring promises:
@@ -1464,7 +1485,8 @@ def build_ivfpq_index(
     # quantization-noise tie-crowd); code_crowd (exact-code collisions)
     # is recorded as its lower bound for diagnostics
     adc_crowd = measured_adc_crowd(
-        _unit_vectors(corpus, id_col, vec_col), codes, CB, id_col
+        _unit_vectors(corpus, id_col, vec_col), codes, CB, id_col,
+        count_fraction=crowd_count_fraction,
     )
     code_crowd = expected_code_crowd(codes)
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
@@ -1520,7 +1542,12 @@ def append_to_ivfpq_index(
     contract)."""
     cents = spark.read.parquet(f"{index_dir}/centroids")
     CB = _collect_codebooks(spark.read.parquet(f"{index_dir}/codebooks"))
-    cells = assign_cells(new_vectors, cents, id_col, vec_col)
+    # materialize the batch-sized assignment once: it feeds BOTH the
+    # vectors/ write and the codes/ join below, and without the checkpoint
+    # each write re-runs the assign GEMM scan over the batch source
+    # (round-10 self-review — the path's selling point is append cost
+    # tracking the new batch only)
+    cells = assign_cells(new_vectors, cents, id_col, vec_col).localCheckpoint()
     codes = pq_encode(new_vectors, CB, id_col, vec_col)
     (
         cells.select(id_col, vec_col, "cell_id")

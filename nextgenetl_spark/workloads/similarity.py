@@ -1152,9 +1152,22 @@ def stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         mark_complete(base)
 
+    # reap stale per-run copies (>1h old) so repeated bench/oracle sweeps
+    # cannot fill /tmp; live concurrent runs are younger and untouched
+    import glob as _glob
+    import time as _time
+
+    cutoff = _time.time() - 3600
+    for old in _glob.glob(os.path.join(tempfile.gettempdir(), "ngetl_ivfpq_ingest_*")):
+        try:
+            if os.path.getmtime(old) < cutoff:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
     run_idx = tempfile.mkdtemp(prefix="ngetl_ivfpq_ingest_")
-    shutil.rmtree(run_idx)
-    shutil.copytree(base, run_idx)
+    shutil.copytree(
+        base, run_idx, dirs_exist_ok=True, ignore=shutil.ignore_patterns("_COMPLETE*")
+    )
 
     def ingest(batch_df, batch_id):
         b = batch_df.filter(F.col("vec_id") < 25)
@@ -1167,7 +1180,17 @@ def stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # the returned DataFrame lazily scans run_idx: evaluating it while
+    # foreachBatch is still appending would race the writes, so a timeout
+    # fails BY NAME instead of proceeding (round-10 self-review; the
+    # run_memory_replay stop discipline)
+    finished = q.awaitTermination(300)
+    q.stop()
+    if not finished:
+        raise TimeoutError(
+            "stream_ivfpq_ingest: availableNow ingest did not finish within "
+            "300s — refusing to query an index still being appended to"
+        )
 
     qdf = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
