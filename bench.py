@@ -174,6 +174,9 @@ HEADLINE = {
     # round 10: the streamed form — real availableNow ingest into a per-run
     # copy of the staged history index via foreachBatch append
     "stream_ivfpq_ingest": "count",
+    # round 10: Theta set-operation estimators — pairwise overlap/union/
+    # jaccard of heavy-user bases from 64-hash KMV sketches
+    "kmv_set_overlap": "collect",
 }
 
 # Machine-readable run-validity thresholds (round-9 verdict ask #3): a bench

@@ -317,6 +317,46 @@ def kmv_merge(kmv_col, k: int = 256) -> F.Column:
     )
 
 
+def kmv_theta(kmv_col, k: int = 256) -> F.Column:
+    """Theta-sketch view of a KMV array: the inclusion threshold below
+    which the sketch is a COMPLETE uniform sample of the set's hashes —
+    h_k when the sketch is full, the whole 2^60 space when the cell had
+    fewer than k distinct values (exact mode, everything retained)."""
+    return (
+        F.when(F.size(kmv_col) >= k, F.element_at(kmv_col, k))
+        .otherwise(F.lit(1 << 60))
+        .cast("long")
+    )
+
+
+def kmv_intersect_estimate(kmv_a, kmv_b, k: int = 256) -> F.Column:
+    """DISTINCT-INTERSECTION cardinality from two KMV sketches — the Theta
+    set-operation semantics (Dasgupta et al., 'Theta-Sketch Framework';
+    Beyer et al. 2007 for KMV): below θ = min(θ_a, θ_b) BOTH sketches
+    retain every hash of their set, so the shared hashes under θ are a
+    uniform sample of A∩B at rate θ/2^60 and the estimate is
+    |{h ∈ kmv_a ∩ kmv_b : h < θ}| · 2^60 / θ. Strict '<' matches the
+    (k-1)/u_k estimator's exclusion of h_k itself; when both sides are
+    exact (θ = 2^60) the result is the EXACT intersection count. Every
+    step is integer set logic plus one correctly-rounded division, so a
+    SQL oracle replays it bit-for-bit (the kmv_estimate discipline).
+    Relative error ~1/(√k·√(|A∩B|/|A∪B|)); at 100 TB the sketches are
+    ≤k-row ingest artifacts and the pairwise overlap matrix of S sources
+    costs S² list intersections of ≤k longs — no corpus re-scan."""
+    theta = F.least(kmv_theta(kmv_a, k), kmv_theta(kmv_b, k))
+    m = F.size(F.filter(F.array_intersect(kmv_a, kmv_b), lambda x: x < theta))
+    return F.round(
+        m.cast("double") * F.lit(float(1 << 60)) / theta.cast("double"), 4
+    )
+
+
+def kmv_pair_union(kmv_a, kmv_b, k: int = 256) -> F.Column:
+    """Row-wise merge of two KMV arrays (the binary form of the
+    ``kmv_merge`` aggregate): distinct-union then trim to the k smallest —
+    feed to ``kmv_estimate`` for the union cardinality."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(kmv_a, kmv_b))), 1, k)
+
+
 def kmv_estimate(kmv_col, k: int = 256) -> F.Column:
     """Distinct-count estimate from a KMV array: (k-1) / u_k where u_k is
     the k-th smallest hash normalized to (0,1] over the 60-bit space —

@@ -1442,3 +1442,89 @@ def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = run_memory_replay(spark, agg, "wl_stream_qhist", "complete")
     return qhist_quantiles(sketch, [0.5, 0.95], lo, hi, nb, by=["window_start"])
+
+
+@workload(
+    "kmv_set_overlap",
+    oracle="""
+    WITH heavy AS (
+        SELECT event_type, user_id FROM events
+        GROUP BY event_type, user_id HAVING COUNT(*) >= 14),
+    h AS (SELECT DISTINCT event_type,
+                 CAST(CONCAT('0x', substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          FROM heavy),
+    r AS (SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+          FROM h),
+    sk AS (SELECT event_type, list(hv ORDER BY hv) AS kmv, COUNT(*) AS sz
+           FROM r WHERE rn <= 64 GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.kmv AS ka, b.kmv AS kb, a.sz AS sa, b.sz AS sb,
+               CASE WHEN a.sz >= 64 THEN a.kmv[64] ELSE 1152921504606846976 END AS ta,
+               CASE WHEN b.sz >= 64 THEN b.kmv[64] ELSE 1152921504606846976 END AS tb
+        FROM sk a JOIN sk b ON a.event_type < b.event_type),
+    calc AS (
+        SELECT type_a, type_b,
+               CASE WHEN sa >= 64 THEN ROUND(63.0 * 1152921504606846976.0 / ka[64], 4)
+                    ELSE ROUND(CAST(sa AS DOUBLE), 4) END AS est_a,
+               CASE WHEN sb >= 64 THEN ROUND(63.0 * 1152921504606846976.0 / kb[64], 4)
+                    ELSE ROUND(CAST(sb AS DOUBLE), 4) END AS est_b,
+               ROUND(CAST(len(list_filter(list_intersect(ka, kb), x -> x < LEAST(ta, tb))) AS DOUBLE)
+                     * 1152921504606846976.0 / LEAST(ta, tb), 4) AS est_intersect,
+               list_sort(list_distinct(list_concat(ka, kb))) AS mu
+        FROM pairs),
+    calc2 AS (
+        SELECT type_a, type_b, est_a, est_b, est_intersect,
+               CASE WHEN len(mu) >= 64 THEN ROUND(63.0 * 1152921504606846976.0 / mu[64], 4)
+                    ELSE ROUND(CAST(len(mu) AS DOUBLE), 4) END AS est_union
+        FROM calc)
+    SELECT type_a, type_b, est_a, est_b, est_intersect, est_union,
+           ROUND(est_intersect / est_union, 4) AS jaccard_est
+    FROM calc2
+    """,
+)
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-OPERATION cardinalities from mergeable KMV sketches — the
+    Theta-sketch capability (operators/agg.py kmv_intersect_estimate /
+    kmv_pair_union): the distinct heavy-user base (≥14 events) of every
+    event-type pair, its overlap, union, and Jaccard — estimated purely
+    from the 64-hash sketches, never by joining the raw sets. The
+    audience-overlap / cross-corpus-contamination-cardinality question at
+    sketch cost: below θ = min of the two inclusion thresholds both
+    sketches are complete uniform samples, so shared-hashes-under-θ
+    scaled by 2^60/θ estimates |A∩B| (exact when both cells are under k).
+    FULL oracle: the entire walk — md5-prefix hashes, bottom-64 trims, θ
+    logic, scaled counts, merged-union estimate — is integer set algebra
+    plus correctly-rounded divisions, replayed verbatim in SQL. At 100 TB:
+    sketches are per-source ingest artifacts (≤k rows each); the S×S
+    overlap matrix costs S² list-intersections of ≤k longs on the driver-
+    side-small sketch table — the raw corpora are never rejoined."""
+    from nextgenetl_spark.operators.agg import (
+        kmv_build,
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_pair_union,
+    )
+
+    e = load(spark, sf_dir, "events")
+    heavy = (
+        e.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 14)
+    )
+    sk = kmv_build(heavy, "user_id", by=["event_type"], k=64)
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("ka"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("kb"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est_i = kmv_intersect_estimate(F.col("ka"), F.col("kb"), 64)
+    est_u = kmv_estimate(kmv_pair_union(F.col("ka"), F.col("kb"), 64), 64)
+    return pairs.select(
+        "type_a",
+        "type_b",
+        kmv_estimate(F.col("ka"), 64).alias("est_a"),
+        kmv_estimate(F.col("kb"), 64).alias("est_b"),
+        est_i.alias("est_intersect"),
+        est_u.alias("est_union"),
+        F.round(est_i / est_u, 4).alias("jaccard_est"),
+    )

@@ -574,3 +574,59 @@ def test_kmv_merge_equals_direct_build(spark):
     assert merged == direct
     # at least one cell actually trimmed (distinct users per cell > k)
     assert any(len(v) == k for v in direct.values())
+
+
+def test_kmv_intersection_estimates(spark):
+    """The Theta set-operation estimators (round 10): (a) EXACT mode —
+    both sketches under k return the exact intersection/union counts;
+    (b) mixed mode — one full sketch, θ = its h_k, the estimate stays in
+    a recall-safe band; (c) estimate mode — two 6000/4000-element sets
+    with a known 2000-element overlap estimate within ~4/√k relative
+    error at k=256; (d) disjoint sets estimate 0."""
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.agg import (
+        kmv_build,
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_pair_union,
+    )
+
+    def sketch_pair(items_a, items_b, k):
+        df = spark.createDataFrame(
+            [("a", x) for x in items_a] + [("b", x) for x in items_b],
+            "side string, item long",
+        )
+        sk = kmv_build(df, "item", by=["side"], k=k)
+        a = sk.filter(F.col("side") == "a").select(F.col("kmv").alias("ka"))
+        b = sk.filter(F.col("side") == "b").select(F.col("kmv").alias("kb"))
+        row = (
+            a.crossJoin(b)
+            .select(
+                kmv_intersect_estimate(F.col("ka"), F.col("kb"), k).alias("i"),
+                kmv_estimate(kmv_pair_union(F.col("ka"), F.col("kb"), k), k).alias("u"),
+            )
+            .collect()[0]
+        )
+        return row["i"], row["u"]
+
+    # (a) exact mode: both sides under k
+    i, u = sketch_pair(range(30), range(20, 50), k=256)
+    assert i == 10.0 and u == 50.0
+
+    # (d) disjoint exact
+    i, u = sketch_pair(range(30), range(100, 130), k=256)
+    assert i == 0.0 and u == 60.0
+
+    # (c) estimate mode: |A|=6000, |B|=4000, |A∩B|=2000, |A∪B|=8000
+    A = range(0, 6000)
+    B = range(4000, 8000)
+    i, u = sketch_pair(A, B, k=256)
+    assert abs(i - 2000) / 2000 < 4 / (256 ** 0.5), i   # ±25%
+    assert abs(u - 8000) / 8000 < 2 / (256 ** 0.5), u   # ±12.5%
+
+    # (b) mixed mode: a 40-element exact side against the 6000-element
+    # estimating side, true overlap 40 (subset)
+    i, u = sketch_pair(range(1000, 1040), A, k=256)
+    assert 0 < i < 200, i  # θ = full side's h_k; sampled subset scaled up
+    assert abs(u - 6040) / 6040 < 2 / (256 ** 0.5), u

@@ -44,6 +44,9 @@ EXPECTED = {
     # persisted-index query path: k-row centroid-probe crossJoin
     "ann_ivfpq_append": {"BroadcastNestedLoopJoin"},
     "stream_ivfpq_ingest": {"BroadcastNestedLoopJoin"},
+    # the pairwise type_a < type_b join runs over the 5-row SKETCH table
+    # (n_types² pairs of ≤k-long lists) — constant-size NLJ by design
+    "kmv_set_overlap": {"BroadcastNestedLoopJoin"},
     # 1-row N-docs aggregate broadcast into every tf row — constant-size NLJ
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     # 1-row (avgdl, N) corpus-stats broadcast into every (doc, term) score
