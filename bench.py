@@ -177,6 +177,9 @@ HEADLINE = {
     # round 10: Theta set-operation estimators — pairwise overlap/union/
     # jaccard of heavy-user bases from 64-hash KMV sketches
     "kmv_set_overlap": "collect",
+    # round 10: CMS inner-product join-size estimation (est vs exact per
+    # event-type pair)
+    "cms_join_size": "collect",
 }
 
 # Machine-readable run-validity thresholds (round-9 verdict ask #3): a bench

@@ -122,6 +122,26 @@ def cms_build(
     )
 
 
+def cms_inner_product(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Equi-join SIZE estimate from two CMS tables (Cormode & Muthukrishnan
+    2005 §4.3, the inner-product query): est = min over hash rows d of
+    Σ_bucket cntA(d,b)·cntB(d,b), estimating Σ_v fA(v)·fB(v) — exactly the
+    output row count of A ⋈ B on the sketched key. Never underestimates
+    (colliding keys only ADD cross terms); each row overestimates by at
+    most ||fA||₁·||fB||₁/width in expectation and the min across depth
+    rows concentrates it — the pre-scan cardinality answer a join planner
+    wants for skewed keys, from sketches that union-merge by summing cnt.
+    Cost: one (d, bucket) equi-join of two ≤depth×width tables plus a
+    depth-row aggregate — corpus-size-free. Returns a 1-row
+    (est_join_size) DataFrame; integer arithmetic end-to-end, so a SQL
+    oracle replays it exactly."""
+    j = cms_a.select("d", "bucket", F.col("cnt").alias("__ca")).join(
+        cms_b.select("d", "bucket", F.col("cnt").alias("__cb")), ["d", "bucket"]
+    )
+    per = j.groupBy("d").agg(F.sum(F.col("__ca") * F.col("__cb")).alias("ip"))
+    return per.agg(F.min("ip").cast("long").alias("est_join_size"))
+
+
 def cms_estimate(
     cms: DataFrame, items: DataFrame, item_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:

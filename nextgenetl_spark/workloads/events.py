@@ -1528,3 +1528,91 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_u.alias("est_union"),
         F.round(est_i / est_u, 4).alias("jaccard_est"),
     )
+
+
+@workload(
+    "cms_join_size",
+    oracle="""
+    WITH probes AS (
+        SELECT event_type, g.d,
+               CAST(CONCAT('0x', substr(md5(CAST(g.d AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS bucket
+        FROM events, generate_series(0, 3) AS g(d)),
+    cms AS (SELECT event_type, d, bucket, COUNT(*) AS cnt
+            FROM probes GROUP BY event_type, d, bucket),
+    per AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, a.d,
+               SUM(a.cnt * b.cnt) AS ip
+        FROM cms a JOIN cms b ON a.d = b.d AND a.bucket = b.bucket
+        WHERE a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type, a.d),
+    est AS (SELECT type_a, type_b, CAST(MIN(ip) AS BIGINT) AS est_join_size
+            FROM per GROUP BY type_a, type_b),
+    f AS (SELECT event_type, user_id, COUNT(*) AS f
+          FROM events GROUP BY event_type, user_id),
+    tru AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(SUM(a.f * b.f) AS BIGINT) AS true_join_size
+        FROM f a JOIN f b ON a.user_id = b.user_id
+        WHERE a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type)
+    SELECT e.type_a, e.type_b, e.est_join_size, t.true_join_size
+    FROM est e JOIN tru t ON e.type_a = t.type_a AND e.type_b = t.type_b
+    """,
+)
+def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join SIZE estimation from count-min sketches (operators/agg.py
+    cms_inner_product — Cormode & Muthukrishnan 2005 §4.3): for every
+    event-type pair, the estimated row count of the self-join on user_id
+    (est = min over hash rows of the bucket-count inner product) next to
+    the exact Σ f_a(u)·f_b(u) — the pre-scan cardinality answer a join
+    planner needs for skewed keys. The estimator never underestimates;
+    with width=1024 over 150-user cells most rows are collision-free and
+    est == true, while the pytest forces width=32 to pin the bounded
+    overestimate and the min-row concentration. One corpus scan builds
+    all five sketches (in-row depth-way expansion, map-side combined);
+    the pairwise inner products join two ≤depth×width sketch tables —
+    corpus-size-free. At 100 TB: per-source/day CMS tables are ingest
+    artifacts that union-merge by summing cnt; every pairwise join-size
+    question is answered from sketches without touching the fact table.
+    FULL oracle: integer arithmetic end-to-end on the shared md5 hash
+    family — DuckDB replays sketch, inner products, min, and exact twin."""
+    from nextgenetl_spark.operators.agg import _cms_bucket
+
+    e = load(spark, sf_dir, "events")
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("d"),
+                _cms_bucket(F.col("user_id").cast("string"), r, 1024).alias("bucket"),
+            )
+            for r in range(4)
+        ]
+    )
+    cms = (
+        e.select("event_type", F.explode(probes).alias("p"))
+        .groupBy("event_type", F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = cms.select(F.col("event_type").alias("type_a"), "d", "bucket", F.col("cnt").alias("ca"))
+    b = cms.select(F.col("event_type").alias("type_b"), "d", "bucket", F.col("cnt").alias("cb"))
+    per = (
+        a.join(b, ["d", "bucket"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b", "d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    est = per.groupBy("type_a", "type_b").agg(
+        F.min("ip").cast("long").alias("est_join_size")
+    )
+    f = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("f"))
+    fa = f.select(F.col("event_type").alias("type_a"), "user_id", F.col("f").alias("fa"))
+    fb = f.select(F.col("event_type").alias("type_b"), "user_id", F.col("f").alias("fb"))
+    tru = (
+        fa.join(fb, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.col("fa") * F.col("fb")).cast("long").alias("true_join_size"))
+    )
+    return est.join(tru, ["type_a", "type_b"]).select(
+        "type_a", "type_b", "est_join_size", "true_join_size"
+    )

@@ -630,3 +630,50 @@ def test_kmv_intersection_estimates(spark):
     i, u = sketch_pair(range(1000, 1040), A, k=256)
     assert 0 < i < 200, i  # θ = full side's h_k; sampled subset scaled up
     assert abs(u - 6040) / 6040 < 2 / (256 ** 0.5), u
+
+
+def test_cms_inner_product_join_size(spark):
+    """cms_inner_product (round 10): the CMS inner-product join-size
+    estimator never underestimates, is near-exact when the width makes
+    collisions rare, and stays a bounded overestimate when collisions are
+    forced (width=32 over 450 keys)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nextgenetl_spark.operators.agg import cms_build, cms_inner_product
+
+    rng = random.Random(83)
+    fa = {v: rng.randint(1, 20) for v in range(300)}
+    fb = {v: rng.randint(1, 20) for v in range(150, 450)}
+    true = sum(fa[v] * fb[v] for v in fa if v in fb)
+    n1, n2 = sum(fa.values()), sum(fb.values())
+    A = spark.createDataFrame([(str(v),) for v, n in fa.items() for _ in range(n)], "k string")
+    B = spark.createDataFrame([(str(v),) for v, n in fb.items() for _ in range(n)], "k string")
+
+    est_wide = cms_inner_product(
+        cms_build(A, "k", depth=4, width=4096), cms_build(B, "k", depth=4, width=4096)
+    ).first()["est_join_size"]
+    assert est_wide >= true
+    # expected collision mass per hash row is n1*n2/width; min over depth
+    # rows stays within a few multiples of it (measured +1565 vs E=2423
+    # here — inside one expectation)
+    assert est_wide <= true + 4 * n1 * n2 / 4096, (est_wide, true)
+
+    est_narrow = cms_inner_product(
+        cms_build(A, "k", depth=4, width=32), cms_build(B, "k", depth=4, width=32)
+    ).first()["est_join_size"]
+    assert est_narrow >= true
+    # one hash row's expected collision mass is n1*n2/width; the min over
+    # depth rows concentrates well under a few multiples of it
+    assert est_narrow <= true + 4 * n1 * n2 / 32, (est_narrow, true)
+
+    # weighted build (pre-aggregated (item, count) rows) gives the same
+    # sketch, hence the same estimate
+    Aw = spark.createDataFrame([(str(v), n) for v, n in fa.items()], "k string, n long")
+    Bw = spark.createDataFrame([(str(v), n) for v, n in fb.items()], "k string, n long")
+    est_w = cms_inner_product(
+        cms_build(Aw, "k", depth=4, width=4096, weight_col="n"),
+        cms_build(Bw, "k", depth=4, width=4096, weight_col="n"),
+    ).first()["est_join_size"]
+    assert est_w == est_wide
