@@ -180,6 +180,9 @@ HEADLINE = {
     # round 10: CMS inner-product join-size estimation (est vs exact per
     # event-type pair)
     "cms_join_size": "collect",
+    # round 10: TPC-H Q21 shape — double correlated EXISTS/NOT-EXISTS as a
+    # single per-order aggregate (no fact self-join)
+    "waiting_supplier": "collect",
 }
 
 # Machine-readable run-validity thresholds (round-9 verdict ask #3): a bench

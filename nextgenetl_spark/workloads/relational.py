@@ -2314,3 +2314,69 @@ def flatten_deep_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "orders_cust_lines" not in tables:
         raise AssertionError("one-to-many group under a single parent lost its child table")
     return tables["orders"]
+
+
+@workload(
+    "waiting_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND CAST(l3.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90)
+    GROUP BY s.s_name
+    """,
+)
+def waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape ('suppliers who kept orders waiting') on the
+    available columns: late lineitems (shipped >90 days after the order
+    date — the late_lineitem_orders lateness idiom) in MULTI-supplier
+    orders where NO OTHER supplier was late, counted per supplier — the
+    hardest classic relational pattern: a correlated EXISTS and a
+    correlated NOT EXISTS both self-referencing the fact table with a
+    supplier-inequality predicate.
+
+    Spark-first rewrite: instead of two correlated anti/semi self-joins
+    over lineitem (each a full fact-table shuffle), ONE per-order
+    aggregate computes n_suppliers and n_late_suppliers, and the pair of
+    EXISTS conditions collapses to ``n_supp >= 2 AND n_late_supp == 1``
+    (l1 is itself late, so 'no OTHER late supplier' ⇔ exactly one late
+    supplier in the order). The oracle keeps the LITERAL double-EXISTS
+    form, so the cross-engine hash proves the aggregate rewrite
+    equivalent to the textbook semantics. At scale: lineitem exchanges
+    on orderkey for the per-order aggregate and again for the
+    qualifying-row join — the SAME key both times, so no skew surface is
+    added — the supplier dim broadcasts, and crucially the fact table is
+    never SELF-JOINED: the textbook plan's two correlated semi/anti
+    lineitem×lineitem probes never materialize."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    ll = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 90)
+        ).alias("late"),
+    )
+    grp = ll.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    q1 = (
+        ll.filter(F.col("late"))
+        .join(grp.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)), "l_orderkey")
+    )
+    return (
+        q1.join(F.broadcast(s), q1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
