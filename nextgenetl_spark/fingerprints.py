@@ -85,15 +85,37 @@ class _ModuleView:
         # a COST-note docstring on pq_topk/ivfpq_topk would have flagged
         # four ANN entries carrying fresh r9 evidence). Strip the leading
         # docstring's lines from the segment — but only when those lines
-        # hold nothing else (guards: not on the def line itself, and the
-        # next statement starts on a later line).
+        # hold nothing else (guards: strictly below the LAST line of the
+        # def/class signature — a multi-line signature can close on the
+        # docstring's first line (`): "doc"`), where stripping would hide
+        # signature edits (round-10 ADVICE) — and the next statement
+        # starts on a later line).
         body = getattr(node, "body", None)
+        sig_end = node.lineno
+        args = getattr(node, "args", None)
+        if args is not None:
+            for lst in (
+                getattr(args, "posonlyargs", []),
+                args.args,
+                args.kwonlyargs,
+                args.defaults,
+                args.kw_defaults,
+                [args.vararg, args.kwarg, getattr(node, "returns", None)],
+            ):
+                for x in lst or []:
+                    end = getattr(x, "end_lineno", None)
+                    if x is not None and end is not None:
+                        sig_end = max(sig_end, end)
+        for x in list(getattr(node, "bases", [])) + list(getattr(node, "keywords", [])):
+            end = getattr(x, "end_lineno", None)
+            if end is not None:
+                sig_end = max(sig_end, end)
         if (
             body
             and isinstance(body[0], ast.Expr)
             and isinstance(body[0].value, ast.Constant)
             and isinstance(body[0].value.value, str)
-            and body[0].lineno > node.lineno
+            and body[0].lineno > sig_end
             and (len(body) == 1 or body[1].lineno > body[0].end_lineno)
         ):
             ds0, ds1 = body[0].lineno, body[0].end_lineno

@@ -324,3 +324,40 @@ def other_op(df):
         "nextgenetl_spark/operators/sampling.py"
     ].replace('"doc"', '"other doc"')
     assert _fp(oneline) != _fp(oneline2)
+
+
+def test_fingerprint_flips_on_signature_line_shared_with_docstring():
+    """A multi-line def signature closing on the docstring's FIRST line
+    (`): "doc"`) must NOT be stripped: those characters are signature, and
+    an edit confined to that line (e.g. a default-value change) would be
+    invisible to change detection (round-10 ADVICE #3)."""
+    sig = dict(BASE_FILES)
+    sig["nextgenetl_spark/operators/sampling.py"] = '''
+def pick(df,
+         limit=10): "doc"
+
+def other_op(df):
+    return df.limit(1)
+'''
+    sig2 = dict(sig)
+    sig2["nextgenetl_spark/operators/sampling.py"] = sig[
+        "nextgenetl_spark/operators/sampling.py"
+    ].replace("limit=10", "limit=99")
+    assert _fp(sig) != _fp(sig2)
+    # ...while a docstring on its own lines under the SAME multi-line
+    # signature still strips (edits to it stay invisible, as designed)
+    ml = dict(BASE_FILES)
+    ml["nextgenetl_spark/operators/sampling.py"] = '''
+def pick(df,
+         limit=10):
+    """doc"""
+    return df
+
+def other_op(df):
+    return df.limit(1)
+'''
+    ml2 = dict(ml)
+    ml2["nextgenetl_spark/operators/sampling.py"] = ml[
+        "nextgenetl_spark/operators/sampling.py"
+    ].replace('"""doc"""', '"""other doc"""')
+    assert _fp(ml) == _fp(ml2)
