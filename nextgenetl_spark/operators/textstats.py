@@ -256,8 +256,14 @@ def bm25_multi_scores(
     part = idf * F.col("tf") * (k1 + 1) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
+    # Distinct (query_id, term) before the posting join: a duplicate term
+    # row in a query would otherwise fan out and double-count that term's
+    # contribution (round-10 ADVICE #4). The query table is tiny — the
+    # distinct costs nothing next to the corpus scan.
     scored = (
-        tf.join(F.broadcast(query_terms.select(query_id, term_col)), term_col)
+        tf.join(
+            F.broadcast(query_terms.select(query_id, term_col).distinct()), term_col
+        )
         .join(F.broadcast(dfreq), term_col)
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))

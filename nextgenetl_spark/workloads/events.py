@@ -1545,8 +1545,17 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cms a JOIN cms b ON a.d = b.d AND a.bucket = b.bucket
         WHERE a.event_type < b.event_type
         GROUP BY a.event_type, b.event_type, a.d),
-    est AS (SELECT type_a, type_b, CAST(MIN(ip) AS BIGINT) AS est_join_size
-            FROM per GROUP BY type_a, type_b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    dom AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, g.d
+        FROM types a JOIN types b ON a.event_type < b.event_type,
+             generate_series(0, 3) AS g(d)),
+    est AS (SELECT dom.type_a, dom.type_b,
+                   CAST(MIN(COALESCE(per.ip, 0)) AS BIGINT) AS est_join_size
+            FROM dom LEFT JOIN per
+              ON dom.type_a = per.type_a AND dom.type_b = per.type_b
+             AND dom.d = per.d
+            GROUP BY dom.type_a, dom.type_b),
     f AS (SELECT event_type, user_id, COUNT(*) AS f
           FROM events GROUP BY event_type, user_id),
     tru AS (
@@ -1555,8 +1564,9 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM f a JOIN f b ON a.user_id = b.user_id
         WHERE a.event_type < b.event_type
         GROUP BY a.event_type, b.event_type)
-    SELECT e.type_a, e.type_b, e.est_join_size, t.true_join_size
-    FROM est e JOIN tru t ON e.type_a = t.type_a AND e.type_b = t.type_b
+    SELECT e.type_a, e.type_b, e.est_join_size,
+           COALESCE(t.true_join_size, CAST(0 AS BIGINT)) AS true_join_size
+    FROM est e LEFT JOIN tru t ON e.type_a = t.type_a AND e.type_b = t.type_b
     """,
 )
 def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1601,8 +1611,27 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b", "d")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
     )
-    est = per.groupBy("type_a", "type_b").agg(
-        F.min("ip").cast("long").alias("est_join_size")
+    # Min over the FULL pair × d domain with absent rows as ip=0: a hash
+    # row with zero colliding buckets proves the pair's true join size is
+    # 0 and must drive the min to 0, and a pair sharing no buckets at all
+    # must still appear (est 0) rather than vanish (round-10 ADVICE #2).
+    types = e.select("event_type").distinct()
+    dom = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("d"),
+        )
+    )
+    est = (
+        dom.join(per, ["type_a", "type_b", "d"], "left")
+        .groupBy("type_a", "type_b")
+        .agg(F.min(F.coalesce(F.col("ip"), F.lit(0))).cast("long").alias("est_join_size"))
     )
     f = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("f"))
     fa = f.select(F.col("event_type").alias("type_a"), "user_id", F.col("f").alias("fa"))
@@ -1613,6 +1642,11 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.sum(F.col("fa") * F.col("fb")).cast("long").alias("true_join_size"))
     )
-    return est.join(tru, ["type_a", "type_b"]).select(
-        "type_a", "type_b", "est_join_size", "true_join_size"
+    return est.join(tru, ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        "est_join_size",
+        F.coalesce(F.col("true_join_size"), F.lit(0).cast("long")).alias(
+            "true_join_size"
+        ),
     )

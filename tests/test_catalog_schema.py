@@ -97,9 +97,10 @@ def test_information_schema_over_many_file_table_dir(spark, tmp_path):
             }
         )
         pq.write_table(tbl, part_dir / f"part-{i:05d}.parquet")
-    # a LATER part file evolves the schema (adds a column): the two views
-    # must still agree — n_columns follows the FIRST file, like the
-    # columns view's footer read (round-9 self-review)
+    # a LATER part file evolves the schema (adds a column): BigQuery
+    # CURRENT-schema semantics (round-10 verdict ask #2) — the added
+    # column IS visible in both views, appended after the base columns,
+    # nullable because it's absent from earlier parts
     total += 2
     pq.write_table(
         pa.table(
@@ -116,12 +117,24 @@ def test_information_schema_over_many_file_table_dir(spark, tmp_path):
     try:
         meta = {r["table_name"]: r for r in information_schema_tables(spark, str(lake)).collect()}
         assert meta["region"]["n_rows"] == total
-        assert meta["region"]["n_columns"] == 2  # first file's schema, not max
+        assert meta["region"]["n_columns"] == 3  # unified schema: evolved col counts
         cols = information_schema_columns(spark, str(lake)).collect()
         assert {(r["column_name"], r["data_type"]) for r in cols} == {
             ("r_regionkey", "BIGINT"),
             ("r_name", "VARCHAR"),
+            ("r_comment", "VARCHAR"),
         }
+        by_name = {r["column_name"]: r for r in cols}
+        # base columns keep their first-file order; the evolved column
+        # appends after them and is nullable (absent from earlier parts)
+        assert by_name["r_regionkey"]["ordinal_position"] == 1
+        assert by_name["r_name"]["ordinal_position"] == 2
+        assert by_name["r_comment"]["ordinal_position"] == 3
+        assert by_name["r_comment"]["is_nullable"] == "YES"
+        # the homogeneous-schema fast tier (parts="first") keeps the old
+        # O(tables) contract: first file's footer only
+        first = information_schema_columns(spark, str(lake), parts="first").collect()
+        assert {r["column_name"] for r in first} == {"r_regionkey", "r_name"}
         # the over-threshold Spark-distributed branch yields identical rows
         old_thr = cat.INFO_SCHEMA_DISTRIBUTE_THRESHOLD
         cat.INFO_SCHEMA_DISTRIBUTE_THRESHOLD = 0

@@ -211,6 +211,18 @@ def test_bm25_multi_scores_hand_computed_and_edge_cases(spark):
     got2 = {r["query_id"] for r in bm25_multi_scores(docs, qt_absent).collect()}
     assert got2 == {10}
 
+    # duplicate (query_id, term) rows must NOT double-count the term's
+    # contribution (round-10 ADVICE #4: the operator dedupes internally)
+    qt_dup = spark.createDataFrame(
+        [(10, "alpha"), (10, "alpha"), (10, "gamma"), (20, "delta")],
+        "query_id long, term string",
+    )
+    got_dup = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_multi_scores(docs, qt_dup, part_dp=6).collect()
+    }
+    assert got_dup == got
+
     # empty corpus / empty query table → empty result, no crash
     empty_docs = spark.createDataFrame([], "doc_id long, text string")
     assert bm25_multi_scores(empty_docs, qt).count() == 0

@@ -677,3 +677,14 @@ def test_cms_inner_product_join_size(spark):
         cms_build(Bw, "k", depth=4, width=4096, weight_col="n"),
     ).first()["est_join_size"]
     assert est_w == est_wide
+
+    # DISJOINT key sets at a wide width: with high probability at least
+    # one hash row has zero colliding buckets — its inner product is 0 and
+    # proves the true join size is 0, so the estimate must be exactly 0
+    # (not NULL, not a collision-only positive; round-10 ADVICE #1)
+    C = spark.createDataFrame([(f"left_{v}",) for v in range(20)], "k string")
+    D = spark.createDataFrame([(f"right_{v}",) for v in range(20)], "k string")
+    row = cms_inner_product(
+        cms_build(C, "k", depth=4, width=4096), cms_build(D, "k", depth=4, width=4096)
+    ).collect()
+    assert len(row) == 1 and row[0]["est_join_size"] == 0, row
