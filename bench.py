@@ -183,6 +183,9 @@ HEADLINE = {
     # round 10: TPC-H Q21 shape — double correlated EXISTS/NOT-EXISTS as a
     # single per-order aggregate (no fact self-join)
     "waiting_supplier": "collect",
+    # round 11: CMS-driven automatic skew decision (estimator-layer planner
+    # consumer) — sketch, decide, salt, join, agg in one entry
+    "skew_auto_join": "collect",
 }
 
 # Machine-readable run-validity thresholds (round-9 verdict ask #3): a bench
@@ -267,17 +270,26 @@ def main() -> None:
     # warm-up: touch the session + parquet footers once
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # Each query runs twice; reported time is the warm (second) run —
-    # steady-state throughput, excluding one-time whole-stage-codegen
-    # compilation (~0.5-3s/query, amortized to zero on real workloads and on
-    # any cluster run). cold_total records the full first-pass wall so the
-    # one-time cost stays visible.
+    # Each query runs 1 cold + up to 2 warm repeats; reported time is the
+    # MIN across runs — steady-state throughput, excluding one-time
+    # whole-stage-codegen compilation (~0.5-3s/query, amortized to zero on
+    # real workloads and on any cluster run) AND single-run host noise
+    # (round-10 verdict ask #3: multiway_star swung 1.94→5.62s between two
+    # healthy-box records on a byte-identical plan — one warm run is not a
+    # trustworthy wall on this VM; the min of 3 is). Queries whose cold run
+    # exceeds REPEAT_MAX_SEC get only one warm repeat (the pre-r11
+    # behavior) to bound total bench time — their multi-second walls drown
+    # scheduler jitter anyway. cold_total records the full first-pass wall
+    # so the one-time cost stays visible; every per-query run lands in the
+    # detail record's spark_runs/duckdb_runs for cross-round adjudication.
+    REPEAT_MAX_SEC = 10.0
     timings: dict[str, float] = {}
+    spark_runs: dict[str, list[float]] = {}
     cold_total = 0.0
     for name, mode in HEADLINE.items():
         fn = registry[name].fn
         runs = []
-        for _ in range(2):
+        while len(runs) < (3 if not runs or runs[0] < REPEAT_MAX_SEC else 2):
             t0 = time.time()
             df = fn(spark, sf_dir)
             if mode == "collect":
@@ -286,6 +298,7 @@ def main() -> None:
                 df.count()
             runs.append(time.time() - t0)
         cold_total += runs[0]
+        spark_runs[name] = [round(r, 3) for r in runs]
         timings[name] = round(min(runs), 3)
         # drop the DataFrame graph so ContextCleaner releases localCheckpoint
         # RDD blocks from iterative queries (connected components) — without
@@ -302,6 +315,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spark_runs": spark_runs,
         "sf": sf,
         "cold_total": round(cold_total, 3),
         "box_health_pre": health_pre,
@@ -323,6 +337,7 @@ def main() -> None:
                   "lineitem", "events", "documents", "embeddings"]:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         duck: dict[str, float] = {}
+        duck_runs: dict[str, list[float]] = {}
         pins: list[str] = []
         for name in HEADLINE:
             sql = registry[name].oracle
@@ -336,12 +351,20 @@ def main() -> None:
             if "FROM (VALUES" in sql:
                 pins.append(name)
                 continue
-            # single run: DuckDB has no JIT warm-up, and the recursive-CTE
-            # oracles cost minutes at sf0.1 — don't pay them twice
-            t0 = time.time()
-            con.execute(sql).fetchall()
-            duck[name] = round(time.time() - t0, 3)
+            # min-of-3 for sub-threshold oracles (same rule as the Spark
+            # side — both engines' walls must carry the same noise
+            # discipline for the paired ratio to mean anything); the
+            # recursive-CTE oracles cost minutes at sf0.1 and stay
+            # single-run — their walls drown scheduler jitter
+            druns = []
+            while len(druns) < (3 if not druns or druns[0] < REPEAT_MAX_SEC else 1):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                druns.append(time.time() - t0)
+            duck_runs[name] = [round(r, 3) for r in druns]
+            duck[name] = round(min(druns), 3)
         out["duckdb"] = duck
+        out["duckdb_runs"] = duck_runs
         out["values_pinned"] = sorted(pins)
         out["duckdb_total"] = round(sum(duck.values()), 3)
         out["paired_spark_total"] = round(sum(timings[n] for n in duck), 3)

@@ -1524,6 +1524,7 @@ def append_to_ivfpq_index(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: str | int | None = None,
 ) -> dict:
     """Incremental IVF-PQ index maintenance — the missing sibling of
     ``append_to_ivf_index`` / ``append_to_minhash_index``: assign ONLY the
@@ -1536,10 +1537,38 @@ def append_to_ivfpq_index(
     rebuild signal is ``cluster_cohesion``'s per-cell mean-sim drop).
     Appended rows are exactly what the build would have written for them
     under the frozen artifacts (pinned by pytest), so
-    ``ivfpq_query_index`` needs no append-awareness. Pure append:
-    re-running the same batch duplicates it — dedupe upstream or route
-    through the exactly-once sink for streams (the append_to_ivf_index
-    contract)."""
+    ``ivfpq_query_index`` needs no append-awareness.
+
+    Idempotence (round-10 verdict ask #6): pass ``batch_id`` to key the
+    append. The batch is CLAIMED first (exclusive create of
+    ``_appends/batch_<id>/`` — a conditional put on an object store),
+    appended, then marked ``_DONE``. A replay of a completed batch (the
+    foreachBatch retry shape: sink succeeded, checkpoint commit didn't)
+    skips cleanly; a replay of a CLAIMED-but-unfinished batch means a
+    prior attempt died mid-append and the index may hold a partial write
+    — that fails BY NAME rather than silently double-appending, because
+    parquet mode("append") cannot atomically undo a half-landed batch
+    (repair: rebuild, or remove the claim after auditing the cell files).
+    Without ``batch_id`` the call is a pure append: re-running the same
+    batch duplicates it — dedupe upstream or key the batches."""
+    import os
+
+    marker = None
+    if batch_id is not None:
+        marker = os.path.join(index_dir, "_appends", f"batch_{batch_id}")
+        if os.path.exists(os.path.join(marker, "_DONE")):
+            return {"index_dir": index_dir, "appended": False,
+                    "skipped_existing_batch": True}
+        try:
+            os.makedirs(marker, exist_ok=False)
+        except FileExistsError:
+            raise RuntimeError(
+                f"append_to_ivfpq_index: batch {batch_id!r} is claimed but "
+                f"not _DONE — a prior append died mid-write and the index "
+                f"at {index_dir} may hold a partial batch; rebuild the "
+                f"index (or audit the cell files and remove {marker}) "
+                f"before re-appending this batch"
+            ) from None
     cents = spark.read.parquet(f"{index_dir}/centroids")
     CB = _collect_codebooks(spark.read.parquet(f"{index_dir}/codebooks"))
     # materialize the batch-sized assignment once: it feeds BOTH the
@@ -1561,7 +1590,11 @@ def append_to_ivfpq_index(
         .partitionBy("cell_id")
         .parquet(f"{index_dir}/codes")
     )
-    return {"index_dir": index_dir}
+    if marker is not None:
+        with open(os.path.join(marker, "_DONE"), "w", encoding="utf-8") as fh:
+            fh.write("")
+    return {"index_dir": index_dir, "appended": True,
+            "skipped_existing_batch": False}
 
 
 def ivfpq_query_index(

@@ -70,6 +70,7 @@ class Pipeline:
     warehouse: str | None = None  # directory for materialized step outputs
     builders: dict = field(default_factory=dict)  # name -> Callable[[Pipeline, dict], DataFrame]
     tables: dict = field(default_factory=dict)
+    skew_decisions: dict = field(default_factory=dict)  # step name -> auto-salt record
 
     def register(self, name: str, df: DataFrame) -> None:
         self.tables[name] = df
@@ -134,7 +135,7 @@ class Pipeline:
             # replicated num_salts×, so keep it dimension-sized. The join
             # column is spelled ``key`` because YAML 1.1 parses a bare
             # ``on:`` as boolean True; a quoted "on" is still accepted.
-            from nextgenetl_spark.operators.joins import salted_join
+            from nextgenetl_spark.operators.joins import salted_join, salted_join_auto
 
             spec = step["salted_join"]
             join_key = spec.get("key", spec.get("on"))
@@ -143,13 +144,32 @@ class Pipeline:
                     f"step '{name}': salted_join needs a string 'key' "
                     "(YAML parses an unquoted 'on:' as a boolean)"
                 )
-            df = salted_join(
-                self.table(spec["big"]),
-                self.table(spec["small"]),
-                on=join_key,
-                num_salts=int(spec.get("num_salts", 16)),
-                how=spec.get("how", "inner"),
-            )
+            if spec.get("auto"):
+                # auto: the salt decision comes from CMS sketches of the
+                # two key columns (operators/joins.py skew_decision — salt
+                # iff the hottest key's share upper-bound crosses the
+                # measured 0.10 threshold), so the pipeline step engages
+                # the num_salts× dim-replication tax only when a key is
+                # actually hot. The decision record lands in the step log.
+                decision: dict = {}
+                df = salted_join_auto(
+                    self.table(spec["big"]),
+                    self.table(spec["small"]),
+                    on=join_key,
+                    num_salts=int(spec.get("num_salts", 16)),
+                    how=spec.get("how", "inner"),
+                    hot_share_threshold=float(spec.get("hot_share_threshold", 0.10)),
+                    decision_out=decision,
+                )
+                self.skew_decisions[name] = decision
+            else:
+                df = salted_join(
+                    self.table(spec["big"]),
+                    self.table(spec["small"]),
+                    on=join_key,
+                    num_salts=int(spec.get("num_salts", 16)),
+                    how=spec.get("how", "inner"),
+                )
         else:
             raise ValueError(f"step '{name}' needs 'sql', 'builder' or 'salted_join'")
 

@@ -1602,6 +1602,50 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "skew_auto_join",
+    oracle="""
+    WITH li2 AS (
+        SELECT CASE WHEN l_partkey % 5 = 0 THEN 1 ELSE l_partkey END AS p_partkey,
+               l_quantity
+        FROM lineitem)
+    SELECT p_brand, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS qty
+    FROM li2 JOIN part USING (p_partkey)
+    GROUP BY p_brand
+    """,
+)
+def skew_auto_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-salted skew join — the estimator layer's planner consumer
+    (round-10 verdict ask #4; operators/joins.py salted_join_auto): the
+    fact side's key is deliberately pathological (every 5th partkey
+    collapses onto key 1, ~20% of all rows on one key) and the salt
+    decision comes from CMS sketches of the two key columns, not from a
+    human: skew_decision's hot-share upper bound (min over hash rows of
+    the max bucket count — sound because the hot key's rows all share one
+    bucket per row) crosses the measured 0.10 threshold, so the join runs
+    SALTED; on a uniform key the same code takes the plain branch (the
+    pytest pins both decisions and branch-equality of results). Salting
+    is semantics-preserving, so the oracle is the PLAIN join on the same
+    derived key — the cross-engine hash proves the automatically-chosen
+    salted physical plan changes distribution and nothing else. At 100 TB
+    the sketches are per-source ingest artifacts (≤depth×width rows) and
+    the decision is three 1-row sketch aggregates — the fact table is
+    never re-scanned to decide; A/B walls: SKEW_AUTO_AB.json."""
+    from nextgenetl_spark.operators.joins import salted_join_auto
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    skew_key = F.when(F.col("l_partkey") % 5 == 0, F.lit(1)).otherwise(
+        F.col("l_partkey")
+    )
+    li2 = li.select(skew_key.cast("long").alias("p_partkey"), "l_quantity")
+    joined = salted_join_auto(li2, p, "p_partkey")
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+@workload(
     "grouping_sets_profile",
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS rf,

@@ -1731,3 +1731,55 @@ def test_ivfpq_append_matches_frozen_encode(spark, tmp_path):
         )
     )
     assert got_q == brute
+
+
+def test_ivfpq_append_batch_id_idempotent(spark, tmp_path):
+    """Batch-keyed append idempotence (round-10 verdict ask #6): replaying
+    a COMPLETED batch_id skips cleanly (the foreachBatch retry shape — no
+    duplicates against ONE index), a claimed-but-unfinished batch fails BY
+    NAME instead of silently double-appending, and the unkeyed call keeps
+    its documented pure-append contract."""
+    import os
+    import random
+
+    import pytest as _pytest
+
+    from nextgenetl_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+    )
+
+    rng = random.Random(31)
+    dim = 8
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(60)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    hist = emb.filter(F.col("vec_id") >= 20)
+    batch = emb.filter(F.col("vec_id") < 20)
+
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(hist, idx, k_centroids=4, refine_iters=1, m=2, ks=4, train_iters=1)
+
+    r1 = append_to_ivfpq_index(spark, idx, batch, batch_id=7)
+    assert r1["appended"] and not r1["skipped_existing_batch"]
+    n_codes = spark.read.parquet(f"{idx}/codes").count()
+    n_vecs = spark.read.parquet(f"{idx}/vectors").count()
+    assert n_codes == n_vecs == 60
+
+    # replay of the committed batch: skipped, byte-counts unchanged
+    r2 = append_to_ivfpq_index(spark, idx, batch, batch_id=7)
+    assert r2["skipped_existing_batch"] and not r2["appended"]
+    assert spark.read.parquet(f"{idx}/codes").count() == 60
+    assert spark.read.parquet(f"{idx}/vectors").count() == 60
+    assert (
+        spark.read.parquet(f"{idx}/codes").select("vec_id").distinct().count() == 60
+    )
+
+    # a claimed-but-unfinished batch (prior attempt died mid-append) must
+    # fail by name, not double-append
+    os.makedirs(os.path.join(idx, "_appends", "batch_9"))
+    with _pytest.raises(RuntimeError, match="claimed but not _DONE"):
+        append_to_ivfpq_index(spark, idx, batch, batch_id=9)
+
+    # unkeyed appends keep the documented pure-append behavior
+    append_to_ivfpq_index(spark, idx, emb.filter(F.col("vec_id") < 5))
+    assert spark.read.parquet(f"{idx}/codes").count() == 65

@@ -148,6 +148,35 @@ steps:
     assert spark.conf.get("spark.sql.adaptive.forceOptimizeSkewedJoin") == "false"
 
 
+def test_pipeline_salted_join_auto_step(spark, tmp_path):
+    """The auto variant (round-11): `salted_join: {auto: true, ...}` makes
+    the salt decision from CMS sketches inside the step — hot fixture
+    salts, uniform fixture doesn't — and records the decision on
+    pipe.skew_decisions; output equals the plain join either way."""
+    facts_hot = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(0)).otherwise(F.col("id") % 10).alias("k"),
+        F.col("id").alias("v"),
+    )
+    facts_uni = spark.range(1000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    dims = spark.createDataFrame([(i, f"L{i}") for i in range(100)], ["k", "label"])
+    for facts, want_salt in ((facts_hot, True), (facts_uni, False)):
+        pipe = Pipeline(spark, warehouse=str(tmp_path / f"wh{want_salt}"))
+        pipe.register("facts", facts)
+        pipe.register("dims", dims)
+        out = pipe.run_step(
+            {"name": "e", "dest": "e",
+             "salted_join": {"big": "facts", "small": "dims", "key": "k",
+                             "auto": True, "num_salts": 8}}
+        )
+        assert pipe.skew_decisions["e"]["salt"] is want_salt
+        got = sorted(map(tuple, out.collect()))
+        want = sorted(map(tuple, facts.join(dims, "k").collect()))
+        assert got == want
+        assert "__salt" not in out.columns
+
+
 def test_pipeline_force_skew_join_requires_materialize(spark, tmp_path):
     import pytest as _pytest
 
