@@ -19,10 +19,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def hash_bucket(id_col, width: int = 4) -> F.Column:
+def hash_bucket(id_col, width: int = 4, salt: str = "") -> F.Column:
     """Lowercase-hex md5 prefix of the (stringified) id — a uniform
-    deterministic bucket key in [0x0…0, 0xf…f]."""
-    return F.substring(F.md5(F.col(id_col).cast("string")), 1, width)
+    deterministic bucket key in [0x0…0, 0xf…f]. ``salt`` prefixes the id
+    before hashing: two samplers drawing from the SAME unsalted hash are
+    perfectly correlated (a rate-r sample inside an already-hash-selected
+    subset keeps min(r, t)/t of it, not r — the round-10 count_fraction
+    bias, generalized), so every sampler that may compose with the split
+    draws under its own salt."""
+    base = F.col(id_col).cast("string")
+    if salt:
+        base = F.concat(F.lit(salt), base)
+    return F.substring(F.md5(base), 1, width)
 
 
 def deterministic_split(
@@ -30,7 +38,13 @@ def deterministic_split(
 ) -> DataFrame:
     """Assign a split label per row from ordered (hex_threshold, label)
     pairs: the first threshold the bucket sorts below wins, else ``default``.
-    E.g. ``[("cccc", "train"), ("e666", "val")]`` ≈ 80/10/10."""
+    E.g. ``[("cccc", "train"), ("e666", "val")]`` ≈ 80/10/10.
+
+    The split draw is deliberately UNSALTED — it is THE membership
+    definition downstream tooling (and every engine's oracle) recomputes
+    from md5(id) alone. Samplers meant to compose with the split
+    (stratified_hash_sample, the per-source cap) draw under their own
+    salts so their selections are independent of split membership."""
     b = hash_bucket(id_col)
     expr = None
     for bound, label in thresholds:
@@ -40,19 +54,33 @@ def deterministic_split(
 
 
 def stratified_hash_sample(
-    df: DataFrame, id_col: str, stratum_col: str, rates: dict[str, float], width: int = 4
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    width: int = 4,
+    salt: str = "strat|",
 ) -> DataFrame:
     """Deterministic stratified downsample: keep a per-stratum fraction of
-    rows, selected by the same md5-prefix bucket as deterministic_split
+    rows, selected by an md5-prefix bucket like deterministic_split
     (``sampleBy``'s reproducible cousin — identical membership on every
     run/engine/partitioning, and class balance is exact in expectation with
     no RNG state). Strata absent from ``rates`` are dropped.
+
+    The draw is SALTED (default ``"strat|"``) so it is independent of the
+    unsalted split draw: with the same unsalted hash, a rate-r sample of
+    the 'train' split (threshold t) keeps min(r, t)/t of it — 62.5%
+    instead of 50% at r=0.5, t=0.8 — because the two selections are
+    nested, not independent (the round-10 count_fraction bias,
+    generalized; pinned by the salt-independence property test).
+    ``salt=""`` reproduces the raw-md5 draw when a caller needs bucket
+    parity with the split itself.
 
     Training-data use: class rebalancing (downsample the over-represented
     language/source/quality tier) before expensive downstream stages.
     Scan-stage expression — the filter is pushable, no shuffle, no UDF."""
     space = 16 ** width
-    b = F.conv(hash_bucket(id_col, width), 16, 10).cast("long")
+    b = F.conv(hash_bucket(id_col, width, salt), 16, 10).cast("long")
     expr = None
     for stratum, rate in rates.items():
         cond = (F.col(stratum_col) == stratum) & (b < int(rate * space))

@@ -401,22 +401,29 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, COUNT(*) AS n_kept
     FROM (
         SELECT event_type,
-               CAST(CONCAT('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 4))
+               CAST(CONCAT('0x', substring(md5(CONCAT('strat|', CAST(event_id AS VARCHAR))), 1, 4))
                     AS BIGINT) AS b
         FROM events
     )
-    WHERE (event_type = 'view'     AND b < CAST(0.10 * 65536 AS BIGINT))
-       OR (event_type = 'click'    AND b < CAST(0.25 * 65536 AS BIGINT))
-       OR (event_type = 'purchase' AND b < CAST(1.00 * 65536 AS BIGINT))
+    -- floor, not CAST: the operator truncates (Python int(rate*space) =
+    -- 6553 at rate 0.10) while DuckDB's CAST-to-BIGINT rounds (6554); the
+    -- old unsalted draw happened to leave bucket 6553 empty for views, so
+    -- the divergence was invisible until the r11 salt moved a row onto it
+    WHERE (event_type = 'view'     AND b < CAST(floor(0.10 * 65536) AS BIGINT))
+       OR (event_type = 'click'    AND b < CAST(floor(0.25 * 65536) AS BIGINT))
+       OR (event_type = 'purchase' AND b < CAST(floor(1.00 * 65536) AS BIGINT))
     GROUP BY event_type
     """,
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified downsampling (class rebalancing for a
     training corpus): keep 10% of views, 25% of clicks, all purchases,
-    selected by md5-prefix hash threshold, not RNG — membership is
-    identical on every run, engine, and partitioning (the oracle literally
-    recomputes it). `df.sampleBy` gives none of those guarantees. The
+    selected by a SALTED md5-prefix hash threshold, not RNG — membership
+    is identical on every run, engine, and partitioning (the oracle
+    literally recomputes it, salt included). `df.sampleBy` gives none of
+    those guarantees. The ``strat|`` salt keeps this draw independent of
+    the unsalted train/val/test split draw so composing the two never
+    nests the selections (round-11; the count_fraction lesson). The
     predicate is a scan-stage expression; at 100 TB the rebalance costs a
     filtered scan, zero shuffles."""
     from nextgenetl_spark.catalog import load

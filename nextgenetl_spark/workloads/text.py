@@ -835,7 +835,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT doc_id, source, n_chars,
                row_number() OVER (PARTITION BY source
-                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                                  ORDER BY md5(CONCAT('cap|', CAST(doc_id AS VARCHAR))), doc_id) AS rk
         FROM documents
     )
     WHERE rk <= 10
@@ -843,18 +843,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain cap (domain balancing): keep at most N documents per
-    source, chosen in deterministic md5-hash order so the kept set is
-    stable across runs, engines, and corpus growth — the anti-boilerplate
-    cap every web-scale pipeline applies per domain. One doc-partitioned
-    window; only (id, source, len) columns shuffle, never text. At 100 TB
-    swap row_number for a per-source count + hash-threshold filter when N
-    is a fraction rather than a fixed cap (zero-shuffle, like
-    stratified_sample)."""
+    source, chosen in deterministic SALTED md5-hash order so the kept set
+    is stable across runs, engines, and corpus growth — the
+    anti-boilerplate cap every web-scale pipeline applies per domain. The
+    ``cap|`` salt keeps the kept set independent of the unsalted
+    train/val/test split draw: unsalted, the cap keeps exactly the
+    LOWEST-md5 docs per source — the same docs the split's
+    bucket-below-threshold rule routes to 'train' — so capped corpora
+    would starve val/test (round-11 salt-independence sweep; pinned by
+    the property test). One doc-partitioned window; only (id, source,
+    len) columns shuffle, never text. At 100 TB swap row_number for a
+    per-source count + hash-threshold filter when N is a fraction rather
+    than a fixed cap (zero-shuffle, like stratified_sample)."""
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+        F.md5(F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))), "doc_id"
     )
     return (
         d.select("doc_id", "source", "n_chars")

@@ -243,6 +243,86 @@ def test_deterministic_split_is_stable_and_disjoint(spark):
         assert a[r["doc_id"]] == r["split"]
 
 
+def test_sampler_draws_independent_of_split_draw(spark):
+    """Salt-independence of the md5-threshold samplers (round-10 ADVICE
+    ask #8, the count_fraction lesson generalized): a sampler drawing from
+    the SAME unsalted hash as deterministic_split is perfectly nested with
+    it — a rate-r sample of the train split (threshold t) keeps min(r,t)/t
+    of it, not r — while the salted default composes independently. Also
+    pins that the per-source cap's salted order de-correlates the kept set
+    from split membership."""
+    from nextgenetl_spark.operators.sampling import (
+        deterministic_split,
+        stratified_hash_sample,
+    )
+
+    n = 20000
+    ids = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("stratum")
+    )
+    split = deterministic_split(ids, "doc_id", [("cccc", "train")], default="test")
+    train = split.filter(F.col("split") == "train")
+    n_train = train.count()
+    assert 0.75 * n < n_train < 0.85 * n  # ~0.8
+
+    # UNSALTED (salt="") inside train: the nested draw keeps min(0.5,0.8)/0.8
+    # = 62.5%, nowhere near the requested 50% — the bias the salt removes
+    kept_unsalted = stratified_hash_sample(
+        train, "doc_id", "stratum", {"s": 0.5}, salt=""
+    ).count()
+    assert kept_unsalted / n_train > 0.58
+
+    # SALTED default: independent draw → ~50% of train (binomial 3σ ≈ 1.2%)
+    kept_salted = stratified_hash_sample(
+        train, "doc_id", "stratum", {"s": 0.5}
+    ).count()
+    assert abs(kept_salted / n_train - 0.5) < 0.02
+
+    # ...and the same rate measured on train vs on the whole corpus agrees
+    # (a nested draw would differ: 62.5% vs 50%)
+    kept_all = stratified_hash_sample(ids, "doc_id", "stratum", {"s": 0.5}).count()
+    assert abs(kept_salted / n_train - kept_all / n) < 0.03
+
+    # per-source cap ('cap|'-salted md5 order): kept docs' split mix tracks
+    # the corpus mix; the UNSALTED order would keep ONLY lowest-md5 docs,
+    # which are 100% train by construction of the threshold rule
+    from pyspark.sql.window import Window
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 20).alias("source")
+    )
+    w_salt = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    capped = docs.withColumn("rk", F.row_number().over(w_salt)).filter(F.col("rk") <= 10)
+    mix = (
+        deterministic_split(capped, "doc_id", [("cccc", "train")], default="test")
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    frac = {r["split"]: r["count"] for r in mix}
+    assert frac.get("test", 0) > 0  # unsalted order would make this 0
+    assert 0.6 < frac.get("train", 0) / 200 < 0.95
+
+    w_unsalted = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    capped_u = docs.withColumn("rk", F.row_number().over(w_unsalted)).filter(
+        F.col("rk") <= 10
+    )
+    mix_u = (
+        deterministic_split(capped_u, "doc_id", [("cccc", "train")], default="test")
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    frac_u = {r["split"]: r["count"] for r in mix_u}
+    # the correlation the salt removes, demonstrated: lowest-md5-per-source
+    # docs are overwhelmingly 'train' (bucket < 'cccc' ⇔ small md5)
+    assert frac_u.get("train", 0) / 200 > 0.97
+
+
 def test_connected_components_long_chain_converges_in_log_rounds(spark):
     """A 400-node path graph has diameter 399: plain min-label propagation
     needs ~400 rounds and would NOT converge within max_iters=30; pointer

@@ -1,0 +1,171 @@
+"""Recall drift on the IVF-PQ APPEND path + the measured rebuild trigger
+(round-10 verdict ask #5).
+
+``append_to_ivfpq_index`` assigns new vectors to FROZEN centroids and
+encodes them with FROZEN codebooks; its docstring names cluster-cohesion
+drift as the rebuild signal but no number existed. This harness produces
+one: build an index on the sf0.1 embeddings corpus (2,000 × 64-dim), then
+append batches drawn from a DELIBERATELY SHIFTED distribution (x_j +
+delta·sin(b·(j+1)) per batch — off-center of every frozen centroid, the
+worst case for frozen assignment) growing the appended fraction
+0% → 25% → 50% → 100% of history size. At each step:
+
+- recall@10 of the production auto-knob query path (``ivfpq_query_index``
+  with nprobe/shortlist from the persisted meta) against exact GEMM brute
+  force over history ∪ appended, for TWO query populations: history-like
+  queries and shifted queries (the ones that chase the appended data);
+- the index cohesion statistic: mean member→own-centroid cosine over the
+  cell-partitioned vectors surface (the ``cluster_cohesion`` walk applied
+  to the index), plus its drop vs the build-time value.
+
+Writes ANN_APPEND_DRIFT.json: the recall/cohesion curve and the derived
+rebuild threshold (the largest cohesion drop at which every measured
+recall stays ≥ 0.95), cited from the append docstring.
+
+    python tools/ann_append_drift.py [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from nextgenetl_spark.catalog import load
+from nextgenetl_spark.operators.similarity import (
+    append_to_ivfpq_index,
+    build_ivfpq_index,
+    cosine,
+    cosine_topk_gemm,
+    ivfpq_query_index,
+)
+from nextgenetl_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+K = 10
+
+
+def shifted(emb, batch: int, delta: float, id_base: int):
+    """Deterministically shifted replica of the corpus: every component
+    moves by delta·sin(batch·(j+1)) — one rigid off-distribution offset
+    per batch, so appended data crowds regions no frozen centroid was
+    trained on."""
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, j: x.cast("double")
+        + F.lit(delta) * F.sin(F.lit(float(batch)) * (j + 1).cast("double")),
+    )
+    return emb.select(
+        (F.col("vec_id") + F.lit(id_base)).alias("vec_id"), pert.alias("embedding")
+    )
+
+
+def index_cohesion(spark, idx: str) -> float:
+    """Mean member→own-centroid cosine over the index's vectors surface —
+    the cluster_cohesion statistic computed on the maintained index."""
+    vecs = spark.read.parquet(f"{idx}/vectors")
+    cents = spark.read.parquet(f"{idx}/centroids")
+    row = (
+        vecs.join(F.broadcast(cents), "cell_id")
+        .select(cosine(F.col("embedding"), F.col("cvec")).alias("s"))
+        .agg(F.avg("s").alias("v"))
+        .first()
+    )
+    return round(float(row["v"]), 4)
+
+
+def recall_at_k(spark, idx, queries, corpus) -> float:
+    truth: dict[int, set] = {}
+    for r in cosine_topk_gemm(queries, corpus, k=K).select(
+        "query_id", "neighbor_id"
+    ).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set] = {}
+    for r in ivfpq_query_index(spark, idx, queries, k=K).select(
+        "query_id", "neighbor_id"
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return round(
+        sum(len(got.get(q, set()) & t) / K for q, t in truth.items()) / len(truth), 4
+    )
+
+
+def main() -> None:
+    import tempfile
+
+    n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    spark = get_spark("ann-append-drift")
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    n_hist = emb.count()
+    idx = tempfile.mkdtemp(prefix="ngetl_append_drift_")
+    t0 = time.time()
+    build_ivfpq_index(emb, idx, k_centroids=16, refine_iters=2, m=8, ks=16,
+                      train_iters=2)
+    build_s = round(time.time() - t0, 1)
+
+    # history-like queries: fresh small perturbation of every 40th vector;
+    # shifted queries: the same ids under batch-1's rigid shift (they chase
+    # the appended distribution)
+    q_hist = shifted(emb.filter(F.col("vec_id") % 40 == 0), 9, 0.02, 10_000_000)
+    q_hist = q_hist.limit(n_queries).localCheckpoint()
+    q_shift = shifted(emb.filter(F.col("vec_id") % 40 == 0), 1, 0.30, 20_000_000)
+    q_shift = q_shift.limit(n_queries).localCheckpoint()
+
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    base_cohesion = index_cohesion(spark, idx)
+    report = {
+        "sf_dir": SF_DIR, "n_history": n_hist, "k": K,
+        "build_seconds": build_s, "build_cohesion": base_cohesion,
+        "shift_delta": 0.30, "curve": [],
+    }
+    # appended fractions of history size: 0 → 0.25 → 0.5 → 1.0
+    steps = [(0, 0), (1, n_hist // 4), (2, n_hist // 4), (3, n_hist // 2)]
+    appended = 0
+    for batch, n_new in steps:
+        if n_new:
+            newv = shifted(
+                emb.filter(F.col("vec_id") < n_new), batch, 0.30,
+                1_000_000 * batch,
+            )
+            append_to_ivfpq_index(spark, idx, newv, batch_id=batch)
+            appended += n_new
+            corpus = corpus.unionByName(
+                newv.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+            )
+        corpus = corpus.localCheckpoint()
+        coh = index_cohesion(spark, idx)
+        report["curve"].append({
+            "appended_fraction": round(appended / n_hist, 2),
+            "index_rows": n_hist + appended,
+            "cohesion": coh,
+            "cohesion_drop": round(base_cohesion - coh, 4),
+            "recall_at_10_history_queries": recall_at_k(spark, idx, q_hist, corpus),
+            "recall_at_10_shifted_queries": recall_at_k(spark, idx, q_shift, corpus),
+        })
+        print(json.dumps(report["curve"][-1]))
+
+    ok = [
+        p for p in report["curve"]
+        if min(p["recall_at_10_history_queries"], p["recall_at_10_shifted_queries"])
+        >= 0.95
+    ]
+    report["rebuild_threshold_cohesion_drop"] = (
+        max(p["cohesion_drop"] for p in ok) if ok else 0.0
+    )
+    report["rule"] = (
+        "rebuild when the index cohesion statistic (mean member->own-centroid "
+        f"cosine) has dropped more than {report['rebuild_threshold_cohesion_drop']} "
+        "below its build-time value; every measured point at or under that "
+        "drop kept recall@10 >= 0.95 on BOTH query populations"
+    )
+    with open("/root/repo/ANN_APPEND_DRIFT.json", "w", encoding="utf-8") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: v for k, v in report.items() if k != "curve"}))
+
+
+if __name__ == "__main__":
+    main()
