@@ -164,6 +164,7 @@ def salted_join_auto(
     hot_share_threshold: float = 0.10,
     decision_out: dict | None = None,
     estimate_join_size: bool = False,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """salted_join with the salt decision made AUTOMATICALLY from CMS
     sketches (round-10 verdict ask #4: the estimator layer's planner
@@ -182,13 +183,31 @@ def salted_join_auto(
     the cms_inner_product diagnostic in the decision record. Decision
     inputs and the measured 0.10 threshold: see skew_decision.
     ``decision_out``: pass a dict to receive the decision record for
-    logging/audit."""
+    logging/audit.
+
+    ``sample_fraction``: build the inline sketch from a Bernoulli ROW
+    sample of the big side (``df.sample``, fixed seed). The decision
+    compares SHARES, which a uniform row sample estimates unbiasedly, so
+    f=0.1 cuts the inline sketch's hash work ~10× while the hot bound
+    stays sound in expectation (SKEW_AUTO_AB.json measures both).
+    Row-level randomness is the RIGHT draw here and a hash draw would be
+    the WRONG one: every row of one key carries the same key bytes, so an
+    md5-threshold draw keeps or drops whole KEYS — dropping the hot key
+    zeroes the very share being measured (the correlated-draw trap in
+    reverse). The cost is that membership depends on partitioning, which
+    a planner heuristic tolerates and an oracle-checked result never
+    would. Don't sample when the big side is small enough that the
+    f·|big| sample would hold only a few hundred rows — share noise at
+    tiny counts can cross the threshold in either direction; ignored when
+    ``cms_big`` is passed."""
     from nextgenetl_spark.operators.agg import cms_build
 
     built = []
     if cms_big is None:
-        cms_big = cms_build(big.select(F.col(on).cast("string").alias("k")), "k",
-                            depth=depth, width=width).persist()
+        keys = big.select(F.col(on).cast("string").alias("k"))
+        if sample_fraction is not None and 0 < sample_fraction < 1:
+            keys = keys.sample(fraction=sample_fraction, seed=42)
+        cms_big = cms_build(keys, "k", depth=depth, width=width).persist()
         built.append(cms_big)
     if cms_small is None and estimate_join_size:
         cms_small = cms_build(small.select(F.col(on).cast("string").alias("k")), "k",

@@ -1571,6 +1571,13 @@ def append_to_ivfpq_index(
             ) from None
     cents = spark.read.parquet(f"{index_dir}/centroids")
     CB = _collect_codebooks(spark.read.parquet(f"{index_dir}/codebooks"))
+    # normalize the batch's vector element type to the index's persisted
+    # vectors schema: parquet part files with mixed float/double elements
+    # under one directory fail the vectorized reader at QUERY time
+    # (SchemaColumnConvertNotSupportedException — found by the r11 drift
+    # harness appending double batches into a float-built index)
+    want = spark.read.parquet(f"{index_dir}/vectors").schema[vec_col].dataType
+    new_vectors = new_vectors.withColumn(vec_col, F.col(vec_col).cast(want))
     # materialize the batch-sized assignment once: it feeds BOTH the
     # vectors/ write and the codes/ join below, and without the checkpoint
     # each write re-runs the assign GEMM scan over the batch source

@@ -1602,6 +1602,49 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated SCALAR-AGGREGATE subquery (each
+    fact row compared against an aggregate of its OWN key's group:
+    l_quantity < 0.2·avg(l_quantity) over the same part). The textbook
+    plan re-aggregates lineitem once per probed part; the classic
+    decorrelation is aggregate-then-rejoin, which scans the fact twice.
+    Spark-first rewrite does it in ONE scan and ONE shuffle: broadcast the
+    brand's part keys into the scan (semi join — only ~1/|brands| of the
+    fact survives), then a per-part WINDOW average puts each row's own
+    group aggregate next to it with no rejoin; the filter and the global
+    sum follow in the same stage. The ORACLE keeps the literal correlated
+    subquery form, so the cross-engine hash PROVES the window rewrite
+    implements the textbook semantics. At 100 TB: the shuffle carries only
+    the brand-filtered rows keyed by part (thousands of small groups — no
+    skew surface), and the fact table is read exactly once."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    keyed = li.join(
+        F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+        "semi",
+    )
+    w = Window.partitionBy("l_partkey")
+    flagged = keyed.withColumn("qty_cut", F.lit(0.2) * F.avg("l_quantity").over(w))
+    return flagged.filter(F.col("l_quantity") < F.col("qty_cut")).agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+@workload(
     "skew_auto_join",
     oracle="""
     WITH li2 AS (

@@ -1863,3 +1863,38 @@ def test_ivfpq_append_batch_id_idempotent(spark, tmp_path):
     # unkeyed appends keep the documented pure-append behavior
     append_to_ivfpq_index(spark, idx, emb.filter(F.col("vec_id") < 5))
     assert spark.read.parquet(f"{idx}/codes").count() == 65
+
+
+def test_ivfpq_append_normalizes_vector_element_type(spark, tmp_path):
+    """Appending a double-element batch into a float-built index must not
+    leave mixed float/double part files under vectors/ — the vectorized
+    parquet reader fails at QUERY time on the type clash
+    (SchemaColumnConvertNotSupportedException, found by the r11 drift
+    harness). The append casts the batch to the index's persisted element
+    type, and the maintained index stays queryable."""
+    import random
+
+    from nextgenetl_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_query_index,
+    )
+
+    rng = random.Random(13)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    emb_f = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    emb_d = spark.createDataFrame(
+        [(100 + i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(emb_f, idx, k_centroids=4, refine_iters=1, m=2, ks=4,
+                      train_iters=1)
+    append_to_ivfpq_index(spark, idx, emb_d)
+    # the read that used to throw: scan every part file of vectors/
+    assert spark.read.parquet(f"{idx}/vectors").count() == 60
+    q = emb_f.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivfpq_query_index(spark, idx, q, nprobe=4, shortlist=10**9, k=3)
+    assert got.count() == 9

@@ -4,8 +4,12 @@
 ``append_to_ivfpq_index`` assigns new vectors to FROZEN centroids and
 encodes them with FROZEN codebooks; its docstring names cluster-cohesion
 drift as the rebuild signal but no number existed. This harness produces
-one: build an index on the sf0.1 embeddings corpus (2,000 × 64-dim), then
-append batches drawn from a DELIBERATELY SHIFTED distribution (x_j +
+one: build an index on the ×8-replicated near-duplicate corpus the ANN
+recall series measures on (tools/ann_recall.py build_corpus — 16,000 ×
+64-dim; the raw un-replicated lake embeddings are near-isotropic, which
+floors auto-knob recall at ~0.34 regardless of appends and drowns the
+drift signal — measured on the first run of this harness), then append
+batches drawn from a DELIBERATELY SHIFTED distribution (x_j +
 delta·sin(b·(j+1)) per batch — off-center of every frozen centroid, the
 worst case for frozen assignment) growing the appended fraction
 0% → 25% → 50% → 100% of history size. At each step:
@@ -99,21 +103,31 @@ def main() -> None:
 
     n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     spark = get_spark("ann-append-drift")
-    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    from tools.ann_recall import build_corpus
+
+    emb = build_corpus(spark, 8).localCheckpoint()
     n_hist = emb.count()
     idx = tempfile.mkdtemp(prefix="ngetl_append_drift_")
     t0 = time.time()
-    build_ivfpq_index(emb, idx, k_centroids=16, refine_iters=2, m=8, ks=16,
+    build_ivfpq_index(emb, idx, k_centroids=16, refine_iters=1, m=8, ks=16,
                       train_iters=2)
     build_s = round(time.time() - t0, 1)
 
     # history-like queries: fresh small perturbation of every 40th vector;
     # shifted queries: the same ids under batch-1's rigid shift (they chase
     # the appended distribution)
-    q_hist = shifted(emb.filter(F.col("vec_id") % 40 == 0), 9, 0.02, 10_000_000)
-    q_hist = q_hist.limit(n_queries).localCheckpoint()
-    q_shift = shifted(emb.filter(F.col("vec_id") % 40 == 0), 1, 0.30, 20_000_000)
-    q_shift = q_shift.limit(n_queries).localCheckpoint()
+    q_hist = (
+        shifted(emb.filter(F.col("vec_id") % 40 == 0), 9, 0.02, 10_000_000)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .limit(n_queries)
+        .localCheckpoint()
+    )
+    q_shift = (
+        shifted(emb.filter(F.col("vec_id") % 40 == 0), 1, 0.30, 20_000_000)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .limit(n_queries)
+        .localCheckpoint()
+    )
 
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     base_cohesion = index_cohesion(spark, idx)

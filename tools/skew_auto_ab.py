@@ -10,8 +10,15 @@ count, no hot key), and races four regimes on each:
     auto         operators/joins.py salted_join_auto end-to-end — builds
                  the big side's CMS sketch, takes the skew_decision, runs
                  whichever branch it chose (wall INCLUDES sketch+decision)
+    auto_f10     same, but the inline sketch reads a 10% Bernoulli row
+                 sample (sample_fraction=0.1) — the cheap inline path
     auto_staged  salted_join_auto with a PRE-BUILT sketch (the 100-TB
                  ingest-artifact shape — decision cost only)
+
+Each regime also records the reduce-task skew (max vs median task wall of
+the heaviest shuffle-read stage, via the UI REST API) — on local[32] the
+straggler timeshares a core so WALLS barely move, but task_max/task_p50 is
+what becomes the wall on a real cluster (the skew_bench.py metric).
 
 Done-bar from the verdict: the auto decision must MATCH the hand-tuned
 choice on both fixtures (salt on the hot one, plain on the uniform one)
@@ -31,7 +38,13 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
-from tools.skew_bench import N_COLD_KEYS, _ui_spark, build_dim, build_fact
+from tools.skew_bench import (
+    N_COLD_KEYS,
+    _reduce_task_skew,
+    _ui_spark,
+    build_dim,
+    build_fact,
+)
 from nextgenetl_spark.operators.agg import cms_build
 from nextgenetl_spark.operators.joins import salted_join, salted_join_auto
 
@@ -46,13 +59,18 @@ def build_uniform_fact(spark, sf_dir, n):
     return fact.select(key.alias("k"), "l_quantity")
 
 
-def timed(fn, repeats=2):
-    walls, out = [], None
+def timed(spark, fn, repeats=2):
+    walls, out, tasks = [], None, None
     for _ in range(repeats):
+        next_stage = int(spark.sparkContext._jsc.sc().dagScheduler().nextStageId())
         t0 = time.time()
         out = fn()
         walls.append(round(time.time() - t0, 2))
-    return min(walls), out
+        try:
+            tasks = _reduce_task_skew(spark, next_stage) or tasks
+        except Exception:
+            pass
+    return min(walls), out, tasks
 
 
 def main():
@@ -75,25 +93,36 @@ def main():
         def agg_count(df):
             return df.groupBy("grp").agg(F.count(F.lit(1)).alias("cnt")).count()
 
-        entry["plain_wall_s"], _ = timed(lambda: agg_count(fact.join(dim, "k")))
-        entry["salted_wall_s"], _ = timed(
-            lambda: agg_count(salted_join(fact, dim, on="k", num_salts=32))
+        entry["plain_wall_s"], _, entry["plain_tasks"] = timed(
+            spark, lambda: agg_count(fact.join(dim, "k"))
+        )
+        entry["salted_wall_s"], _, entry["salted_tasks"] = timed(
+            spark, lambda: agg_count(salted_join(fact, dim, on="k", num_salts=32))
         )
 
-        def run_auto(cms=None):
+        def run_auto(cms=None, frac=None):
             dec: dict = {}
             df = salted_join_auto(
-                fact, dim, "k", num_salts=32, cms_big=cms, decision_out=dec
+                fact, dim, "k", num_salts=32, cms_big=cms, decision_out=dec,
+                sample_fraction=frac,
             )
             return agg_count(df), dec
 
-        entry["auto_wall_s"], (_, dec) = timed(lambda: run_auto())
+        entry["auto_wall_s"], (_, dec), entry["auto_tasks"] = timed(
+            spark, lambda: run_auto()
+        )
         entry["auto_decision"] = dec
+        entry["auto_f10_wall_s"], (_, dec_f), _ = timed(
+            spark, lambda: run_auto(frac=0.1)
+        )
+        entry["auto_f10_decision"] = dec_f
 
         staged = cms_build(
             fact.select(F.col("k").cast("string").alias("k")), "k"
         ).localCheckpoint()
-        entry["auto_staged_wall_s"], (_, dec_s) = timed(lambda: run_auto(staged))
+        entry["auto_staged_wall_s"], (_, dec_s), entry["auto_staged_tasks"] = timed(
+            spark, lambda: run_auto(staged)
+        )
         entry["auto_staged_decision"] = dec_s
 
         hand_choice = "salted" if label.startswith("skewed") else "plain"
