@@ -186,6 +186,9 @@ HEADLINE = {
     # round 11: CMS-driven automatic skew decision (estimator-layer planner
     # consumer) — sketch, decide, salt, join, agg in one entry
     "skew_auto_join": "collect",
+    # round 11: TPC-H Q17 shape — correlated scalar-agg subquery as one
+    # scan + one window (no rejoin)
+    "small_quantity_revenue": "collect",
 }
 
 # Machine-readable run-validity thresholds (round-9 verdict ask #3): a bench

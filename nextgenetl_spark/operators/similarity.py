@@ -1533,8 +1533,18 @@ def append_to_ivfpq_index(
     ``vectors/`` surfaces — no corpus re-scan, no retraining. Centroids,
     codebooks, and the meta/ crowd statistic stay FROZEN (the standard
     trade-off: cells and the quantization-noise crowd drift as data grows;
-    rebuild with ``build_ivfpq_index`` when recall degrades — the measured
-    rebuild signal is ``cluster_cohesion``'s per-cell mean-sim drop).
+    rebuild with ``build_ivfpq_index`` when recall degrades). The rebuild
+    trigger is MEASURED (ANN_APPEND_DRIFT.json, tools/ann_append_drift.py):
+    rebuild when the index cohesion statistic — mean member→own-centroid
+    cosine over the vectors/ surface — has moved more than ~0.01 in
+    EITHER direction from its build-time value. On the measured new-topic
+    drift curve, every point at or under that drift kept maintained
+    recall@10 within 0.05 of a fresh rebuild, while at 10% off-
+    distribution appends (drift 0.021) a rebuild already recovered 13
+    points on drift-chasing queries and at 25% (drift 0.045) it recovered
+    0.87 (maintained 0.13 vs rebuilt 1.00); tight SAME-distribution
+    appends moved cohesion UP without hurting recall, which is why the
+    trigger is the absolute drift, not a drop.
     Appended rows are exactly what the build would have written for them
     under the frozen artifacts (pinned by pytest), so
     ``ivfpq_query_index`` needs no append-awareness.

@@ -10,21 +10,33 @@ recall series measures on (tools/ann_recall.py build_corpus — 16,000 ×
 floors auto-knob recall at ~0.34 regardless of appends and drowns the
 drift signal — measured on the first run of this harness), then append
 batches drawn from a DELIBERATELY SHIFTED distribution (x_j +
-delta·sin(b·(j+1)) per batch — off-center of every frozen centroid, the
-worst case for frozen assignment) growing the appended fraction
-0% → 25% → 50% → 100% of history size. At each step:
+delta·sin(b·(j+1)) per batch, delta large enough that each batch is a NEW
+topic region no frozen centroid was trained on — the realistic drift)
+growing the appended fraction 0% → 25% → 50% → 100% of history size. At
+each step, for TWO query populations (history-like queries and shifted
+queries that chase the appended data):
 
 - recall@10 of the production auto-knob query path (``ivfpq_query_index``
-  with nprobe/shortlist from the persisted meta) against exact GEMM brute
-  force over history ∪ appended, for TWO query populations: history-like
-  queries and shifted queries (the ones that chase the appended data);
+  with nprobe/shortlist from the persisted meta) over the MAINTAINED
+  index (frozen artifacts + appends) against exact GEMM brute force over
+  history ∪ appended;
+- the same recall over a FRESH REBUILD on history ∪ appended (new
+  centroids/codebooks, same knobs) — the alternative a rebuild trigger
+  buys, so the trigger is calibrated against what rebuilding actually
+  recovers, not against an absolute recall bar the auto knobs may not
+  clear even at fraction 0;
 - the index cohesion statistic: mean member→own-centroid cosine over the
   cell-partitioned vectors surface (the ``cluster_cohesion`` walk applied
-  to the index), plus its drop vs the build-time value.
+  to the index), as an ABSOLUTE drift |cohesion − build_cohesion| — the
+  first run of this harness measured tight near-dup appends RAISING
+  cohesion while new-topic appends can lower it; either direction means
+  the frozen partitioning no longer reflects the data.
 
-Writes ANN_APPEND_DRIFT.json: the recall/cohesion curve and the derived
-rebuild threshold (the largest cohesion drop at which every measured
-recall stays ≥ 0.95), cited from the append docstring.
+Writes ANN_APPEND_DRIFT.json: the maintained-vs-rebuilt recall curve,
+the cohesion-drift curve, and the derived rebuild threshold (the largest
+absolute cohesion drift at which maintained recall stayed within 0.05 of
+the rebuilt index on both query populations), cited from the append
+docstring.
 
     python tools/ann_append_drift.py [n_queries]
 """
@@ -129,52 +141,74 @@ def main() -> None:
         .localCheckpoint()
     )
 
+    DELTA = 1.5
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     base_cohesion = index_cohesion(spark, idx)
     report = {
         "sf_dir": SF_DIR, "n_history": n_hist, "k": K,
         "build_seconds": build_s, "build_cohesion": base_cohesion,
-        "shift_delta": 0.30, "curve": [],
+        "shift_delta": DELTA, "curve": [],
     }
-    # appended fractions of history size: 0 → 0.25 → 0.5 → 1.0
-    steps = [(0, 0), (1, n_hist // 4), (2, n_hist // 4), (3, n_hist // 2)]
+    # appended fractions of history size: 0 → 0.05 → 0.10 → 0.25 → 0.5 →
+    # 1.0 (the fine 5%/10% steps exist because the first coarse run showed
+    # shifted-query recall already collapsed at 25% — the interesting
+    # boundary is below it)
+    steps = [
+        (0, 0),
+        (1, n_hist // 20),
+        (2, n_hist // 20),
+        (3, n_hist * 3 // 20),
+        (4, n_hist // 4),
+        (5, n_hist // 2),
+    ]
     appended = 0
+    all_rows = emb
     for batch, n_new in steps:
         if n_new:
             newv = shifted(
-                emb.filter(F.col("vec_id") < n_new), batch, 0.30,
+                emb.filter(F.col("vec_id") < n_new), batch, DELTA,
                 1_000_000 * batch,
             )
             append_to_ivfpq_index(spark, idx, newv, batch_id=batch)
             appended += n_new
             corpus = corpus.unionByName(
                 newv.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-            )
-        corpus = corpus.localCheckpoint()
+            ).localCheckpoint()
+            all_rows = all_rows.unionByName(newv).localCheckpoint()
         coh = index_cohesion(spark, idx)
+        # the rebuild alternative: fresh centroids/codebooks on the SAME
+        # data, same knobs — what a triggered rebuild would buy
+        rb = tempfile.mkdtemp(prefix="ngetl_append_drift_rb_")
+        build_ivfpq_index(all_rows, rb, k_centroids=16, refine_iters=1, m=8,
+                          ks=16, train_iters=2)
         report["curve"].append({
             "appended_fraction": round(appended / n_hist, 2),
             "index_rows": n_hist + appended,
             "cohesion": coh,
-            "cohesion_drop": round(base_cohesion - coh, 4),
-            "recall_at_10_history_queries": recall_at_k(spark, idx, q_hist, corpus),
-            "recall_at_10_shifted_queries": recall_at_k(spark, idx, q_shift, corpus),
+            "cohesion_drift_abs": round(abs(base_cohesion - coh), 4),
+            "maintained_recall_history_q": recall_at_k(spark, idx, q_hist, corpus),
+            "maintained_recall_shifted_q": recall_at_k(spark, idx, q_shift, corpus),
+            "rebuilt_recall_history_q": recall_at_k(spark, rb, q_hist, corpus),
+            "rebuilt_recall_shifted_q": recall_at_k(spark, rb, q_shift, corpus),
         })
         print(json.dumps(report["curve"][-1]))
 
     ok = [
         p for p in report["curve"]
-        if min(p["recall_at_10_history_queries"], p["recall_at_10_shifted_queries"])
-        >= 0.95
+        if p["maintained_recall_history_q"] >= p["rebuilt_recall_history_q"] - 0.05
+        and p["maintained_recall_shifted_q"] >= p["rebuilt_recall_shifted_q"] - 0.05
     ]
-    report["rebuild_threshold_cohesion_drop"] = (
-        max(p["cohesion_drop"] for p in ok) if ok else 0.0
+    report["rebuild_threshold_cohesion_drift"] = (
+        max(p["cohesion_drift_abs"] for p in ok) if ok else 0.0
     )
     report["rule"] = (
-        "rebuild when the index cohesion statistic (mean member->own-centroid "
-        f"cosine) has dropped more than {report['rebuild_threshold_cohesion_drop']} "
-        "below its build-time value; every measured point at or under that "
-        "drop kept recall@10 >= 0.95 on BOTH query populations"
+        "rebuild when |cohesion - build_cohesion| (mean member->own-centroid "
+        "cosine over the index's vectors surface) exceeds "
+        f"{report['rebuild_threshold_cohesion_drift']}: at every measured "
+        "drift at or under that value, the maintained (frozen-artifact) "
+        "index's recall@10 stayed within 0.05 of a fresh rebuild on both "
+        "query populations; beyond it, rebuilding recovers more than 5 "
+        "points of recall"
     )
     with open("/root/repo/ANN_APPEND_DRIFT.json", "w", encoding="utf-8") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)

@@ -47,6 +47,10 @@ EXPECTED = {
     # the pairwise type_a < type_b join runs over the 5-row SKETCH table
     # (n_types² pairs of ≤k-long lists) — constant-size NLJ by design
     "kmv_set_overlap": {"BroadcastNestedLoopJoin"},
+    # r11 pair-domain build: the type_a < type_b self-join of the 5-row
+    # DISTINCT event-type table (so disjoint pairs surface with est 0) —
+    # the same constant-size NLJ shape as kmv_set_overlap
+    "cms_join_size": {"BroadcastNestedLoopJoin"},
     # 1-row N-docs aggregate broadcast into every tf row — constant-size NLJ
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     # 1-row (avgdl, N) corpus-stats broadcast into every (doc, term) score
