@@ -395,16 +395,19 @@ def information_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("cols", T.ArrayType(T.StringType(), False), False),
         T.StructField("n_rows", T.LongType(), False),
     ])
-    return (
-        _footer_rows(spark, files, read_footer, per_file)
+    rows = _footer_rows(spark, files, read_footer, per_file)
+    # distinct-union column count via explode + countDistinct, NOT
+    # collect_list+flatten: a collect_list buffer holds every file's
+    # column array for a table at once (10⁵ part files × 50 columns = a
+    # 5M-element array in ONE aggregation buffer), where the exploded
+    # groupBy carries only per-partition partial distinct sets
+    counts = (
+        rows.select("table_name", F.explode("cols").alias("c"))
         .groupBy("table_name")
-        .agg(
-            F.size(F.array_distinct(F.flatten(F.collect_list("cols"))))
-            .cast("int")
-            .alias("n_columns"),
-            F.sum("n_rows").cast("long").alias("n_rows"),
-        )
+        .agg(F.countDistinct("c").cast("int").alias("n_columns"))
     )
+    sums = rows.groupBy("table_name").agg(F.sum("n_rows").cast("long").alias("n_rows"))
+    return sums.join(counts, "table_name")
 
 
 def catalog_columns(spark: SparkSession) -> DataFrame:
