@@ -98,6 +98,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition after an effectively-unsplittable scan
+    (guide §2.5 "input skew: one huge unsplittable file … repartition
+    immediately after the read").
+
+    The driver's test tables ship as SINGLE-ROW-GROUP parquet files, and
+    Spark cannot split a scan below row-group granularity — so however many
+    splits the planner makes, only one task per row group does real work and
+    the whole first stage (scan + project + partial aggregation) runs on one
+    core. Workloads whose first stage carries heavy per-row compute call
+    this right after ``load`` to spread rows across the session's cores.
+
+    Scale-adaptive, not a local[32] constant: the target is
+    ``defaultParallelism`` and the repartition is SKIPPED whenever the scan
+    already yields at least half that many partitions — on a real lake
+    (many files / many row groups) this is a no-op and no exchange is added.
+    Output rows are identical (round-robin only moves rows); every consumer
+    in this engine is order-insensitive or carries explicit tie-breaks."""
+    sc = df.sparkSession.sparkContext
+    target = parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for spark.sql-style pipelines)."""
     for name in TABLES:

@@ -1203,6 +1203,15 @@ def pq_topk(
     dsub = CB.shape[2]
     codes = pq_encode(corpus, CB, corpus_id, vec_col)
     if shortlist is None:
+        # the crowd measurement AND the final scoring scan both consume the
+        # code table; materialize the encode chain once (localCheckpoint)
+        # instead of re-running the corpus-scan→normalize→GEMM-encode
+        # lineage under each action (guide §5 — cut lineage when an
+        # intermediate is reused and recomputing costs more). Values are
+        # untouched; the m-byte/vector code table is exactly the artifact
+        # the persisted path writes to parquet. Skipped when the caller
+        # passes an explicit shortlist — codes is then consumed once.
+        codes = codes.localCheckpoint()
         unit = _unit_vectors(corpus, corpus_id, vec_col)
         shortlist = _auto_shortlist(
             k,
@@ -1350,7 +1359,13 @@ def ivfpq_topk(
     if shortlist is None:
         # near-identical vectors tie in ADC score REGARDLESS of cell, so
         # the crowd statistic ignores cell boundaries (the frozen
-        # two-crowd rule — see pq_topk's TUNING / _auto_shortlist)
+        # two-crowd rule — see pq_topk's TUNING / _auto_shortlist).
+        # Materialize the (id, codes, cell_id) index table once: the crowd
+        # pass and the final probed-cell scan both consume it, and without
+        # the localCheckpoint each action re-runs the scan→assign-GEMM→
+        # encode-GEMM→join lineage (guide §5; values untouched — this is
+        # the exact table build_ivfpq_index persists).
+        codes = codes.localCheckpoint()
         unit = _unit_vectors(corpus, corpus_id, vec_col)
         shortlist = _auto_shortlist(
             k,

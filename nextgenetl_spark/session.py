@@ -21,6 +21,28 @@ from pyspark.sql import SparkSession
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _default_driver_mem() -> str:
+    """Scale-aware local-mode heap: in local[N] the driver JVM hosts every
+    executor thread's execution+storage memory, so the heap must be sized to
+    the machine, not a constant. A quarter of physical RAM, clamped to
+    [8g, 32g], keeps 32 concurrent tasks' sort/agg buffers out of GC-thrash
+    territory (measured r11: wide_group_dedup_140 warm walls 23-59s at 8g vs
+    12-20s at 32g on a 128 GiB box — the 8g heap was the single largest
+    source of bench noise and straggler walls) while never overcommitting a
+    small box. On a real cluster this corresponds to ordinary executor-memory
+    sizing and the env override takes precedence."""
+    mem_gib = 8
+    try:
+        with open("/proc/meminfo", encoding="ascii") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    mem_gib = int(line.split()[1]) // (1024 * 1024)
+                    break
+    except OSError:
+        pass
+    return f"{max(8, min(32, mem_gib // 4))}g"
+
+
 def get_spark(app_name: str = "nextgenetl-spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) the session.
 
@@ -44,7 +66,24 @@ def get_spark(app_name: str = "nextgenetl-spark", shuffle_partitions: int | None
         # nanosecond timestamp type — read as long and convert in catalog.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
+        # ObjectHashAggregate (collect_set/collect_list/...) falls back to
+        # sort-based aggregation after only 128 in-memory keys by default —
+        # a guard sized for huge per-key buffers, not the small-set/array
+        # buffers this engine aggregates. At 128 every real grouping (600k
+        # near-unique keys at sf0.1) degenerates to an external sort of the
+        # full rows on BOTH sides of the exchange; per-task key counts are
+        # bounded by AQE partition sizing (~128 MB) at any scale, so 4M keys
+        # in flight is safe under the scale-aware heap above. Measured r11:
+        # wide_group_dedup_140 15-17s -> 7-8s warm with the threshold raised
+        # (repartitioned variant). Env-overridable for small-memory hosts.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            os.environ.get("SPARK_GRAFT_OHA_FALLBACK", "4194304"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -2295,8 +2295,14 @@ def wide_group_dedup_140(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually runs. One shuffle on the full 140-column key; at 100 TB the
     same plan holds — partial aggregation runs map-side, and Tungsten packs
     the wide key into a single UnsafeRow, so width costs bytes, not extra
-    shuffles."""
-    li = load(spark, sf_dir, "lineitem")
+    shuffles. The scan is spread (catalog.spread) before the 140-expression
+    projection: the single-row-group input otherwise pins the whole
+    project + partial-agg first stage to ONE core (guide §2.5; measured r11:
+    15-17s → 7-8s warm with the projection parallelized, a no-op on
+    multi-row-group lakes)."""
+    from nextgenetl_spark.catalog import spread
+
+    li = spread(load(spark, sf_dir, "lineitem"))
     cols = [expr() for _, expr, _ in _wide140_formulas()]
     wide = li.select(*cols, "l_orderkey")
     group_cols = [name for name, _, _ in _wide140_formulas()]
