@@ -367,10 +367,42 @@ def refine_centroids(
     the whole Lloyd walk is reproducible bit-for-bit by the pure-Python
     oracle generator (tools/gen_ivf_oracle.py), which is what admits
     ann_ivf_topk's independent literal-VALUES oracle. Map-side partial
-    aggregation is preserved: decimal SUM combines partially."""
+    aggregation is preserved: decimal SUM combines partially.
+
+    DRIVER-MATERIALIZED ITERATION STATE (r11 optimization, guide §1.2/§5):
+    each iteration collects the k×dim per-(cell, pos) means — a table
+    bounded by the centroid count, the same bound assign_cells already
+    collects under — and rebuilds the next iteration's centroid table as a
+    LITERAL DataFrame, instead of chaining lazy left-joins whose lineage
+    re-executed every prior iteration's corpus pass at every downstream
+    collect (the warm ivfpq walk spent ~half its 16s in exactly that
+    recompute; see OPTIMIZATION_r11.md). collect→createDataFrame is an
+    exact float64 round trip and the coalesce-with-previous fallback for
+    emptied cells is replayed on the driver, so the returned values are
+    bit-identical; the oracle hashes prove it. The returned table is
+    literal-backed: downstream consumers (assign_cells' collect, the
+    broadcast probe) read it without touching the corpus again."""
     base = centroids.select("cell_id", F.col("cvec").cast("array<double>").alias("cvec"))
+    if iters <= 0:
+        return base
+    spark = corpus.sparkSession
+    base_rows = {r["cell_id"]: list(r["cvec"]) for r in base.collect()}
+
+    def _lit():
+        # single-slice parallelize: a default createDataFrame spreads k rows
+        # over defaultParallelism partitions, so every downstream collect/
+        # broadcast-build runs a 32-task job (measured ~300ms vs ~100ms)
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(cid, base_rows[cid]) for cid in sorted(base_rows)], 1
+            ),
+            "cell_id int, cvec array<double>",
+        )
+
     for _ in range(iters):
-        assigned = assign_cells(corpus, base, id_col, vec_col)
+        assigned = assign_cells(
+            corpus, [(cid, base_rows[cid]) for cid in sorted(base_rows)], id_col, vec_col
+        )
         means = (
             assigned.select("cell_id", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cell_id", "pos")
@@ -382,17 +414,12 @@ def refine_centroids(
                 "cell_id", "pos", (F.col("s").cast("double") / F.col("n")).alias("m")
             )
         )
-        refined = (
-            means.groupBy("cell_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cell_id", F.col("pm.m").alias("cvec"))
-        )
-        base = (
-            base.withColumnRenamed("cvec", "prev")
-            .join(refined, "cell_id", "left")
-            .select("cell_id", F.coalesce("cvec", "prev").alias("cvec"))
-        )
-    return base
+        new: dict[int, dict[int, float]] = {}
+        for r in means.collect():
+            new.setdefault(r["cell_id"], {})[r["pos"]] = r["m"]
+        for cid, d in new.items():  # cells that lost all members keep prev
+            base_rows[cid] = [d[p] for p in sorted(d)]
+    return _lit()
 
 
 def assign_cells(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -402,11 +429,22 @@ def assign_cells(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
     corpus streams through in batches and never shuffles. The per-element
     expression form (corpus × k interpreted array lambdas) is the cost curve
     that blew up at 20× corpus in tools/scale_smoke.py; the GEMM is linear
-    with a vectorized constant."""
+    with a vectorized constant.
+
+    ``centroids`` may be a DataFrame (collected here — the normal path) or
+    a pre-collected list of ``(cell_id, cvec)`` pairs (r11: the Lloyd loop
+    already holds the k-row table on the driver; re-uploading it as a
+    literal DataFrame just to collect it back cost a ~200-600ms round trip
+    per iteration)."""
     import numpy as np
     import pandas as pd
 
-    cent = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    if isinstance(centroids, list):
+        cent = sorted(
+            (dict(cell_id=c, cvec=v) for c, v in centroids), key=lambda r: r["cell_id"]
+        )
+    else:
+        cent = sorted(centroids.collect(), key=lambda r: r["cell_id"])
     cell_ids = np.array([r["cell_id"] for r in cent], dtype="int32")
     C = np.stack([np.asarray(r["cvec"], dtype="float64") for r in cent])
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -478,10 +516,13 @@ def ivf_topk(
     cents = pick_centroids(corpus, k_centroids, corpus_id, vec_col)
     if refine_iters > 0:
         cents = refine_centroids(corpus, cents, refine_iters, corpus_id, vec_col)
-    # The centroid table (k rows) feeds the assignment pass AND the query
-    # probe — materialize it once so the corpus-wide selection/refinement
-    # scans don't re-run per consumer (2-3 extra full scans at 100 TB).
-    cents = cents.localCheckpoint()
+    else:
+        # The centroid table (k rows) feeds the assignment pass AND the query
+        # probe — materialize it once so the corpus-wide selection scan
+        # doesn't re-run per consumer (2-3 extra full scans at 100 TB). The
+        # refined path needs no checkpoint: refine_centroids returns a
+        # literal-backed table (r11).
+        cents = cents.localCheckpoint()
     cells = assign_cells(corpus, cents, corpus_id, vec_col)
     qprobe = (
         queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
@@ -532,7 +573,8 @@ def build_ivf_index(
     cents = pick_centroids(corpus, k_centroids, id_col, vec_col)
     if refine_iters > 0:
         cents = refine_centroids(corpus, cents, refine_iters, id_col, vec_col)
-    cents = cents.localCheckpoint()
+    else:  # refined centroids are literal-backed already (r11)
+        cents = cents.localCheckpoint()
     cells = assign_cells(corpus, cents, id_col, vec_col)
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     (
@@ -834,9 +876,19 @@ def _collect_codebooks(cb: DataFrame, m: int | None = None, ks: int | None = Non
     """Collect the (subspace, code, cvec) codebook table (m·ks rows — tiny,
     bounded by construction) into an (m, ks, dsub) float64 ndarray. With
     m/ks omitted they are inferred from the table (the persisted-index
-    read path, where the codebook parquet is self-describing)."""
+    read path, where the codebook parquet is self-describing).
+
+    When the codebook table was built by ``train_pq_codebooks`` in this
+    same walk, the already-collected ndarray is memoized on the DataFrame
+    object (r11) — the collect of the literal it was built from is a pure
+    round trip. Persisted/parquet codebooks take the normal collect path."""
     import numpy as np
 
+    memo = getattr(cb, "_nextgenetl_cb_ndarray", None)
+    if memo is not None and (m is None or memo.shape[0] == m) and (
+        ks is None or memo.shape[1] == ks
+    ):
+        return memo
     rows = {(r["subspace"], r["code"]): r["cvec"] for r in cb.collect()}
     if m is None:
         m = 1 + max(s for s, _ in rows)
@@ -947,6 +999,16 @@ def train_pq_codebooks(
         )
         .select("subspace", "code", "cvec")
     )
+    # DRIVER-MATERIALIZED ITERATION STATE (r11 optimization — see
+    # refine_centroids): each iteration collects the m·ks·dsub means
+    # (bounded by the codebook grid, the bound _collect_codebooks already
+    # collects under) and rebuilds the codebook table as a LITERAL
+    # DataFrame, replaying the coalesce-with-previous fallback on the
+    # driver from the CB ndarray just collected. The lazy left-join chain
+    # this replaces re-executed every prior iteration's corpus pass at the
+    # caller's final _collect_codebooks (measured 4.5s warm on a 2000-row
+    # corpus); values are bit-identical (exact float64 round trip).
+    spark = corpus.sparkSession
     for _ in range(iters):
         CB = _collect_codebooks(cb, m, ks)
         assigned = _pq_assign_long(unit, CB, id_col)
@@ -964,15 +1026,29 @@ def train_pq_codebooks(
                 (F.col("s").cast("double") / F.col("n")).alias("mv"),
             )
         )
-        refined = (
-            means.groupBy("subspace", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("spos", "mv"))).alias("pm"))
-            .select("subspace", "code", F.col("pm.mv").alias("cvec"))
+        new: dict[tuple, dict[int, float]] = {}
+        for r in means.collect():
+            new.setdefault((r["subspace"], r["code"]), {})[r["spos"]] = r["mv"]
+        rows = []
+        for j in range(m):
+            for t in range(ks):
+                if (j, t) in new:
+                    d = new[(j, t)]
+                    vec = [d[p] for p in sorted(d)]
+                else:  # codes that lost all members keep their previous codeword
+                    vec = [float(x) for x in CB[j][t]]
+                rows.append((j, t, vec))
+        cb = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            "subspace int, code int, cvec array<double>",
         )
-        cb = (
-            cb.withColumnRenamed("cvec", "prev")
-            .join(refined, ["subspace", "code"], "left")
-            .select("subspace", "code", F.coalesce("cvec", "prev").alias("cvec"))
+        # memoize the driver-side ndarray so the caller's _collect_codebooks
+        # doesn't pay the literal's upload→collect round trip (values are
+        # the literal's rows verbatim)
+        import numpy as np
+
+        cb._nextgenetl_cb_ndarray = np.stack(
+            [np.stack([np.asarray(rows[j * ks + t][2], dtype="float64") for t in range(ks)]) for j in range(m)]
         )
     return cb
 
@@ -1347,7 +1423,8 @@ def ivfpq_topk(
     cents = pick_centroids(corpus, k_centroids, corpus_id, vec_col)
     if refine_iters > 0:
         cents = refine_centroids(corpus, cents, refine_iters, corpus_id, vec_col)
-    cents = cents.localCheckpoint()
+    else:  # refined centroids are literal-backed already (r11)
+        cents = cents.localCheckpoint()
     cells = assign_cells(corpus, cents, corpus_id, vec_col).select(corpus_id, "cell_id")
 
     cb = train_pq_codebooks(corpus, m, ks, train_iters, corpus_id, vec_col)
@@ -1491,7 +1568,8 @@ def build_ivfpq_index(
     cents = pick_centroids(corpus, k_centroids, id_col, vec_col)
     if refine_iters > 0:
         cents = refine_centroids(corpus, cents, refine_iters, id_col, vec_col)
-    cents = cents.localCheckpoint()
+    else:  # refined centroids are literal-backed already (r11)
+        cents = cents.localCheckpoint()
     cells = assign_cells(corpus, cents, id_col, vec_col)
     cb = train_pq_codebooks(corpus, m, ks, train_iters, id_col, vec_col)
     CB = _collect_codebooks(cb, m, ks)

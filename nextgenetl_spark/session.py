@@ -70,6 +70,16 @@ def get_spark(app_name: str = "nextgenetl-spark", shuffle_partitions: int | None
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
+        # Throughput GC for the batch driver JVM: G1's concurrent-marking
+        # barriers price every driver action on a multi-GiB heap (measured
+        # r11: the ~100ms-per-action floor under the 31g heap drops 10-25%
+        # with ParallelGC across repeated A/B runs; a 136-query bench pays
+        # that floor hundreds of times). Classic batch-ETL tuning — on a
+        # cluster this is ordinary executor GC choice. Env-overridable.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         # ObjectHashAggregate (collect_set/collect_list/...) falls back to
         # sort-based aggregation after only 128 in-memory keys by default —
         # a guard sized for huge per-key buffers, not the small-set/array
@@ -85,5 +95,14 @@ def get_spark(app_name: str = "nextgenetl-spark", shuffle_partitions: int | None
             os.environ.get("SPARK_GRAFT_OHA_FALLBACK", "4194304"),
         )
         .config("spark.ui.enabled", "false")
+        # PySpark 4's DataFrame-debugging wrapper fires on EVERY Column/
+        # DataFrame API call: a conf RPC + a JVM-class reflection RPC + a
+        # PySparkCurrentOrigin set/clear pair + a Python stack walk, just to
+        # enrich potential error messages with the user call site. Measured
+        # r11: ~50-60ms per construction call on this box (a single
+        # col().cast() = 58ms; one cosine() expression = ~700ms), which
+        # dominated the driver gaps between the ANN build walk's jobs.
+        # Pure diagnostics — execution semantics are untouched.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     return builder.getOrCreate()
