@@ -98,8 +98,19 @@ def ngram_jaccard_pairs(
     # Token sets are hashed to long[] before the pair stage: the quadratic
     # intersect then compares 8-byte primitives instead of strings (same
     # Jaccard modulo 64-bit collisions, i.e. exactly, in practice).
+    #
+    # spread BEFORE tokenizing (guide §2.5): on a single-row-group input the
+    # scan is one task, which pins BOTH the tokenize projection AND the
+    # whole broadcast-hash pair probe (probe parallelism = upstream
+    # partitioning) to one core — measured r11: the pair job was 1 task /
+    # 5.5s of ngram_jaccard_pairs' 7.3s warm wall at sf0.1. spread is a
+    # no-op on multi-row-group lakes and uses an explicit partition count,
+    # which AQE never coalesces (a bare repartition(block_col) is
+    # REPARTITION_BY_COL and AQE merged it right back to one partition).
+    from nextgenetl_spark.catalog import spread
+
     hashed = F.array_distinct(F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
-    ts = df.select(block_col, F.col(id_col), hashed.alias("tok_set")).withColumn(
+    ts = spread(df).select(block_col, F.col(id_col), hashed.alias("tok_set")).withColumn(
         "n_tok", F.size("tok_set")
     )
     a = ts.alias("a")
@@ -156,13 +167,15 @@ def near_dup_pairs_auto(
     Both land in the same (a_id, b_id, jac) contract."""
     counts = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__n"))
     oversized = counts.filter(F.col("__n") > max_block_rows).select(block_col)
-    # Repartition the exact branch on the block key: the broadcast anti join
-    # shrinks Catalyst's size estimate, which otherwise flips the quadratic
-    # pair join to a BroadcastHashJoin probed at the SCAN's parallelism —
-    # one task per input file doing the whole O(block²) work. The explicit
-    # hash partitioning restores shuffle-partition parallelism and both
-    # self-join sides reuse the same exchange.
-    small = df.join(F.broadcast(oversized), block_col, "left_anti").repartition(block_col)
+    # The exact branch's parallelism is owned by ngram_jaccard_pairs itself
+    # (catalog.spread before the tokenize projection — guide §2.5). The
+    # previous `.repartition(block_col)` here was REPARTITION_BY_COL, which
+    # AQE legally coalesces by size — measured r11: it merged right back to
+    # ONE partition at sf0.1, so the whole O(block²) pair job ran one task
+    # (4.0s of the 5.3s warm wall). An explicit-count round-robin spread is
+    # never coalesced, and broadcast-probe parallelism does not need block
+    # co-location anyway.
+    small = df.join(F.broadcast(oversized), block_col, "left_anti")
     big = df.join(F.broadcast(oversized), block_col, "left_semi")
     exact = ngram_jaccard_pairs(
         small, block_col, threshold, text_col, id_col, max_block_rows=None
@@ -218,7 +231,12 @@ def minhash_signatures(
     carries num_perm longs per doc), where per-element HOF lambdas do not.
     Each shingle string is hashed ONCE; the permutations re-hash the 8-byte
     value with a per-permutation seed."""
-    base = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+    # spread before shingling (guide §2.5): the explode + per-shingle hash +
+    # map-side partial min otherwise all run in the single scan task on
+    # single-row-group inputs; no-op on real lakes.
+    from nextgenetl_spark.catalog import spread
+
+    base = spread(df).select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
     base = base.select(id_col, F.xxhash64("s").alias("h0"))
     aggs = [F.min(F.xxhash64(F.col("h0"), F.lit(seed))).alias(f"m{seed}") for seed in range(num_perm)]
     sigs = base.groupBy(id_col).agg(*aggs)
@@ -289,7 +307,13 @@ def minhash_near_dup_pairs(
     Verification re-joins the shingle sets only for candidate pairs; the
     sets are carried as xxhash64 longs so the verify intersect is primitive
     compares, not string compares."""
-    sh = df.select(
+    # spread before the shingle projection (guide §2.5): single-row-group
+    # inputs otherwise pin the per-doc shingle+hash work to one task; the
+    # two spreads over the same scan collapse to one exchange via
+    # ReuseExchange, and are no-ops on multi-row-group lakes.
+    from nextgenetl_spark.catalog import spread
+
+    sh = spread(df).select(
         F.col(id_col),
         F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias("sh"),
     )
@@ -360,7 +384,12 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
     partial aggregation — the per-element HOF accumulator in ``simhash64``
     does not, and is ~50× slower on realistic corpora. The shuffle carries
     33 packed longs per doc."""
-    base = df.select(F.col(id_col), F.explode_outer(F.array_distinct(tokens(text_col))).alias("t"))
+    from nextgenetl_spark.catalog import spread
+
+    # spread before tokenizing (guide §2.5; no-op on multi-row-group lakes)
+    base = spread(df).select(
+        F.col(id_col), F.explode_outer(F.array_distinct(tokens(text_col))).alias("t")
+    )
     return _swar_bit_vote_fold(base, id_col, F.xxhash64("t"))
 
 
@@ -406,7 +435,12 @@ def md5_simhash_fingerprints(
     arithmetic exist verbatim in ANSI-ish SQL, so a DuckDB oracle reproduces
     the fingerprint bit-for-bit. The xxhash64 form stays the production/perf
     path; this one is the cross-engine-verifiable pin of the algorithm."""
-    base = df.select(F.col(id_col), F.explode_outer(F.array_distinct(tokens(text_col))).alias("t"))
+    from nextgenetl_spark.catalog import spread
+
+    # spread before tokenizing (guide §2.5; no-op on multi-row-group lakes)
+    base = spread(df).select(
+        F.col(id_col), F.explode_outer(F.array_distinct(tokens(text_col))).alias("t")
+    )
     base = base.select(id_col, F.md5("t").alias("h"))
     # Two 32-bit halves instead of 16 per-nibble substring+conv calls: hex
     # chars 1-8 big-endian → n1, 9-16 → n2. Bit b of the layout (bit 3-b%4

@@ -25,7 +25,7 @@ def _default_driver_mem() -> str:
     """Scale-aware local-mode heap: in local[N] the driver JVM hosts every
     executor thread's execution+storage memory, so the heap must be sized to
     the machine, not a constant. A quarter of physical RAM, clamped to
-    [8g, 32g], keeps 32 concurrent tasks' sort/agg buffers out of GC-thrash
+    [8g, 16g], keeps 32 concurrent tasks' sort/agg buffers out of GC-thrash
     territory (measured r11: wide_group_dedup_140 warm walls 23-59s at 8g vs
     12-20s at 32g on a 128 GiB box — the 8g heap was the single largest
     source of bench noise and straggler walls) while never overcommitting a
@@ -40,7 +40,15 @@ def _default_driver_mem() -> str:
                     break
     except OSError:
         pass
-    return f"{max(8, min(32, mem_gib // 4))}g"
+    # Clamp at 16g, not 32g (r11 re-measure): once the near-dup pair stages
+    # were parallelized, the allocation-heavy 32-task jobs exposed the big
+    # heap's GC cost — G1 young pauses scale with heap, and the ANN walk's
+    # ~25 driver actions each pay them (hybrid_rrf_production warm min
+    # 13.7s at 31g vs 8.0s at 16g across repeated quiet-box A/Bs; every
+    # other family equal or better at 16g, wide_group_dedup_140 included —
+    # its 8g→32g fix really needed "more than 8g", and 16g keeps all of
+    # that win). Env override for hosts that need more.
+    return f"{max(8, min(16, mem_gib // 4))}g"
 
 
 def get_spark(app_name: str = "nextgenetl-spark", shuffle_partitions: int | None = None) -> SparkSession:
@@ -70,15 +78,18 @@ def get_spark(app_name: str = "nextgenetl-spark", shuffle_partitions: int | None
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
-        # Throughput GC for the batch driver JVM: G1's concurrent-marking
-        # barriers price every driver action on a multi-GiB heap (measured
-        # r11: the ~100ms-per-action floor under the 31g heap drops 10-25%
-        # with ParallelGC across repeated A/B runs; a 136-query bench pays
-        # that floor hundreds of times). Classic batch-ETL tuning — on a
-        # cluster this is ordinary executor GC choice. Env-overridable.
+        # G1 (the JVM default), NOT ParallelGC (r11 correction): ParallelGC
+        # measured 10-25% lower on the trivial-action floor, but once the
+        # near-dup pair stages ran 32-wide its stop-the-world collections
+        # turned bimodal — near_dup_groups/star warm walls sat at 21-27s
+        # (per-task GC time 1.35s of ~2s runtime, every concurrent task
+        # paying the same pause) vs 5-7s under G1, with a 92s cold
+        # full-GC spike; the ms-scale floor win cannot buy multi-second
+        # pauses under allocation-heavy parallel aggregation. G1 keeps
+        # pauses bounded at every heap size tested. Env-overridable.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseG1GC"),
         )
         # ObjectHashAggregate (collect_set/collect_list/...) falls back to
         # sort-based aggregation after only 128 in-memory keys by default —
