@@ -316,7 +316,48 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def pick_centroids(corpus: DataFrame, k_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def _seed_scan(corpus: DataFrame, n: int, id_col: str, vec_col: str) -> list:
+    """ONE TakeOrderedAndProject collect of the ``n`` smallest
+    (xxhash64(id), id) corpus rows, carrying (``__id``, ``__raw`` vector,
+    ``__n`` fold-norm). Both seed consumers define their selection by this
+    exact ordering — ``pick_centroids`` takes the first k raw vectors,
+    ``train_pq_codebooks`` the first ks NONZERO-norm unit vectors — so a
+    composed walk (ivfpq_topk, build_ivfpq_index) scans the corpus ONCE
+    for seeds instead of once per half (guide §2.2: the scan is the cost,
+    at sf0.1 and at 100 TB alike). The norm is the `_unit_vectors` fold
+    expression evaluated in the same scan; the driver replays the
+    per-element division with the identical IEEE op sequence, which the
+    pure-Python oracle generators already prove equivalent."""
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        corpus.select(
+            F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__raw"),
+            nrm.alias("__n"),
+        )
+        .orderBy("__h", "__id")
+        .limit(n)
+        .collect()
+    )
+
+
+def _attach_cent_rows(df: DataFrame, rows: list) -> DataFrame:
+    """Memoize the driver-side (cell_id, cvec) list on the literal table so
+    downstream consumers (assign_cells, refine_centroids) skip the
+    upload→collect round trip (r11; same-walk only, not cross-run)."""
+    df._nextgenetl_cent_rows = rows
+    return df
+
+
+def pick_centroids(
+    corpus: DataFrame,
+    k_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _rows: list | None = None,
+) -> DataFrame:
     """Deterministic centroid selection: the k vectors with the smallest
     xxhash64(id) — a seedless uniform sample that is stable across runs and
     engines. (A production index would k-means-refine these; the cell/probe
@@ -324,19 +365,24 @@ def pick_centroids(corpus: DataFrame, k_centroids: int, id_col: str = "vec_id", 
 
     The global top-k runs as ``orderBy().limit(k)`` → TakeOrderedAndProject
     (per-partition partial top-k merged on the driver), so the corpus never
-    collapses into a single-partition sort; only the k survivors pass
-    through the numbering window."""
-    hashed = corpus.select(
-        F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("cvec"),
-    )
-    top = hashed.orderBy("__h", "__id").limit(k_centroids)
-    w = Window.orderBy("__h", "__id")  # k rows only — bounded by k_centroids
-    return (
-        top.withColumn("__r", F.row_number().over(w))
-        .select((F.col("__r") - 1).alias("cell_id"), "cvec")
-    )
+    collapses into a single-partition sort. The k survivors are collected
+    (bounded by k_centroids) and returned as a LITERAL table with the rows
+    memoized on it (r11): every downstream consumer — refine's base,
+    assign_cells' closure, the broadcast probe — previously re-ran the
+    selection scan or a checkpoint job to get these same k rows.
+    ``_rows`` accepts a pre-collected ``_seed_scan`` prefix so composed
+    walks share one seed scan."""
+    if _rows is None:
+        _rows = _seed_scan(corpus, k_centroids, id_col, vec_col)
+    spark = corpus.sparkSession
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    rows = [(i, list(r["__raw"])) for i, r in enumerate(_rows[:k_centroids])]
+    schema = f"cell_id int, cvec {vec_type}"
+    if not rows:
+        return _attach_cent_rows(spark.createDataFrame([], schema), rows)
+    # single-slice parallelize — see refine_centroids' _lit()
+    lit = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    return _attach_cent_rows(lit, rows)
 
 
 def refine_centroids(
@@ -382,21 +428,34 @@ def refine_centroids(
     bit-identical; the oracle hashes prove it. The returned table is
     literal-backed: downstream consumers (assign_cells' collect, the
     broadcast probe) read it without touching the corpus again."""
-    base = centroids.select("cell_id", F.col("cvec").cast("array<double>").alias("cvec"))
+    cent_rows = getattr(centroids, "_nextgenetl_cent_rows", None)
     if iters <= 0:
-        return base
+        return centroids.select(
+            "cell_id", F.col("cvec").cast("array<double>").alias("cvec")
+        )
     spark = corpus.sparkSession
-    base_rows = {r["cell_id"]: list(r["cvec"]) for r in base.collect()}
+    if cent_rows is not None:
+        # pick_centroids already holds the k rows on the driver (r11) —
+        # collecting the literal back is a pure round trip. float→double
+        # cast is exact.
+        base_rows = {cid: [float(x) for x in vec] for cid, vec in cent_rows}
+    else:
+        base = centroids.select(
+            "cell_id", F.col("cvec").cast("array<double>").alias("cvec")
+        )
+        base_rows = {r["cell_id"]: list(r["cvec"]) for r in base.collect()}
 
     def _lit():
         # single-slice parallelize: a default createDataFrame spreads k rows
         # over defaultParallelism partitions, so every downstream collect/
         # broadcast-build runs a 32-task job (measured ~300ms vs ~100ms)
-        return spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [(cid, base_rows[cid]) for cid in sorted(base_rows)], 1
+        rows = [(cid, base_rows[cid]) for cid in sorted(base_rows)]
+        return _attach_cent_rows(
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, 1),
+                "cell_id int, cvec array<double>",
             ),
-            "cell_id int, cvec array<double>",
+            rows,
         )
 
     for _ in range(iters):
@@ -439,6 +498,10 @@ def assign_cells(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
     import numpy as np
     import pandas as pd
 
+    if not isinstance(centroids, list):
+        # a literal table built by pick_centroids/refine_centroids carries
+        # its rows (r11) — collecting it back is a pure round trip
+        centroids = getattr(centroids, "_nextgenetl_cent_rows", None) or centroids
     if isinstance(centroids, list):
         cent = sorted(
             (dict(cell_id=c, cvec=v) for c, v in centroids), key=lambda r: r["cell_id"]
@@ -513,16 +576,12 @@ def ivf_topk(
     batches join it shuffle-free."""
     if nprobe is None:
         nprobe = _auto_nprobe(k_centroids)
+    # pick_centroids returns a literal-backed k-row table (r11): the
+    # selection scan ran exactly once inside it, so neither the assignment
+    # pass nor the query probe re-runs it and no checkpoint job is needed
     cents = pick_centroids(corpus, k_centroids, corpus_id, vec_col)
     if refine_iters > 0:
         cents = refine_centroids(corpus, cents, refine_iters, corpus_id, vec_col)
-    else:
-        # The centroid table (k rows) feeds the assignment pass AND the query
-        # probe — materialize it once so the corpus-wide selection scan
-        # doesn't re-run per consumer (2-3 extra full scans at 100 TB). The
-        # refined path needs no checkpoint: refine_centroids returns a
-        # literal-backed table (r11).
-        cents = cents.localCheckpoint()
     cells = assign_cells(corpus, cents, corpus_id, vec_col)
     qprobe = (
         queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
@@ -573,8 +632,7 @@ def build_ivf_index(
     cents = pick_centroids(corpus, k_centroids, id_col, vec_col)
     if refine_iters > 0:
         cents = refine_centroids(corpus, cents, refine_iters, id_col, vec_col)
-    else:  # refined centroids are literal-backed already (r11)
-        cents = cents.localCheckpoint()
+    # literal-backed either way (r11) — no checkpoint job needed
     cells = assign_cells(corpus, cents, id_col, vec_col)
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     (
@@ -955,6 +1013,8 @@ def train_pq_codebooks(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _seed_rows: list | None = None,
+    _seed_horizon: int | None = None,
 ) -> DataFrame:
     """Train per-subspace PQ codebooks -> DataFrame(subspace, code, cvec).
 
@@ -968,37 +1028,99 @@ def train_pq_codebooks(
 
     Scale: the shuffle carries m·ks·dsub partial rows per task, never the
     corpus; at 100 TB train on a corpus sample (k-means training does not
-    need every vector) and encode the full corpus with the frozen books."""
-    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is None:
+    need every vector) and encode the full corpus with the frozen books.
+
+    SEED FAST PATH (r11): the ks seed unit vectors are collected in ONE
+    TakeOrdered pass (``_seed_scan`` — the dim probe, the seed selection,
+    and the first iteration's codebook grid previously cost a ``first()``
+    job plus a lazy seed-plan collect each, re-scanning the corpus) and
+    unit-normalized + sliced on the driver with the identical IEEE op
+    sequence the in-plan expressions perform. ``_seed_rows`` accepts a
+    pre-collected ``_seed_scan`` prefix (with ``_seed_horizon`` = the n it
+    was scanned to) so composed walks share the scan with
+    ``pick_centroids``. If zero-norm vectors push the ks-th nonzero seed
+    beyond the scanned horizon, the original lazy in-plan seed path runs
+    instead — behavior on degenerate corpora is unchanged."""
+    spark = corpus.sparkSession
+    if _seed_rows is None:
+        _seed_rows = _seed_scan(corpus, ks, id_col, vec_col)
+        _seed_horizon = ks
+    elif _seed_horizon is None:
+        _seed_horizon = len(_seed_rows)
+    if not _seed_rows:
         raise ValueError("train_pq_codebooks: empty corpus")
-    dim = dim_row["d"]
+    dim = len(_seed_rows[0]["__raw"])
     if dim % m != 0:
         raise ValueError(f"train_pq_codebooks: dim {dim} not divisible by m={m}")
     dsub = dim // m
 
     unit = _unit_vectors(corpus, id_col, vec_col)
-    seeds = (
-        unit.select(F.xxhash64(F.col(id_col).cast("string")).alias("__h"), id_col, "__nv")
-        .orderBy("__h", id_col)
-        .limit(ks)
-    )
-    # a corpus with fewer than ks non-zero-norm vectors seeds an incomplete
-    # code grid; _collect_codebooks raises the descriptive ValueError on
-    # first use (an eager seeds.count() here would add a full corpus-scan
-    # job to EVERY training call just to duplicate that guard — round-9
-    # self-review)
-    w = Window.orderBy("__h", id_col)  # ks rows only
-    cb = (
-        seeds.withColumn("__r", F.row_number().over(w))
-        .select(
-            (F.col("__r") - 1).alias("code"),
-            F.posexplode(
-                F.array(*[F.slice("__nv", j * dsub + 1, dsub) for j in range(m)])
-            ).alias("subspace", "cvec"),
+    nonzero = [r for r in _seed_rows if r["__n"] > 0]
+    if len(nonzero) >= ks or len(_seed_rows) < _seed_horizon:
+        # the ks seeds (or the whole corpus) are on the driver: replay the
+        # unit normalization exactly (left fold already computed in-scan as
+        # __n; per-element x/__n is the same IEEE division F.transform
+        # performs) and slice the codebook grid with zero arithmetic
+        seed_units = [
+            [float(x) / r["__n"] for x in r["__raw"]] for r in nonzero[:ks]
+        ]
+        if len(seed_units) < ks:
+            # corpus exhausted with an incomplete grid — the descriptive
+            # error _collect_codebooks raises on the lazy path
+            missing = ks - len(seed_units)
+            raise ValueError(
+                f"_collect_codebooks: codebook table is missing {missing * m} of "
+                f"{m * ks} (subspace, code) entries, first "
+                f"{[(0, t) for t in range(len(seed_units), min(ks, len(seed_units) + 5))]} — the "
+                f"corpus had fewer than ks non-zero-norm vectors at training time "
+                f"or the persisted codebook parquet is truncated"
+            )
+        seed_rows_grid = [
+            (j, t, seed_units[t][j * dsub : (j + 1) * dsub])
+            for j in range(m)
+            for t in range(ks)
+        ]
+        cb = spark.createDataFrame(
+            spark.sparkContext.parallelize(seed_rows_grid, 1),
+            "subspace int, code int, cvec array<double>",
         )
-        .select("subspace", "code", "cvec")
-    )
+        import numpy as np
+
+        cb._nextgenetl_cb_ndarray = np.stack(
+            [
+                np.stack(
+                    [
+                        np.asarray(seed_rows_grid[j * ks + t][2], dtype="float64")
+                        for t in range(ks)
+                    ]
+                )
+                for j in range(m)
+            ]
+        )
+    else:
+        # zero-norm rows crowd the scanned horizon: fall back to the lazy
+        # in-plan seed selection (ordering over the FILTERED unit set)
+        seeds = (
+            unit.select(F.xxhash64(F.col(id_col).cast("string")).alias("__h"), id_col, "__nv")
+            .orderBy("__h", id_col)
+            .limit(ks)
+        )
+        # a corpus with fewer than ks non-zero-norm vectors seeds an
+        # incomplete code grid; _collect_codebooks raises the descriptive
+        # ValueError on first use (an eager seeds.count() here would add a
+        # full corpus-scan job to EVERY training call just to duplicate
+        # that guard — round-9 self-review)
+        w = Window.orderBy("__h", id_col)  # ks rows only
+        cb = (
+            seeds.withColumn("__r", F.row_number().over(w))
+            .select(
+                (F.col("__r") - 1).alias("code"),
+                F.posexplode(
+                    F.array(*[F.slice("__nv", j * dsub + 1, dsub) for j in range(m)])
+                ).alias("subspace", "cvec"),
+            )
+            .select("subspace", "code", "cvec")
+        )
     # DRIVER-MATERIALIZED ITERATION STATE (r11 optimization — see
     # refine_centroids): each iteration collects the m·ks·dsub means
     # (bounded by the codebook grid, the bound _collect_codebooks already
@@ -1420,14 +1542,21 @@ def ivfpq_topk(
 
     if nprobe is None:
         nprobe = _auto_nprobe(k_centroids)
-    cents = pick_centroids(corpus, k_centroids, corpus_id, vec_col)
+    # ONE seed scan feeds both halves' seed selections (r11): the IVF
+    # centroids are the first k_centroids rows, the PQ codebook seeds the
+    # first ks nonzero-norm rows of the SAME (xxhash64(id), id) ordering
+    seed_horizon = max(k_centroids, ks)
+    seed_rows = _seed_scan(corpus, seed_horizon, corpus_id, vec_col)
+    cents = pick_centroids(corpus, k_centroids, corpus_id, vec_col, _rows=seed_rows)
     if refine_iters > 0:
         cents = refine_centroids(corpus, cents, refine_iters, corpus_id, vec_col)
-    else:  # refined centroids are literal-backed already (r11)
-        cents = cents.localCheckpoint()
+    # literal-backed either way (r11) — no checkpoint job needed
     cells = assign_cells(corpus, cents, corpus_id, vec_col).select(corpus_id, "cell_id")
 
-    cb = train_pq_codebooks(corpus, m, ks, train_iters, corpus_id, vec_col)
+    cb = train_pq_codebooks(
+        corpus, m, ks, train_iters, corpus_id, vec_col,
+        _seed_rows=seed_rows, _seed_horizon=seed_horizon,
+    )
     CB = _collect_codebooks(cb, m, ks)
     dsub = CB.shape[2]
     # the IVF-PQ index table: (cell_id, id, codes) — hive-partition by
@@ -1565,13 +1694,18 @@ def build_ivfpq_index(
         import math
 
         k_centroids = max(1, round(math.sqrt(corpus.count())))
-    cents = pick_centroids(corpus, k_centroids, id_col, vec_col)
+    # ONE seed scan feeds both halves' seed selections (r11; see ivfpq_topk)
+    seed_horizon = max(k_centroids, ks)
+    seed_rows = _seed_scan(corpus, seed_horizon, id_col, vec_col)
+    cents = pick_centroids(corpus, k_centroids, id_col, vec_col, _rows=seed_rows)
     if refine_iters > 0:
         cents = refine_centroids(corpus, cents, refine_iters, id_col, vec_col)
-    else:  # refined centroids are literal-backed already (r11)
-        cents = cents.localCheckpoint()
+    # literal-backed either way (r11) — no checkpoint job needed
     cells = assign_cells(corpus, cents, id_col, vec_col)
-    cb = train_pq_codebooks(corpus, m, ks, train_iters, id_col, vec_col)
+    cb = train_pq_codebooks(
+        corpus, m, ks, train_iters, id_col, vec_col,
+        _seed_rows=seed_rows, _seed_horizon=seed_horizon,
+    )
     CB = _collect_codebooks(cb, m, ks)
     codes = pq_encode(corpus, CB, id_col, vec_col)
     # adc_crowd drives shortlist=None at query time (the effective

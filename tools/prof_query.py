@@ -44,6 +44,10 @@ def get_spark_ev(name):
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", EVDIR)
+        # plain single-file layout — the default rolling/zstd dir layout
+        # (eventlog_v2_<app>/events_1_<app>.zstd) isn't line-readable
+        .config("spark.eventLog.rolling.enabled", "false")
+        .config("spark.eventLog.compress", "false")
     )
     return b.getOrCreate()
 
