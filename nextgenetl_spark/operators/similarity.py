@@ -277,7 +277,9 @@ def hyperplane_signature(vec_col, planes: list[list[float]]) -> F.Column:
     literals — it is tiny (num_planes × dim)."""
     bits = []
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        # one array literal per plane, not dim separate F.lit py4j round
+        # trips (r11 — construction cost only; identical literal array)
+        p = F.lit([float(x) for x in plane])
         d = F.aggregate(F.zip_with(vec_col, p, lambda x, y: x.cast("double") * y), F.lit(0.0), lambda a, v: a + v)
         bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     out = bits[0]
@@ -1396,29 +1398,40 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
-    cb = train_pq_codebooks(corpus, m, ks, train_iters, corpus_id, vec_col)
-    CB = _collect_codebooks(cb, m, ks)
-    dsub = CB.shape[2]
-    codes = pq_encode(corpus, CB, corpus_id, vec_col)
-    if shortlist is None:
-        # the crowd measurement AND the final scoring scan both consume the
-        # code table; materialize the encode chain once (localCheckpoint)
-        # instead of re-running the corpus-scan→normalize→GEMM-encode
-        # lineage under each action (guide §5 — cut lineage when an
-        # intermediate is reused and recomputing costs more). Values are
-        # untouched; the m-byte/vector code table is exactly the artifact
-        # the persisted path writes to parquet. Skipped when the caller
-        # passes an explicit shortlist — codes is then consumed once.
-        codes = codes.localCheckpoint()
-        unit = _unit_vectors(corpus, corpus_id, vec_col)
-        shortlist = _auto_shortlist(
-            k,
-            measured_adc_crowd(
-                unit, codes, CB, corpus_id, count_fraction=crowd_count_fraction
-            ),
-        )
+    # The query-side collect is independent of the whole training/crowd
+    # walk — overlap it (guide §2.6; see ivfpq_topk). Values unchanged.
+    from concurrent.futures import ThreadPoolExecutor
 
-    qrows = queries.select(F.col(query_id), F.col(vec_col)).limit(MAX_QUERY_ROWS + 1).collect()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_qrows = pool.submit(
+            lambda: queries.select(F.col(query_id), F.col(vec_col))
+            .limit(MAX_QUERY_ROWS + 1)
+            .collect()
+        )
+        cb = train_pq_codebooks(corpus, m, ks, train_iters, corpus_id, vec_col)
+        CB = _collect_codebooks(cb, m, ks)
+        dsub = CB.shape[2]
+        codes = pq_encode(corpus, CB, corpus_id, vec_col)
+        if shortlist is None:
+            # the crowd measurement AND the final scoring scan both consume the
+            # code table; materialize the encode chain once (localCheckpoint)
+            # instead of re-running the corpus-scan→normalize→GEMM-encode
+            # lineage under each action (guide §5 — cut lineage when an
+            # intermediate is reused and recomputing costs more). Values are
+            # untouched; the m-byte/vector code table is exactly the artifact
+            # the persisted path writes to parquet. Skipped when the caller
+            # passes an explicit shortlist — codes is then consumed once.
+            # eager=False merges the materialization into the crowd pass's
+            # first action instead of paying a separate checkpoint job (r11).
+            codes = codes.localCheckpoint(eager=False)
+            unit = _unit_vectors(corpus, corpus_id, vec_col)
+            shortlist = _auto_shortlist(
+                k,
+                measured_adc_crowd(
+                    unit, codes, CB, corpus_id, count_fraction=crowd_count_fraction
+                ),
+            )
+        qrows = f_qrows.result()
     if len(qrows) > MAX_QUERY_ROWS:
         raise ValueError(
             f"pq_topk: the query side is collected and broadcast in the UDF "
@@ -1547,40 +1560,65 @@ def ivfpq_topk(
     # first ks nonzero-norm rows of the SAME (xxhash64(id), id) ordering
     seed_horizon = max(k_centroids, ks)
     seed_rows = _seed_scan(corpus, seed_horizon, corpus_id, vec_col)
-    cents = pick_centroids(corpus, k_centroids, corpus_id, vec_col, _rows=seed_rows)
-    if refine_iters > 0:
-        cents = refine_centroids(corpus, cents, refine_iters, corpus_id, vec_col)
-    # literal-backed either way (r11) — no checkpoint job needed
-    cells = assign_cells(corpus, cents, corpus_id, vec_col).select(corpus_id, "cell_id")
+    cents0 = pick_centroids(corpus, k_centroids, corpus_id, vec_col, _rows=seed_rows)
 
-    cb = train_pq_codebooks(
-        corpus, m, ks, train_iters, corpus_id, vec_col,
-        _seed_rows=seed_rows, _seed_horizon=seed_horizon,
-    )
-    CB = _collect_codebooks(cb, m, ks)
-    dsub = CB.shape[2]
-    # the IVF-PQ index table: (cell_id, id, codes) — hive-partition by
-    # cell_id when persisting
-    codes = pq_encode(corpus, CB, corpus_id, vec_col).join(cells, corpus_id)
-    if shortlist is None:
-        # near-identical vectors tie in ADC score REGARDLESS of cell, so
-        # the crowd statistic ignores cell boundaries (the frozen
-        # two-crowd rule — see pq_topk's TUNING / _auto_shortlist).
-        # Materialize the (id, codes, cell_id) index table once: the crowd
-        # pass and the final probed-cell scan both consume it, and without
-        # the localCheckpoint each action re-runs the scan→assign-GEMM→
-        # encode-GEMM→join lineage (guide §5; values untouched — this is
-        # the exact table build_ivfpq_index persists).
-        codes = codes.localCheckpoint()
-        unit = _unit_vectors(corpus, corpus_id, vec_col)
-        shortlist = _auto_shortlist(
-            k,
-            measured_adc_crowd(
-                unit, codes, CB, corpus_id, count_fraction=crowd_count_fraction
-            ),
+    # The three driver-blocking walks that follow are pairwise INDEPENDENT:
+    # the Lloyd refinement of the cell centroids, the PQ codebook training,
+    # and the query-side collect each depend only on inputs that already
+    # exist. Running them sequentially left the cluster idle between each
+    # walk's small jobs; a 3-thread pool overlaps them (guide §2.6 —
+    # actions are only sequential because the driver calls them
+    # sequentially). Each walk's own collected values are unchanged, so
+    # results are bit-identical regardless of scheduling order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _refine():
+        if refine_iters > 0:
+            return refine_centroids(corpus, cents0, refine_iters, corpus_id, vec_col)
+        return cents0
+
+    def _train():
+        cb = train_pq_codebooks(
+            corpus, m, ks, train_iters, corpus_id, vec_col,
+            _seed_rows=seed_rows, _seed_horizon=seed_horizon,
         )
+        return cb, _collect_codebooks(cb, m, ks)
 
-    qrows = queries.select(F.col(query_id), F.col(vec_col)).limit(MAX_QUERY_ROWS + 1).collect()
+    def _qrows():
+        return queries.select(F.col(query_id), F.col(vec_col)).limit(MAX_QUERY_ROWS + 1).collect()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cents = pool.submit(_refine)
+        f_train = pool.submit(_train)
+        f_qrows = pool.submit(_qrows)
+        cents = f_cents.result()
+        _, CB = f_train.result()
+        # literal-backed either way (r11) — no checkpoint job needed
+        cells = assign_cells(corpus, cents, corpus_id, vec_col).select(corpus_id, "cell_id")
+        dsub = CB.shape[2]
+        # the IVF-PQ index table: (cell_id, id, codes) — hive-partition by
+        # cell_id when persisting
+        codes = pq_encode(corpus, CB, corpus_id, vec_col).join(cells, corpus_id)
+        if shortlist is None:
+            # near-identical vectors tie in ADC score REGARDLESS of cell, so
+            # the crowd statistic ignores cell boundaries (the frozen
+            # two-crowd rule — see pq_topk's TUNING / _auto_shortlist).
+            # Materialize the (id, codes, cell_id) index table once: the crowd
+            # pass and the final probed-cell scan both consume it, and without
+            # the localCheckpoint each action re-runs the scan→assign-GEMM→
+            # encode-GEMM→join lineage (guide §5; values untouched — this is
+            # the exact table build_ivfpq_index persists). eager=False merges
+            # the materialization into the crowd pass's first action instead
+            # of paying a separate checkpoint job (r11).
+            codes = codes.localCheckpoint(eager=False)
+            unit = _unit_vectors(corpus, corpus_id, vec_col)
+            shortlist = _auto_shortlist(
+                k,
+                measured_adc_crowd(
+                    unit, codes, CB, corpus_id, count_fraction=crowd_count_fraction
+                ),
+            )
+        qrows = f_qrows.result()
     if len(qrows) > MAX_QUERY_ROWS:
         raise ValueError(
             f"ivfpq_topk: the query side is collected and broadcast in the UDF "
