@@ -1672,7 +1672,12 @@ def skew_auto_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted physical plan changes distribution and nothing else. At 100 TB
     the sketches are per-source ingest artifacts (≤depth×width rows) and
     the decision is three 1-row sketch aggregates — the fact table is
-    never re-scanned to decide; A/B walls: SKEW_AUTO_AB.json."""
+    never re-scanned to decide; A/B walls: SKEW_AUTO_AB.json. The inline
+    sketch here runs in the measured sample_fraction=0.1 regime (same
+    decision at ~1/10 the hash work, SKEW_AUTO_AB.json's f=0.1 rows;
+    r11 call-site A/B min-of-5: 3.4s → 1.6s) — sound because the branch
+    is semantics-preserving, so the RESULT is sample-independent by
+    construction and the oracle hash proves it."""
     from nextgenetl_spark.operators.joins import salted_join_auto
 
     li = load(spark, sf_dir, "lineitem")
@@ -1681,7 +1686,7 @@ def skew_auto_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey")
     )
     li2 = li.select(skew_key.cast("long").alias("p_partkey"), "l_quantity")
-    joined = salted_join_auto(li2, p, "p_partkey")
+    joined = salted_join_auto(li2, p, "p_partkey", sample_fraction=0.1)
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_quantity"), 2).alias("qty"),
