@@ -1397,8 +1397,15 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine. The shuffle carries (gram, partial-count) pairs, never
     documents; a frequency floor keeps the result (and at 100 TB the
     output table) bounded. NOTE: shingles() dedups per doc, so this builds
-    the occurrence list inline with the same zip-shift idiom."""
-    d = load(spark, sf_dir, "documents")
+    the occurrence list inline with the same zip-shift idiom. The input is
+    spread (catalog.spread) before the shingle projection: the zip-shift
+    construction is the heaviest per-row expression in the text family and
+    a single-row-group lake serializes it onto one core (r11 A/B min-of-5:
+    1.10s → 0.78s; the same guide §2.5 fix as the near-dup family —
+    a no-op shape on real multi-row-group lakes)."""
+    from nextgenetl_spark.catalog import spread
+
+    d = spread(load(spark, sf_dir, "documents").select("text"))
     toks = TS.tokens("text")
     shifted1 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1)))
     shifted2 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(1)))
