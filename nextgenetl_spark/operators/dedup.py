@@ -1187,6 +1187,15 @@ def _md5_banded_and_shingles(
     band, bh) row per band; shm = (id, md5'd distinct shingle set) for the
     exact-Jaccard verify."""
     rows = num_perm // num_bands
+    # spread before the shingle projections (guide §2.5): both the banding
+    # explode and the shm build evaluate the zip-shift shingle expression
+    # straight off the scan, and a single-row-group input serializes each
+    # onto one core (measured: the probe's two broadcast-build jobs ran
+    # 1.9s/2.1s single-task at sf0.1). Round-robin only moves rows; both
+    # consumers are keyed aggregates/joins, so results are unchanged.
+    from nextgenetl_spark.catalog import spread
+
+    df = spread(df)
     # batch path: explode + flat min aggregates (codegen, map-side partial),
     # NOT the per-row HOF signature expression — that form exists for
     # append-mode streaming where groupBy is illegal, and is ~50x slower
