@@ -49,9 +49,47 @@ def _parquet_ts_unit(path: str, field: str = "ts") -> str | None:
         return None
 
 
+# In-process schema memo: path + content fingerprint → the StructType the
+# FIRST read of that exact data inferred. Parquet schema inference runs a
+# Spark job per spark.read.parquet call (~70-85ms measured warm at sf0.1),
+# and a bench pass issues hundreds of load() calls over ten fixed tables;
+# handing the previously-inferred schema back via .schema(...) skips the
+# job with a byte-identical scan. Metadata only — never rows or results —
+# and the fingerprint (size+mtime of every part file) invalidates the
+# entry the moment the data is regenerated in place.
+_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+
+
+def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the same schema memo as ``load``: the
+    first read of a given (path, content-fingerprint) pays the inference
+    job, repeat reads of the SAME bytes hand the schema back and skip it.
+    For hive-partitioned index dirs the cached schema includes the
+    partition columns exactly as first inferred, so the scan (partition
+    filters included) is unchanged. Any write into the directory moves the
+    fingerprint and forces re-inference."""
+    from nextgenetl_spark.staging import content_fingerprint
+
+    key = (path, content_fingerprint(path))
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        return spark.read.schema(cached).parquet(path)
+    if len(_SCHEMA_CACHE) > 256:  # per-run staged copies: bound the memo
+        _SCHEMA_CACHE.clear()
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events" and _parquet_ts_unit(path) == "ns":
+    from nextgenetl_spark.staging import content_fingerprint
+
+    cache_key = (path, content_fingerprint(path))
+    cached = _SCHEMA_CACHE.get(cache_key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    elif name == "events" and _parquet_ts_unit(path) == "ns":
         # TIMESTAMP(NANOS) is rejected by schema inference unless nanos
         # surface as long. Instead of mutating session config
         # (spark.sql.legacy.parquet.nanosAsLong — a global flip a concurrent
@@ -72,8 +110,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             for f in arrow_schema
         ]
         df = spark.read.schema(T.StructType(fields)).parquet(path)
+        _SCHEMA_CACHE[cache_key] = df.schema
     else:
         df = spark.read.parquet(path)
+        _SCHEMA_CACHE[cache_key] = df.schema
     # Normalize the scan edge so every operator downstream sees a plain
     # TimestampType regardless of the file's physical resolution: nanos-as-
     # long → truncate to micros; NTZ → reinterpret the wall-clock value as

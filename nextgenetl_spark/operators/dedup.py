@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nextgenetl_spark.catalog import read_parquet_cached
+
 from nextgenetl_spark.operators.textstats import tokens
 
 
@@ -1292,8 +1294,8 @@ def query_minhash_index(
     by exact Jaccard against the stored shingle sets. Returns (new_id,
     hist_id, jac) — history never re-tokenizes, and the batch side is
     typically orders of magnitude smaller than the corpus."""
-    hist_bands = spark.read.parquet(f"{index_dir}/bands")
-    hist_shm = spark.read.parquet(f"{index_dir}/shingles").select(
+    hist_bands = read_parquet_cached(spark, f"{index_dir}/bands")
+    hist_shm = read_parquet_cached(spark, f"{index_dir}/shingles").select(
         F.col(id_col).alias("hist_id"), F.col("shm").alias("hist_shm")
     )
     banded, shm = _md5_banded_and_shingles(new_docs, text_col, id_col, num_perm, num_bands, shingle_n)

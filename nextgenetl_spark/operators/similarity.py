@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nextgenetl_spark.catalog import read_parquet_cached
+
 
 def dot(a, b) -> F.Column:
     """Double-precision dot product of two float arrays (cast before multiply
@@ -664,10 +666,10 @@ def ivf_query_index(
     nprobe == k_centroids it is exactly brute force. ``nprobe=None``
     applies the measured ceil(k/4) probe-fraction rule from the
     centroid-table row count (_auto_nprobe / IVF_DEFAULT_CONFIRM.json)."""
-    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cents = read_parquet_cached(spark, f"{index_dir}/centroids")
     if nprobe is None:
         nprobe = _auto_nprobe(cents.count())
-    cells = spark.read.parquet(f"{index_dir}/cells")
+    cells = read_parquet_cached(spark, f"{index_dir}/cells")
     qprobe = (
         queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
         .crossJoin(F.broadcast(cents))
@@ -762,7 +764,7 @@ def append_to_ivf_index(
     is NOT used — this is a pure append, so re-running the same batch
     duplicates it; dedupe upstream or route through the exactly-once sink
     for streams."""
-    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cents = read_parquet_cached(spark, f"{index_dir}/centroids")
     cells = assign_cells(new_vectors, cents, id_col, vec_col)
     (
         cells.select(id_col, vec_col, "cell_id")
@@ -1844,14 +1846,14 @@ def append_to_ivfpq_index(
                 f"index (or audit the cell files and remove {marker}) "
                 f"before re-appending this batch"
             ) from None
-    cents = spark.read.parquet(f"{index_dir}/centroids")
-    CB = _collect_codebooks(spark.read.parquet(f"{index_dir}/codebooks"))
+    cents = read_parquet_cached(spark, f"{index_dir}/centroids")
+    CB = _collect_codebooks(read_parquet_cached(spark, f"{index_dir}/codebooks"))
     # normalize the batch's vector element type to the index's persisted
     # vectors schema: parquet part files with mixed float/double elements
     # under one directory fail the vectorized reader at QUERY time
     # (SchemaColumnConvertNotSupportedException — found by the r11 drift
     # harness appending double batches into a float-built index)
-    want = spark.read.parquet(f"{index_dir}/vectors").schema[vec_col].dataType
+    want = read_parquet_cached(spark, f"{index_dir}/vectors").schema[vec_col].dataType
     new_vectors = new_vectors.withColumn(vec_col, F.col(vec_col).cast(want))
     # materialize the batch-sized assignment once: it feeds BOTH the
     # vectors/ write and the codes/ join below, and without the checkpoint
@@ -1907,27 +1909,27 @@ def ivfpq_query_index(
     import numpy as np
     import pandas as pd
 
-    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cents = read_parquet_cached(spark, f"{index_dir}/centroids")
     meta_row = None
     if nprobe is None or shortlist is None:
         try:  # read the 1-row meta ONCE for both auto knobs
-            meta_row = spark.read.parquet(f"{index_dir}/meta").first()
+            meta_row = read_parquet_cached(spark, f"{index_dir}/meta").first()
         except Exception:
             meta_row = None
     if nprobe is None:
         nprobe = _auto_nprobe(
             int(meta_row["k_centroids"]) if meta_row is not None else cents.count()
         )
-    CB = _collect_codebooks(spark.read.parquet(f"{index_dir}/codebooks"))
+    CB = _collect_codebooks(read_parquet_cached(spark, f"{index_dir}/codebooks"))
     m, _, dsub = CB.shape
-    codes = spark.read.parquet(f"{index_dir}/codes")
+    codes = read_parquet_cached(spark, f"{index_dir}/codes")
     if shortlist is None:
         if meta_row is not None and "adc_crowd" in meta_row:
             crowd = int(meta_row["adc_crowd"])
         else:
             # index built before meta existed: measure from the persisted
             # vectors + codes (one bounded pass, same walk as the build)
-            vecs = spark.read.parquet(f"{index_dir}/vectors")
+            vecs = read_parquet_cached(spark, f"{index_dir}/vectors")
             crowd = measured_adc_crowd(
                 _unit_vectors(vecs, corpus_id, vec_col), codes, CB, corpus_id
             )
@@ -1994,7 +1996,7 @@ def ivfpq_query_index(
         .select(query_id, "cell_id", corpus_id)
     )
     qdf = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
-    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    vectors = read_parquet_cached(spark, f"{index_dir}/vectors")
     rerank = (
         vectors.join(
             F.broadcast(short.join(F.broadcast(qdf), query_id)), ["cell_id", corpus_id]

@@ -14,6 +14,8 @@ import duckdb
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nextgenetl_spark.catalog import read_parquet_cached
+
 from nextgenetl_spark.sources.gtf import read_gtf
 from nextgenetl_spark.sources.maf import read_maf_concat
 from nextgenetl_spark.sources.vcf import read_vcf
@@ -366,7 +368,7 @@ def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(stage)
         )
         mark_complete(stage)
-    po = spark.read.parquet(stage)
+    po = read_parquet_cached(spark, stage)
     return (
         po.filter(F.col("o_year") == 1996)
         .groupBy("o_orderpriority")

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nextgenetl_spark.catalog import read_parquet_cached
+
 from nextgenetl_spark.catalog import load
 from nextgenetl_spark.operators.multimodal import attach_blob, decode_media_features, sample_frames
 from nextgenetl_spark.workloads import workload
@@ -159,7 +161,7 @@ def _staged_phash_fps(spark: SparkSession, sf_dir: str, pixels: bool) -> DataFra
             fps = perceptual_hash(attach_blob(corpus))
         fps.write.mode("overwrite").parquet(path)
         mark_complete(stage)
-    return spark.read.parquet(path)
+    return read_parquet_cached(spark, path)
 
 
 @workload(

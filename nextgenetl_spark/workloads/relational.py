@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nextgenetl_spark.catalog import read_parquet_cached
+
 from nextgenetl_spark.catalog import load
 from nextgenetl_spark.operators import setops
 from nextgenetl_spark.operators.agg import child_counts, count_if, nonnull_profile
@@ -2227,7 +2229,7 @@ def flatten_merged_single(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(stage, "nested.parquet"))
         )
         mark_complete(stage)
-    nested = spark.read.parquet(os.path.join(stage, "nested.parquet"))
+    nested = read_parquet_cached(spark, os.path.join(stage, "nested.parquet"))
     cfg = FlattenConfig(
         base="orders",
         id_keys={"orders": "order_id", "orders.cust": "cust_id", "orders.lines": "line_id"},
@@ -2395,7 +2397,7 @@ def flatten_deep_single(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(stage, "nested.parquet"))
         )
         mark_complete(stage)
-    nested = spark.read.parquet(os.path.join(stage, "nested.parquet"))
+    nested = read_parquet_cached(spark, os.path.join(stage, "nested.parquet"))
     cfg = FlattenConfig(
         base="orders",
         id_keys={

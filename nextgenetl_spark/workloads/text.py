@@ -6,6 +6,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nextgenetl_spark.catalog import read_parquet_cached
+
 from nextgenetl_spark.catalog import load
 from nextgenetl_spark.operators import dedup as D
 from nextgenetl_spark.operators import textstats as TS
@@ -52,7 +54,7 @@ def _staged_md5_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(path)
         mark_complete(stage)
-    return spark.read.parquet(path)
+    return read_parquet_cached(spark, path)
 
 
 @workload(

@@ -258,3 +258,47 @@ def test_table_files_lists_remote_scheme_directories(spark, tmp_path):
         }
     finally:
         cat.TABLES = old_tables
+
+
+def test_load_schema_cache_hits_and_invalidates(spark, tmp_path):
+    """The load() schema memo must (a) return an identical DataFrame schema
+    on a cache hit, (b) key on content, so an in-place regeneration of the
+    table is re-inferred instead of served a stale schema."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nextgenetl_spark import catalog as cat
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    path = os.path.join(lake, "region.parquet")
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([1, 2], type=pa.int64())}), path
+    )
+
+    cat._SCHEMA_CACHE.clear()
+    first = cat.load(spark, lake, "region")
+    key = next(iter(cat._SCHEMA_CACHE))
+    assert key[0] == path
+    second = cat.load(spark, lake, "region")  # cache hit
+    assert second.schema == first.schema
+    assert [r["r_regionkey"] for r in second.orderBy("r_regionkey").collect()] == [1, 2]
+
+    # regenerate in place with a DIFFERENT schema: the fingerprint changes,
+    # so load() must re-infer, not serve the stale single-column schema
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([7], type=pa.int64()),
+                "r_name": pa.array(["x"], type=pa.string()),
+            }
+        ),
+        path,
+    )
+    third = cat.load(spark, lake, "region")
+    assert set(third.columns) == {"r_regionkey", "r_name"}
+    assert [tuple(r) for r in third.collect()] == [(7, "x")]
