@@ -313,6 +313,15 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
+    # Record-contract fields (round-11 verdict ask #2): the stdout line is
+    # budget-truncated, so a cross-round diff of its inline `queries` dict
+    # reported 9 phantom "dropped" queries in r11. query_set_sha fingerprints
+    # the FULL query set (sha256 over the sorted names) so the driver can
+    # tell truncation from deletion without the detail file, and timing_rule
+    # names the methodology so a rule change is visible in the record itself.
+    import hashlib as _hashlib
+
+    query_set_sha = _hashlib.sha256("|".join(sorted(timings)).encode()).hexdigest()[:16]
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -320,6 +329,8 @@ def main() -> None:
         "queries": timings,
         "spark_runs": spark_runs,
         "sf": sf,
+        "timing_rule": "min-of-3",
+        "query_set_sha": query_set_sha,
         "cold_total": round(cold_total, 3),
         "box_health_pre": health_pre,
         "box_health_post": (health_post := _box_health()),
@@ -402,6 +413,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "timing_rule": out["timing_rule"],
+        "query_set_sha": out["query_set_sha"],
         "cold_total": out["cold_total"],
         "box_health_ok": out["box_health_ok"],
         "detail": f"BENCH_DETAIL_r{rnd:02d}.json",

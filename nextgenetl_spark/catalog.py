@@ -60,6 +60,36 @@ def _parquet_ts_unit(path: str, field: str = "ts") -> str | None:
 _SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
 
 
+def _schema_cache_key(path: str) -> tuple[str, str] | None:
+    """Memo key for a parquet path, or None when the memo must be bypassed.
+    content_fingerprint stats the LOCAL filesystem; a URI-scheme path
+    (s3a://, hdfs://, gs:// — the surface _table_files supports) would
+    raise before the read ever happened (r11 ADVICE #1), so remote paths
+    skip the memo and take the plain spark.read.parquet route."""
+    if "://" in path:
+        return None
+    from nextgenetl_spark.staging import content_fingerprint
+
+    try:
+        return (path, content_fingerprint(path))
+    except OSError:
+        return None
+
+
+def _schema_cache_put(key: tuple[str, str], schema: T.StructType) -> None:
+    """Insert with a bound that evicts only STALE entries: first drop
+    superseded fingerprints of the SAME path (in-place rewrites, per-run
+    staged copies under a reused dir), then — if genuinely full of live
+    entries — drop oldest-inserted (dict order) rather than clearing the
+    ten hot fixed-table entries wholesale (r11 ADVICE #4)."""
+    stale = [k for k in _SCHEMA_CACHE if k[0] == key[0] and k != key]
+    for k in stale:
+        del _SCHEMA_CACHE[k]
+    while len(_SCHEMA_CACHE) >= 256:
+        del _SCHEMA_CACHE[next(iter(_SCHEMA_CACHE))]
+    _SCHEMA_CACHE[key] = schema
+
+
 def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` with the same schema memo as ``load``: the
     first read of a given (path, content-fingerprint) pays the inference
@@ -67,26 +97,23 @@ def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     For hive-partitioned index dirs the cached schema includes the
     partition columns exactly as first inferred, so the scan (partition
     filters included) is unchanged. Any write into the directory moves the
-    fingerprint and forces re-inference."""
-    from nextgenetl_spark.staging import content_fingerprint
-
-    key = (path, content_fingerprint(path))
+    fingerprint and forces re-inference. URI-scheme paths bypass the memo
+    (the fingerprint is a local-FS stat walk)."""
+    key = _schema_cache_key(path)
+    if key is None:
+        return spark.read.parquet(path)
     cached = _SCHEMA_CACHE.get(key)
     if cached is not None:
         return spark.read.schema(cached).parquet(path)
-    if len(_SCHEMA_CACHE) > 256:  # per-run staged copies: bound the memo
-        _SCHEMA_CACHE.clear()
     df = spark.read.parquet(path)
-    _SCHEMA_CACHE[key] = df.schema
+    _schema_cache_put(key, df.schema)
     return df
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
-    from nextgenetl_spark.staging import content_fingerprint
-
-    cache_key = (path, content_fingerprint(path))
-    cached = _SCHEMA_CACHE.get(cache_key)
+    cache_key = _schema_cache_key(path)
+    cached = _SCHEMA_CACHE.get(cache_key) if cache_key is not None else None
     if cached is not None:
         df = spark.read.schema(cached).parquet(path)
     elif name == "events" and _parquet_ts_unit(path) == "ns":
@@ -110,10 +137,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             for f in arrow_schema
         ]
         df = spark.read.schema(T.StructType(fields)).parquet(path)
-        _SCHEMA_CACHE[cache_key] = df.schema
+        if cache_key is not None:
+            _schema_cache_put(cache_key, df.schema)
     else:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[cache_key] = df.schema
+        if cache_key is not None:
+            _schema_cache_put(cache_key, df.schema)
     # Normalize the scan edge so every operator downstream sees a plain
     # TimestampType regardless of the file's physical resolution: nanos-as-
     # long → truncate to micros; NTZ → reinterpret the wall-clock value as

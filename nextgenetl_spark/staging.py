@@ -34,7 +34,16 @@ _MARKER = "_COMPLETE"
 def content_fingerprint(src_path: str) -> str:
     """Fingerprint of a source file or directory-shaped parquet table:
     md5 over (relative name, size, mtime_ns) of every data file, in sorted
-    order. Any in-place regeneration — same path, new bytes — changes it."""
+    order. Any in-place regeneration — same path, new bytes — changes it.
+
+    KNOWN LIMIT (r11 ADVICE #2): on filesystems with coarse mtime
+    granularity, a same-size in-place rewrite landing within one mtime tick
+    keeps the fingerprint — the caches keyed on it would serve the previous
+    artifact/schema. Real writers (Spark, pyarrow) emit fresh part-file
+    names and different sizes, so the window is byte-identical-size +
+    sub-tick rewrites only; folding file bytes in would turn a stat walk
+    into a full read of the lake. Local-FS paths only — callers guard
+    URI-scheme paths before fingerprinting."""
     src = os.path.abspath(src_path)
     parts: list[str] = [src]
     if os.path.isdir(src):

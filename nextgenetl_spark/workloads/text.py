@@ -2074,7 +2074,10 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir, complete = staged_dir(
         "ngetl_minhash_idx",
         os.path.join(sf_dir, "documents.parquet"),
-        code=code_token(D.build_minhash_index),
+        # the helper is a transitive dependency the index bakes in: hashing
+        # only build_minhash_index would keep serving a pre-edit staged
+        # index after a helper change (r11 ADVICE #3)
+        code=code_token(D.build_minhash_index, D._md5_banded_and_shingles),
     )
     if not complete:
         D.build_minhash_index(index_dir, hist)
