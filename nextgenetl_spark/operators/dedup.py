@@ -245,6 +245,25 @@ def minhash_signatures(
     return sigs.select(id_col, F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def minhash_sig_from_hashes(sh_col, num_perm: int = 32) -> F.Column:
+    """Per-ROW MinHash signature (array<long>) from a PRECOMPUTED
+    xxhash64 shingle-hash array: ONE transform over a seed sequence instead
+    of ``num_perm`` sibling expressions each embedding the whole shingle
+    subtree — the expression tree shrinks ~num_perm-fold, which is pure
+    catalyst analysis/planning time (the text family's measured per-query
+    floor), while values are bit-identical: ``seq(0, n-1)`` elements are
+    IntegerType exactly like the old ``F.lit(seed)``, so every
+    ``xxhash64(h, seed)`` hashes the same bytes. Callers should bind the
+    hash array to a real column first (the two-step projection keeps the
+    shingle hashing evaluated once per row; HOF lambdas are interpreted,
+    so an inlined subtree would re-evaluate per seed)."""
+    sh = F.col(sh_col) if isinstance(sh_col, str) else sh_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda seed: F.array_min(F.transform(sh, lambda h: F.xxhash64(h, seed))),
+    )
+
+
 def minhash_signature_expr(text_col, num_perm: int = 32, shingle_n: int = 3) -> F.Column:
     """Per-ROW MinHash signature as one Column expression (array<long>):
     ``array_min`` over the re-seeded shingle hashes per permutation.
@@ -253,11 +272,13 @@ def minhash_signature_expr(text_col, num_perm: int = 32, shingle_n: int = 3) -> 
     execution shape: the batch form explodes shingles into flat map-side
     aggregates (faster on large corpora), while this form needs NO
     aggregation at all — which makes it legal in append-mode Structured
-    Streaming, where a groupBy would demand watermark/window state."""
+    Streaming, where a groupBy would demand watermark/window state.
+    Prefer computing the hash array as its own column and calling
+    ``minhash_sig_from_hashes`` (one shingle evaluation per row); this
+    self-contained form re-evaluates the shingle subtree per permutation
+    and exists for call sites that cannot add a projection."""
     sh = F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda h: F.xxhash64(h, F.lit(seed)))) for seed in range(num_perm)]
-    )
+    return minhash_sig_from_hashes(sh, num_perm)
 
 
 def band_structs(sig_col, num_bands: int) -> F.Column:
@@ -1035,23 +1056,35 @@ def bbit_minhash_similarity(
     return out
 
 
+def md5_minhash_sig_from_hashes(hs_col, num_perm: int = 16) -> F.Column:
+    """Portable per-ROW MinHash signature from a PRECOMPUTED hash array
+    (the 32-bit md5-prefix longs): one transform over the permutation
+    index with (A, B) as literal arrays — the md5 analogue of
+    ``minhash_sig_from_hashes`` and the same ~num_perm-fold expression-tree
+    shrink. Values identical: int×long/long×long both promote to exact
+    64-bit arithmetic before the mod."""
+    hs = F.col(hs_col) if isinstance(hs_col, str) else hs_col
+    A = F.array(*[F.lit(_MINHASH_A[i]).cast("long") for i in range(num_perm)])
+    B = F.array(*[F.lit(_MINHASH_B[i]).cast("long") for i in range(num_perm)])
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_perm)),
+        lambda i: F.array_min(
+            F.transform(hs, lambda h: (F.element_at(A, i) * h + F.element_at(B, i)) % F.lit(MINHASH_P))
+        ),
+    )
+
+
 def md5_minhash_signature_expr(text_col, num_perm: int = 16, shingle_n: int = 3) -> F.Column:
     """Per-ROW portable MinHash signature (array<long>): the universal-hash
     permutations of ``md5_minhash_near_dup_pairs`` computed with array_min
     HOFs instead of aggregates — no groupBy, so it is legal in append-mode
     Structured Streaming (the md5 analogue of ``minhash_signature_expr``).
     Identical values to the batch form: same shingles, same md5 prefix,
-    same (A, B, P)."""
+    same (A, B, P). Prefer binding the hash array to a column and calling
+    ``md5_minhash_sig_from_hashes`` (see minhash_signature_expr)."""
     sh = shingles(text_col, shingle_n)
     hs = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(hs, lambda h: (F.lit(_MINHASH_A[i]) * h + F.lit(_MINHASH_B[i])) % F.lit(MINHASH_P))
-            )
-            for i in range(num_perm)
-        ]
-    )
+    return md5_minhash_sig_from_hashes(hs, num_perm)
 
 
 def md5_band_hash(sig_col, band: int, rows_per_band: int) -> F.Column:

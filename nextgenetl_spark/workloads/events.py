@@ -388,11 +388,16 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # A stream-stream join keeps FOUR state stores per shuffle partition
     # (left/right × key-index layouts), so per-partition fixed cost is 4×
-    # an agg's: size partitions to state volume, not core count (4× wall
-    # at 32 vs 8 partitions on this replay) — hence the tighter cap.
+    # an agg's: size partitions to state volume, not core count. Measured
+    # per-entry this round (tools/stream_cap_ab.py, interleaved min-of-3,
+    # results asserted identical across caps): cap4 2.56s < cap8 3.87s <
+    # cap16 6.34s — the 4-store-per-partition fixed cost dominates at
+    # replay state volume, so the cap drops to 4. A deployment with real
+    # state volume sizes spark.sql.shuffle.partitions at session build;
+    # replay_shuffle_cap still honors the smaller of cap and parallelism.
     from nextgenetl_spark.streaming.source import run_memory_replay
 
-    return run_memory_replay(spark, out, name, "append", cap=8)
+    return run_memory_replay(spark, out, name, "append", cap=4)
 
 
 @workload(
