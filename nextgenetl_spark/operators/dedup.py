@@ -851,21 +851,26 @@ def connected_components(
     # stays bounded at ANY edge volume; sf0.1 cost is unmeasurable.
     from pyspark.storagelevel import StorageLevel
 
-    # Hash-partition the symmetric edge list by src ONCE before freezing it
-    # (guide §2.4 "two operations keyed the same way share one exchange"):
-    # every round's contrib join is keyed sym.src == labels.node, and a
-    # checkpointed DataFrame carries its partitioning, so the join reuses
-    # the edge table's layout and only the (node-sized) label table is
-    # exchanged per round — the EDGE-sized per-round join exchange is gone.
-    # The distinct's (src,dst) partitioning could never satisfy the join.
-    # Measured (tools/cc_ab.py, 5 interleaved reps on the sf0.1 pair graph,
-    # outputs asserted identical): CC segment 3.45s -> 3.15s min, every rep
-    # lower; at cluster scale this removes rounds x |E| shuffle bytes.
+    # MEASURED AND REJECTED (r12, tools/cc_ab.py): pre-partitioning sym by
+    # src before the checkpoint read 3.45s -> 3.15s min-of-5 on the sf0.1
+    # pair graph, but the formatted round plan disproves the intended
+    # mechanism — a PySpark localCheckpoint comes back as a Scan
+    # ExistingRDD with UNKNOWN partitioning (plans/r12/
+    # near_dup_groups_ccround_{before,after}.txt are identical: the join
+    # still exchanges the sym side), so the delta was pre-clustered
+    # shuffle-write locality/noise, not a removed exchange. At cluster
+    # scale the repartition would ADD one full edge-list exchange at setup
+    # with no per-round reuse — rejected. (A two-propagation-steps-per-
+    # materialized-round variant also measured worse: 4.7s vs 3.45s —
+    # deeper per-action plans cost more than the saved actions.) At
+    # runtime AQE broadcast-converts the label side while it fits, so the
+    # per-round edge movement is the groupBy below — inherent to
+    # min-label propagation; the geometric-shrink alternative is
+    # connected_components_star.
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .repartition(F.col("src"))
         .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
