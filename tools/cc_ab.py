@@ -121,11 +121,74 @@ def cc_both(edges, a_col="a_id", b_col="b_id", max_iters=30):
     return labels
 
 
+def cc_delta(edges, a_col="a_id", b_col="b_id", max_iters=30):
+    """Variant E: delta label propagation with a fused first round.
+
+    Round 1 is computed directly as label(dst) = min(dst, min neighbor) —
+    one groupBy over the symmetric edge list, replacing the labels-init
+    distinct (a full |E| exchange) AND round 1's identity join (labels_0 is
+    the identity map, so joining it into the edge list was a no-op that
+    still shuffled). Later rounds propagate contributions ONLY from nodes
+    whose label changed last round: labels are monotone decreasing, so an
+    unchanged src's contribution was already folded into dst's min in the
+    round where src last changed (induction: label_k(dst) <= label_{k-1}(src)
+    for every edge). Contributions with label >= dst are pruned before the
+    shuffle (label(dst) <= dst always). Pointer doubling unchanged.
+    Convergence = zero changed rows (same one action per round)."""
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    )
+    # fused round 1: min over closed neighborhood, one |E| shuffle
+    labels = (
+        sym.groupBy("dst")
+        .agg(F.least(F.min("src"), F.col("dst")).alias("label"))
+        .select(F.col("dst").alias("node"), "label")
+    )
+    # pointer doubling on round 1's labels
+    l2 = labels.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
+    labels = (
+        labels.join(l2, labels.label == l2.n2, "left")
+        .select("node", F.coalesce("l2", "label").alias("label"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    changed = labels.where(F.col("label") != F.col("node"))
+    if changed.count() == 0:
+        return labels
+    for _ in range(max_iters):
+        contrib = (
+            sym.join(changed.withColumnRenamed("node", "src"), "src")
+            .where(F.col("label") < F.col("dst"))
+            .select("dst", "label")
+        )
+        cand = contrib.groupBy("dst").agg(F.min("label").alias("cand"))
+        merged = labels.join(cand, labels.node == cand.dst, "left").select(
+            "node",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce("cand", "label")).alias("label"),
+        )
+        l2 = merged.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
+        merged = (
+            merged.join(l2, merged.label == l2.n2, "left")
+            .select("node", "old", F.coalesce("l2", "label").alias("label"))
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        )
+        changed = merged.where(F.col("label") != F.col("old")).select("node", "label")
+        n_changed = changed.count()
+        labels = merged.select("node", "label")
+        if n_changed == 0:
+            break
+    return labels
+
+
 VARIANTS = {
     "A_current": cc_current,
     "B_prepart": cc_prepart,
     "C_twostep": cc_twostep,
     "D_both": cc_both,
+    "E_delta": cc_delta,
 }
 
 
