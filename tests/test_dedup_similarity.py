@@ -211,6 +211,44 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_delta_frontier_late_merge(spark):
+    """Delta propagation (r12) must still deliver labels that travel ONLY
+    through nodes whose label changed in a prior round: two cliques joined
+    by a single bridge — the right clique settles on its own min in round
+    1 and its min is lowered to the global min strictly later, purely via
+    the bridge node's changed label. A stale-frontier bug (skipping a
+    changed contributor, or marking a doubling move as unchanged) leaves
+    the right clique on its local min."""
+    import itertools
+
+    left = [(a, b) for a, b in itertools.combinations([0, 1, 2, 3], 2)]
+    right = [(a, b) for a, b in itertools.combinations([10, 11, 12, 13], 2)]
+    bridge = [(3, 10)]
+    df = spark.createDataFrame(left + right + bridge, "a_id long, b_id long")
+    got = {r["node"]: r["label"] for r in D.connected_components(df).collect()}
+    assert got == {n: 0 for n in [0, 1, 2, 3, 10, 11, 12, 13]}
+
+
+def test_connected_components_matches_star_on_seeded_random_graph(spark):
+    """Property-style pin for the r12 delta rewrite: on a seeded random
+    graph (200 nodes, 300 edges drawn from a fixed LCG), delta min-label
+    propagation and star contraction must agree exactly — two independent
+    algorithms, one answer."""
+    state = 12345
+    edges = []
+    for _ in range(300):
+        state = (state * 1103515245 + 12345) % (2**31)
+        a = state % 200
+        state = (state * 1103515245 + 12345) % (2**31)
+        b = state % 200
+        if a != b:
+            edges.append((a, b))
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    prop = {(r["node"], r["label"]) for r in D.connected_components(df).collect()}
+    star = {(r["node"], r["label"]) for r in D.connected_components_star(df).collect()}
+    assert prop == star
+
+
 def test_connected_components_idempotent_on_groups(spark):
     """Re-running components on the canonical-group edges changes nothing."""
     edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["a_id", "b_id"])
