@@ -1759,9 +1759,15 @@ def build_ivfpq_index(
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     cb.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
     spark = corpus.sparkSession
+    # vec_type records the persisted vectors/ element type (e.g.
+    # "array<float>") so append_to_ivfpq_index can normalize incoming
+    # batches WITHOUT re-inferring the vectors directory schema on every
+    # append (r12; meta/ is append-invariant so its schema-memo entry
+    # stays warm, while vectors/ moves its content fingerprint each batch)
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
     spark.createDataFrame(
-        [(int(k_centroids), int(m), int(ks), int(code_crowd), int(adc_crowd))],
-        "k_centroids int, m int, ks int, code_crowd int, adc_crowd int",
+        [(int(k_centroids), int(m), int(ks), int(code_crowd), int(adc_crowd), vec_type)],
+        "k_centroids int, m int, ks int, code_crowd int, adc_crowd int, vec_type string",
     ).write.mode("overwrite").parquet(f"{index_dir}/meta")
     (
         cells.select(id_col, vec_col, "cell_id")
@@ -1852,8 +1858,21 @@ def append_to_ivfpq_index(
     # vectors schema: parquet part files with mixed float/double elements
     # under one directory fail the vectorized reader at QUERY time
     # (SchemaColumnConvertNotSupportedException — found by the r11 drift
-    # harness appending double batches into a float-built index)
-    want = read_parquet_cached(spark, f"{index_dir}/vectors").schema[vec_col].dataType
+    # harness appending double batches into a float-built index).
+    # The type comes from meta/ (append-invariant, schema-memo stays warm
+    # across batches) when the build recorded it; indexes built before
+    # vec_type existed fall back to inferring the vectors/ schema, whose
+    # fingerprint moves on every append (r11 verdict ask #5: pass the
+    # known index schema through the append instead of re-inferring).
+    want = None
+    try:
+        mrow = read_parquet_cached(spark, f"{index_dir}/meta").first()
+        if mrow is not None and "vec_type" in mrow.asDict() and mrow["vec_type"]:
+            want = mrow["vec_type"]
+    except Exception:
+        want = None
+    if want is None:
+        want = read_parquet_cached(spark, f"{index_dir}/vectors").schema[vec_col].dataType
     new_vectors = new_vectors.withColumn(vec_col, F.col(vec_col).cast(want))
     # materialize the batch-sized assignment once: it feeds BOTH the
     # vectors/ write and the codes/ join below, and without the checkpoint
